@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship flat top-k on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query for the
+correctness gate. Column names and types are aligned on both sides;
+float outputs are rounded to fixed decimals so double-precision
+fold-order differences between engines cannot flip the value hash
+(both engines compute in DOUBLE; observed agreement is bit-exact at
+6 decimals — see tests/test_entry_oracle.py).
 """
 
 from __future__ import annotations
@@ -12,27 +15,257 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_TOPK_QUERIES = 100
+TOPK_K = 10
+RANGE_THRESHOLD = 1.26  # ≈5th percentile of pairwise L2 on the embeddings table
+RANGE_N_QUERIES = 50
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofaiss_spark.sources.readers import load_embeddings_as_vectors
+
+    return load_embeddings_as_vectors(spark, sf_dir)
+
+
+def _queries_df(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    from gofaiss_spark.sources.readers import load_query_vectors
+
+    return load_query_vectors(spark, sf_dir, n)
+
+
+def _flat_topk(metric: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gofaiss_spark.operators.topk import search_flat
+
+        res = search_flat(
+            _vectors(spark, sf_dir),
+            _queries_df(spark, sf_dir, N_TOPK_QUERIES),
+            k=TOPK_K,
+            metric=metric,
+            method="local",
+        )
+        return res.select(
+            "query_id", "id", F.round("distance", 6).alias("distance")
+        )
+
+    return q
+
+
+def _flat_topk_sql(metric: str) -> str:
+    dist = {
+        "l2": "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))",
+        "cosine": "1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))",
+        "dot": "-list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))",
+    }[metric]
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {N_TOPK_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS id, {dist} AS d
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, id, round(d, 6) AS distance FROM ranked WHERE rnk <= {TOPK_K}
+"""
+
+
+def _range_search_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofaiss_spark.operators.topk import range_search
+
+    res = range_search(
+        _vectors(spark, sf_dir),
+        _queries_df(spark, sf_dir, RANGE_N_QUERIES),
+        threshold=RANGE_THRESHOLD,
+        metric="l2",
+    )
+    return res.select("query_id", "id", F.round("distance", 6).alias("distance"))
+
+
+def _vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofaiss_spark.functions.distance import norm
+
+    return _vectors(spark, sf_dir).select(
+        "id", F.round(norm("vec"), 6).alias("vec_norm")
+    )
+
+
+def _centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofaiss_spark.functions.vector import vector_centroid
+
+    cent = vector_centroid(_vectors(spark, sf_dir), "vec", ["label"])
+    return cent.select(
+        "label", F.posexplode("centroid").alias("pos", "c")
+    ).select("label", "pos", F.round("c", 6).alias("mean_component"))
+
+
+def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofaiss_spark.sources.readers import load_events
+
+    events = load_events(spark, sf_dir)
+    return (
+        events.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd HH").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       strftime(ts, '%Y-%m-%d %H') AS hour,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type, strftime(ts, '%Y-%m-%d %H')
+"""
+
+
+def _doc_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_DOC_LANG_DIST_SQL = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+def _doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        "n_chars",
+    )
+
+
+_DOC_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       n_chars
+FROM documents
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: exact top-10 L2
+    neighbors for a 100-query batch (the flat-index oracle plan)."""
+    return _flat_topk("l2")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flat_topk_l2": _flat_topk("l2"),
+        "flat_topk_cosine": _flat_topk("cosine"),
+        "flat_topk_dot": _flat_topk("dot"),
+        "range_search_l2": _range_search_l2,
+        "vector_norms": _vector_norms,
+        "centroid_by_label": _centroid_by_label,
+        "tpch_q1": _tpch_q1,
+        "revenue_by_nation": _revenue_by_nation,
+        "events_hourly": _events_hourly,
+        "doc_lang_dist": _doc_lang_dist,
+        "doc_token_stats": _doc_token_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flat_topk_l2": _flat_topk_sql("l2"),
+        "flat_topk_cosine": _flat_topk_sql("cosine"),
+        "flat_topk_dot": _flat_topk_sql("dot"),
+        "range_search_l2": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {RANGE_N_QUERIES}
+)
+SELECT q.query_id, e.vec_id AS id,
+       round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])), 6) AS distance
+FROM embeddings e CROSS JOIN q
+WHERE list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) <= {RANGE_THRESHOLD}
+""",
+        "vector_norms": """
+SELECT vec_id AS id,
+       round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS vec_norm
+FROM embeddings
+""",
+        "centroid_by_label": """
+SELECT label, CAST(g.i AS INTEGER) AS pos,
+       round(avg(CAST(embedding[g.i + 1] AS DOUBLE)), 6) AS mean_component
+FROM embeddings, generate_series(0, 63) AS g(i)
+GROUP BY label, g.i
+""",
+        "tpch_q1": _TPCH_Q1_SQL,
+        "revenue_by_nation": _REVENUE_BY_NATION_SQL,
+        "events_hourly": _EVENTS_HOURLY_SQL,
+        "doc_lang_dist": _DOC_LANG_DIST_SQL,
+        "doc_token_stats": _DOC_TOKEN_STATS_SQL,
+    }

@@ -1,0 +1,164 @@
+"""Distance kernels.
+
+Reference semantics: internal/math/distance.go:8-93 (L2, L2², dot,
+norm, cosine with zero-vector→1.0 and [-1,1] clamp, InnerProduct =
+NEGATIVE dot so every metric sorts ascending-is-nearer) and
+internal/math/simd.go:180-198 (norms-precompute rewrite).
+
+Two backends, same semantics:
+
+1. **Column expressions** (this module's ``*_distance`` helpers):
+   pure ``pyspark.sql.functions`` higher-order functions — JVM-side,
+   whole-stage-codegen'd, no Python in the loop. The fold is a
+   sequential left fold in DOUBLE precision, which makes results
+   bit-comparable with an equivalent sequential SQL fold (the DuckDB
+   correctness oracle).
+
+2. **NumPy kernels** (``np_distance_matrix``): batch query×base
+   distance matrices via BLAS matmul inside pandas UDFs — the
+   vectorized hot path (plays the role of the reference's SIMD layer,
+   internal/math/simd.go:13-35, which is itself only a scalar
+   fallback).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Closed metric enum, mirroring pkg/metric/metric.go:12-16.
+METRICS = ("l2", "cosine", "dot")
+
+
+def validate_metric(metric: str) -> str:
+    """metric.New parity (pkg/metric/metric.go:25-36): error on unknown."""
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric type: {metric!r} (expected one of {METRICS})")
+    return metric
+
+
+def _as_col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot_product(a, b) -> Column:
+    """⟨a,b⟩ as a sequential double-precision fold (distance.go:28-34)."""
+    a, b = _as_col(a), _as_col(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def l2_distance_squared(a, b) -> Column:
+    """Σ(aᵢ-bᵢ)² — the argmin-friendly form (distance.go:18-25)."""
+    a, b = _as_col(a), _as_col(b)
+    diff_sq = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diff_sq, F.lit(0.0), lambda s, v: s + v)
+
+
+def l2_distance(a, b) -> Column:
+    """Euclidean distance (distance.go:8-15)."""
+    return F.sqrt(l2_distance_squared(a, b))
+
+
+def norm_squared(v) -> Column:
+    """Σvᵢ² (distance.go:46-52)."""
+    v = _as_col(v)
+    return F.aggregate(
+        F.zip_with(v, v, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, a: s + a,
+    )
+
+
+def norm(v) -> Column:
+    """L2 norm (distance.go:37-43)."""
+    return F.sqrt(norm_squared(v))
+
+
+def cosine_distance(a, b) -> Column:
+    """1 − cos_sim, zero-vector → 1.0, clamped to [-1,1] before the
+    subtraction (distance.go:55-71): result ∈ [0, 2]."""
+    a, b = _as_col(a), _as_col(b)
+    na, nb = norm(a), norm(b)
+    sim = dot_product(a, b) / (na * nb)
+    clamped = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), sim))
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(1.0)).otherwise(F.lit(1.0) - clamped)
+
+
+def cosine_distance_with_norms(a, b, norm_a, norm_b) -> Column:
+    """Cosine using precomputed norm columns (distance.go:74-88) — the
+    index-build-time physical optimization (flat.go:48-53)."""
+    a, b = _as_col(a), _as_col(b)
+    norm_a, norm_b = _as_col(norm_a), _as_col(norm_b)
+    sim = dot_product(a, b) / (norm_a * norm_b)
+    clamped = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), sim))
+    return F.when((norm_a == 0.0) | (norm_b == 0.0), F.lit(1.0)).otherwise(F.lit(1.0) - clamped)
+
+
+def inner_product_distance(a, b) -> Column:
+    """NEGATIVE dot product — MIPS as a min-distance problem
+    (distance.go:91-93). Keeps top-k ordering uniformly ascending."""
+    return -dot_product(a, b)
+
+
+def distance_col(metric: str, a, b, norm_a=None, norm_b=None) -> Column:
+    """Metric-dispatch column builder (the metric.New analogue)."""
+    validate_metric(metric)
+    if metric == "l2":
+        return l2_distance(a, b)
+    if metric == "cosine":
+        if norm_a is not None and norm_b is not None:
+            return cosine_distance_with_norms(a, b, norm_a, norm_b)
+        return cosine_distance(a, b)
+    return inner_product_distance(a, b)
+
+
+def squared_distance_col(metric: str, a, b) -> Column:
+    """Monotone-equivalent distance for argmin comparisons: skips the
+    sqrt for l2 (the reference's own trick, pq.go:153, ivfpq.go:526)."""
+    validate_metric(metric)
+    if metric == "l2":
+        return l2_distance_squared(a, b)
+    return distance_col(metric, a, b)
+
+
+# ---------------------------------------------------------------------------
+# NumPy batch kernels (pandas-UDF backend)
+# ---------------------------------------------------------------------------
+
+
+def np_distance_matrix(base: np.ndarray, queries: np.ndarray, metric: str) -> np.ndarray:
+    """(n_base, n_query) distance matrix in float64 via BLAS.
+
+    l2 uses ||a-b||² = ||a||²+||b||²−2⟨a,b⟩ with clamp-at-0
+    (simd.go:180-198); cosine matches the zero-vector→1.0 and clamp
+    semantics of distance.go:55-71; dot is the negative inner product.
+    """
+    validate_metric(metric)
+    base = np.asarray(base, dtype=np.float64)
+    queries = np.asarray(queries, dtype=np.float64)
+    ip = base @ queries.T  # (n_base, n_query)
+    if metric == "dot":
+        return -ip
+    if metric == "l2":
+        bn = np.einsum("ij,ij->i", base, base)[:, None]
+        qn = np.einsum("ij,ij->i", queries, queries)[None, :]
+        d2 = bn + qn - 2.0 * ip
+        np.maximum(d2, 0.0, out=d2)
+        return np.sqrt(d2)
+    # cosine
+    bn = np.linalg.norm(base, axis=1)[:, None]
+    qn = np.linalg.norm(queries, axis=1)[None, :]
+    denom = bn * qn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = ip / denom
+    sim = np.clip(sim, -1.0, 1.0)
+    dist = 1.0 - sim
+    dist[np.broadcast_to(denom == 0.0, dist.shape)] = 1.0
+    return dist

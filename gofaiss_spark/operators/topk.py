@@ -1,0 +1,209 @@
+"""Flat (exact brute-force) search = the ground-truth oracle.
+
+Reference: pkg/index/flat/flat.go:74-114 (full scan → sort asc →
+take k) and benchmark/benchmark_comparison.go:149-163 (flat search as
+ground truth). BatchSearch (flat.go:61-71) is a sequential per-query
+loop in the reference; in Spark the whole query batch is one plan —
+strictly better (SURVEY.md §4 row 11).
+
+Two physical strategies, identical results:
+
+- ``method="expr"``: vectors ⋈ broadcast(queries) with a higher-order
+  -function distance column, then per-query top-k. Pure JVM. The
+  shuffle after scoring carries n×q rows — fine at test scale, and the
+  plan DuckDB can replicate fold-for-fold (correctness oracle).
+
+- ``method="local"`` (default): two-phase top-k. Phase 1 is a
+  mapInPandas partial top-k: each input partition computes a BLAS
+  distance matrix against the broadcast query batch and keeps only its
+  local k best per query — no shuffle, n×q scores reduced to
+  (partitions × q × k) candidate rows. Phase 2 is an exact window
+  top-k over that small remainder. At 100 TB this is the only shape
+  that works: the shuffle is O(partitions·q·k), independent of n.
+
+Ties break by (distance, id) — deterministic across runs and engines.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gofaiss_spark.functions.distance import (
+    distance_col,
+    np_distance_matrix,
+    validate_metric,
+)
+
+RESULT_SCHEMA = "query_id long, id long, distance double"
+
+
+def score_pairs(
+    vectors: DataFrame,
+    queries: DataFrame,
+    metric: str = "l2",
+    vec_col: str = "vec",
+    qvec_col: str = "qvec",
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Every (query, vector) pair scored: the broadcast nested-loop
+    join the reference's full scan is equivalent to (flat.go:94-103).
+
+    Returns (query_id, id, distance). The query side is broadcast —
+    it is the small side by contract (a query batch, not a table).
+    """
+    validate_metric(metric)
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(qvec_col).alias("_qvec")
+    )
+    scored = v.join(F.broadcast(q)).select(
+        "query_id",
+        "id",
+        distance_col(metric, "_vec", "_qvec").alias("distance"),
+    )
+    return scored
+
+
+def topk(
+    scored: DataFrame,
+    k: int,
+    partition_cols: list[str] | None = None,
+    distance_col_name: str = "distance",
+    id_col: str = "id",
+) -> DataFrame:
+    """Exact per-group top-k with deterministic (distance, id) tie-break.
+
+    Window + row_number over (partition_cols); Spark's rank-limit
+    pushdown turns this into per-partition partial top-k before the
+    shuffle (WindowGroupLimit), so the shuffle carries ≤ groups×k rows.
+    """
+    partition_cols = partition_cols if partition_cols is not None else ["query_id"]
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.col(distance_col_name).asc(), F.col(id_col).asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if k > 0:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked
+
+
+def _local_topk_candidates(
+    vectors: DataFrame,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int,
+    metric: str,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Phase 1: per-arrow-batch partial top-k via BLAS (no shuffle)."""
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = np.stack(pdf[vec_col].to_numpy())
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            dmat = np_distance_matrix(base, query_mat, metric)  # (B, q)
+            b = dmat.shape[0]
+            kk = min(k, b)
+            if kk < b:
+                # per-query partial selection, then gather
+                sel = np.argpartition(dmat, kk - 1, axis=0)[:kk, :]  # (kk, q)
+            else:
+                sel = np.broadcast_to(
+                    np.arange(b)[:, None], (b, dmat.shape[1])
+                )
+            out_ids = ids[sel].ravel(order="F")
+            out_dist = np.take_along_axis(dmat, sel, axis=0).ravel(order="F")
+            out_qid = np.repeat(query_ids, sel.shape[0])
+            yield pd.DataFrame(
+                {"query_id": out_qid, "id": out_ids, "distance": out_dist}
+            )
+
+    sel_df = vectors.select(id_col, vec_col)
+    return sel_df.mapInPandas(part, schema=RESULT_SCHEMA)
+
+
+def search_flat(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+    method: str = "local",
+    vec_col: str = "vec",
+    qvec_col: str = "qvec",
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact k-NN for a batch of queries.
+
+    Returns (query_id, id, distance, rank) with rank 1..k ascending by
+    (distance, id). ``k <= 0`` means "all" (flat.go:82-84 normalizes
+    k>n and k<=0 to n).
+    """
+    validate_metric(metric)
+    if method == "expr":
+        scored = score_pairs(
+            vectors, queries, metric, vec_col, qvec_col, id_col, query_id_col
+        )
+        return topk(scored, k)
+    if method != "local":
+        raise ValueError(f"unknown method {method!r} (expected 'local' or 'expr')")
+    if k <= 0:
+        # "return everything" only makes sense via the full scored join
+        scored = score_pairs(
+            vectors, queries, metric, vec_col, qvec_col, id_col, query_id_col
+        )
+        return topk(scored, k)
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(qvec_col).alias("qvec")
+        )
+        .toPandas()
+    )
+    if len(qrows) == 0:
+        spark = vectors.sparkSession
+        empty = spark.createDataFrame([], RESULT_SCHEMA + ", rank int")
+        return empty
+    query_ids = qrows["query_id"].to_numpy(dtype=np.int64)
+    query_mat = np.stack(qrows["qvec"].to_numpy()).astype(np.float64)
+    cand = _local_topk_candidates(
+        vectors, query_ids, query_mat, k, metric, vec_col, id_col
+    )
+    return topk(cand, k)
+
+
+def range_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    metric: str = "l2",
+    max_results: int | None = None,
+    vec_col: str = "vec",
+    qvec_col: str = "qvec",
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """All neighbors within ``threshold``.
+
+    The reference emulates this by oversampling top-(k·10) then
+    filtering (pkg/search/search.go:165-189) — an approximation. Spark
+    expresses it exactly as a filter on the scored join; documented as
+    an intentional semantic improvement (SURVEY.md §4 row 12).
+    """
+    scored = score_pairs(
+        vectors, queries, metric, vec_col, qvec_col, id_col, query_id_col
+    )
+    out = scored.filter(F.col("distance") <= F.lit(float(threshold)))
+    if max_results is not None and max_results > 0:
+        out = topk(out, max_results)
+    else:
+        out = topk(out, 0)
+    return out

@@ -1,0 +1,44 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local mode is the test harness; the configs below are the ones that
+also matter on a real cluster (AQE, Arrow, shuffle partitions). The
+shuffle-partition count follows the core count locally; on a cluster
+it should be ~2-3x total cores (or left to AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "gofaiss_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or 32 (the driver's bench
+    environment). All settings are cluster-safe: AQE handles runtime
+    re-planning (skew joins, partition coalescing), Arrow speeds every
+    pandas-UDF boundary, and UTC avoids timezone drift vs oracles.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # Vector payloads are wide; raise broadcast threshold so query
+        # batches and centroid/codebook tables broadcast instead of shuffle.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
