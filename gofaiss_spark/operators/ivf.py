@@ -1,0 +1,272 @@
+"""IVF — inverted-file index via k-means partitioning.
+
+Reference: pkg/index/ivf/ivf.go. Train = k-means over a training set
+(ivf.go:70-83, 10 Lloyd iterations); Add = assign each vector to its
+nearest centroid's inverted list (ivf.go:93-112); Search = scan only
+the ``nprobe`` nearest lists (ivf.go:115-161).
+
+Spark shape (SURVEY.md §1.3):
+- centroids: a SMALL DataFrame/ndarray (nlist ≤ 65536 → ≤ 67 MB at
+  dim=128) — always broadcastable.
+- assignments: (id, vec, list_id) — the big table. Persist with
+  ``partitionBy("list_id")`` so nprobe search becomes Catalyst
+  partition pruning (SURVEY.md §4 row 4): a probe of 10/316 lists
+  reads ~3% of the files. This is THE scale property of IVF — at
+  100 TB the scan cost is data × nprobe/nlist.
+- search: per-query top-nprobe over centroids is a driver-side NumPy
+  argsort (tiny); candidate scan is a partition-pruned filter + a
+  broadcast join against the (query_id, list_id) probe pairs; top-k
+  is the two-phase local top-k (no n×q shuffle).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gofaiss_spark.functions.distance import np_distance_matrix, validate_metric
+from gofaiss_spark.operators.topk import RESULT_SCHEMA, topk
+
+
+def default_nlist(n: int) -> int:
+    """nlist = √n clamped to [10, 65536] (ivf.go:32-45)."""
+    return max(10, min(65536, int(math.sqrt(n))))
+
+
+@dataclass
+class IvfIndex:
+    """An IVF index artifact: broadcast-size centroids + the big
+    assignments DataFrame (id, vec, list_id)."""
+
+    metric: str
+    nlist: int
+    dim: int
+    centroids: np.ndarray  # (nlist, dim) float64
+    assignments: DataFrame = field(repr=False)
+
+    def list_sizes(self) -> DataFrame:
+        """groupBy(list_id).count() (ivf.go:227-236)."""
+        return self.assignments.groupBy("list_id").agg(
+            F.count(F.lit(1)).alias("n_vectors")
+        )
+
+    def stats(self) -> dict:
+        """Stats parity (ivf.go:182-224): totals + params."""
+        total = self.assignments.count()
+        return {
+            "index_type": "ivf",
+            "total_vectors": total,
+            "dimension": self.dim,
+            "metric": self.metric,
+            "nlist": self.nlist,
+            "trained": True,
+        }
+
+
+def train_kmeans_centroids(
+    vectors: DataFrame,
+    k: int,
+    seed: int = 42,
+    max_iter: int = 10,
+    vec_col: str = "vec",
+) -> np.ndarray:
+    """k-means via MLlib (distributed; init k-means‖) → (k, dim).
+
+    Plays ivf.go:255-317's Lloyd loop. maxIter=10 keeps parity with
+    the reference's iteration budget. Requires n ≥ k (ivf.go:75-77).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, maxIter=max_iter, seed=seed, featuresCol="features").fit(feats)
+    return np.asarray(
+        [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+    )
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    metric: str = "l2",
+    vec_col: str = "vec",
+    id_col: str = "id",
+) -> DataFrame:
+    """Argmin-join assignment (ivf.go:93-112, findNearestCentroid
+    ivf.go:240-252): each vector → nearest centroid's list_id.
+
+    Physical plan: the centroid matrix rides the UDF closure (a
+    broadcast); per Arrow batch one BLAS distance matrix + argmin. No
+    shuffle — the output keeps the input partitioning.
+    """
+    validate_metric(metric)
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = np.stack(pdf[vec_col].to_numpy())
+            dmat = np_distance_matrix(base, cents, metric)  # (B, nlist)
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["list_id"] = np.argmin(dmat, axis=1).astype(np.int32)
+            yield pdf
+
+    out_schema = f"{id_col} long, {vec_col} array<float>, list_id int"
+    return vectors.select(id_col, vec_col).mapInPandas(part, schema=out_schema)
+
+
+def build_ivf(
+    vectors: DataFrame,
+    nlist: int | None = None,
+    metric: str = "l2",
+    seed: int = 42,
+    train_fraction: float | None = None,
+    vec_col: str = "vec",
+    id_col: str = "id",
+) -> IvfIndex:
+    """Train + Add in one pass (ivf.go:70-112).
+
+    ``train_fraction`` subsamples the training set (the reference
+    trains on 5k of 100k, benchmark_comparison.go:258-263); full
+    assignment always covers every vector.
+    """
+    validate_metric(metric)
+    n = vectors.count()
+    if nlist is None:
+        nlist = default_nlist(n)
+    if n < nlist:
+        raise ValueError(f"need at least {nlist} training vectors, got {n}")
+    train_df = vectors
+    if train_fraction is not None and train_fraction < 1.0:
+        train_df = vectors.sample(fraction=train_fraction, seed=seed)
+    sample = train_df.select(F.first(F.size(vec_col)).alias("d")).collect()
+    dim = int(sample[0]["d"])
+    cents = train_kmeans_centroids(train_df, nlist, seed=seed, vec_col=vec_col)
+    assignments = assign_to_centroids(vectors, cents, metric, vec_col, id_col)
+    return IvfIndex(
+        metric=metric, nlist=nlist, dim=dim, centroids=cents, assignments=assignments
+    )
+
+
+def probe_lists(
+    centroids: np.ndarray,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    nprobe: int,
+    metric: str,
+) -> pd.DataFrame:
+    """Stage 1 of search (ivf.go:131-141): per query the nprobe
+    nearest centroids. Driver-side NumPy — the centroid table is tiny
+    by construction. nprobe ≤ 0 or > nlist ⇒ nlist (ivf.go:122-129)."""
+    nlist = centroids.shape[0]
+    if nprobe <= 0 or nprobe > nlist:
+        nprobe = nlist
+    dmat = np_distance_matrix(centroids, query_mat, metric)  # (nlist, q)
+    if nprobe < nlist:
+        sel = np.argpartition(dmat, nprobe - 1, axis=0)[:nprobe, :]
+    else:
+        sel = np.broadcast_to(np.arange(nlist)[:, None], (nlist, dmat.shape[1]))
+    q = query_mat.shape[0]
+    return pd.DataFrame(
+        {
+            "query_id": np.repeat(query_ids, sel.shape[0]),
+            "list_id": sel.ravel(order="F").astype(np.int32),
+        }
+    )
+
+
+def _scored_candidates(
+    candidates: DataFrame,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int,
+    metric: str,
+    vec_col: str = "vec",
+    id_col: str = "id",
+) -> DataFrame:
+    """Distance per (query, candidate) row + per-batch partial top-k.
+
+    Input rows carry their query_id (from the probe-pair join), so a
+    batch mixes queries; we group by query inside the batch and emit
+    ≤ k rows per (batch, query)."""
+    qindex = {int(qid): i for i, qid in enumerate(query_ids)}
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = np.stack(pdf[vec_col].to_numpy())
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            out_q, out_i, out_d = [], [], []
+            for qid in np.unique(qids):
+                mask = qids == qid
+                qvec = query_mat[qindex[int(qid)]][None, :]
+                d = np_distance_matrix(base[mask], qvec, metric)[:, 0]
+                sub_ids = ids[mask]
+                kk = min(k, d.shape[0]) if k > 0 else d.shape[0]
+                if kk < d.shape[0]:
+                    sel = np.argpartition(d, kk - 1)[:kk]
+                else:
+                    sel = np.arange(d.shape[0])
+                out_q.append(np.full(sel.shape[0], qid, dtype=np.int64))
+                out_i.append(sub_ids[sel])
+                out_d.append(d[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "id": np.concatenate(out_i),
+                    "distance": np.concatenate(out_d),
+                }
+            )
+
+    return candidates.mapInPandas(part, schema=RESULT_SCHEMA)
+
+
+def search_ivf(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 10,
+    qvec_col: str = "qvec",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """nprobe-pruned ANN search (ivf.go:115-161).
+
+    Returns (query_id, id, distance, rank). With nprobe ≥ nlist this
+    is EXACTLY flat search (every list scanned) — the property the
+    correctness gate exploits.
+    """
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(qvec_col).alias("qvec")
+    ).toPandas()
+    if len(qrows) == 0:
+        spark = index.assignments.sparkSession
+        return spark.createDataFrame([], RESULT_SCHEMA + ", rank int")
+    query_ids = qrows["query_id"].to_numpy(dtype=np.int64)
+    query_mat = np.stack(qrows["qvec"].to_numpy()).astype(np.float64)
+
+    probes = probe_lists(index.centroids, query_ids, query_mat, nprobe, index.metric)
+    spark = index.assignments.sparkSession
+    probe_df = spark.createDataFrame(probes)
+    probed_list_ids = [int(x) for x in probes["list_id"].unique()]
+
+    # isin filter → static partition pruning on a partitioned artifact;
+    # broadcast join restricts each candidate row to the queries that
+    # actually probed its list.
+    candidates = (
+        index.assignments.filter(F.col("list_id").isin(probed_list_ids))
+        .join(F.broadcast(probe_df), "list_id")
+        .select("query_id", "id", "vec")
+    )
+    cand = _scored_candidates(candidates, query_ids, query_mat, k, index.metric)
+    return topk(cand, k)
