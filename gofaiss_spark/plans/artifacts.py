@@ -1,0 +1,265 @@
+"""Index persistence: partitioned Parquet + ``_meta.json`` sidecar.
+
+Reference: pkg/storage (serialize.go:27-73 gob/json+gzip writers,
+version.go:8-90 version header with major-must-match compat). Spark
+disposition (SURVEY.md §2.4): Parquet IS the binary format
+(compression built-in); the version header becomes a
+``format_version`` field in ``_meta.json`` with the same compat rule.
+
+Layout on disk (all relative to the index root):
+    _meta.json                    {index_type, dim, metric, params, format_version}
+    vectors/     (flat, lsh)      parquet
+    centroids/   (ivf, ivfpq)     parquet (list_id, centroid)
+    assignments/ (ivf)            parquet partitionBy(list_id)  ← nprobe pruning
+    codebooks/   (pq, ivfpq)      parquet (m, k, centroid)
+    codes/       (pq)             parquet; (ivfpq) partitionBy(list_id)
+
+partitionBy("list_id") is the load-bearing choice: an nprobe search
+filters list_id IN (...) and Catalyst prunes the untouched partition
+directories at file-listing time — scan cost scales with
+nprobe/nlist, not table size (SURVEY.md §4 row 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+FORMAT_VERSION = "1.0.0"
+
+
+def check_version_compat(found: str) -> None:
+    """Major must match; minor is backward-compatible
+    (version.go:63-90)."""
+    cur_major = int(FORMAT_VERSION.split(".")[0])
+    try:
+        found_major, found_minor = (int(x) for x in found.split(".")[:2])
+    except (ValueError, AttributeError) as e:
+        raise ValueError(f"unparseable format_version {found!r}") from e
+    if found_major != cur_major:
+        raise ValueError(
+            f"incompatible format_version {found} (current {FORMAT_VERSION}): "
+            "major version must match"
+        )
+    cur_minor = int(FORMAT_VERSION.split(".")[1])
+    if found_minor > cur_minor:
+        raise ValueError(
+            f"format_version {found} is newer than supported {FORMAT_VERSION}"
+        )
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump({**meta, "format_version": FORMAT_VERSION}, f, indent=2)
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    check_version_compat(meta.get("format_version", ""))
+    return meta
+
+
+def _centroids_to_df(spark: SparkSession, centroids: np.ndarray):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        schema="list_id int, centroid array<double>",
+    )
+
+
+def _codebooks_to_df(spark: SparkSession, codebooks: np.ndarray):
+    mm, ksub, _ = codebooks.shape
+    rows = [
+        (int(m), int(k), [float(x) for x in codebooks[m, k]])
+        for m in range(mm)
+        for k in range(ksub)
+    ]
+    return spark.createDataFrame(rows, schema="m int, k int, centroid array<double>")
+
+
+def _df_to_centroids(df, nlist: int, dim: int) -> np.ndarray:
+    out = np.zeros((nlist, dim), dtype=np.float64)
+    for r in df.collect():
+        out[r.list_id] = np.asarray(r.centroid)
+    return out
+
+
+def _df_to_codebooks(df, m: int, ksub: int, dsub: int) -> np.ndarray:
+    out = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in df.collect():
+        out[r.m, r.k] = np.asarray(r.centroid)
+    return out
+
+
+def save_index(index, path: str) -> None:
+    """Persist any index artifact (Save parity: flat.go:123-147,
+    ivfpq.go:367-470 — but Parquet, not gob)."""
+    from gofaiss_spark.operators.flat import FlatIndex
+    from gofaiss_spark.operators.ivf import IvfIndex
+    from gofaiss_spark.operators.ivfpq import IvfPqIndex
+    from gofaiss_spark.operators.lsh import LshIndex
+    from gofaiss_spark.operators.pq import PqIndex
+
+    if isinstance(index, FlatIndex):
+        _write_meta(
+            path, {"index_type": "flat", "dim": index.dim, "metric": index.metric}
+        )
+        index.vectors.write.mode("overwrite").parquet(f"{path}/vectors")
+    elif isinstance(index, IvfIndex):
+        _write_meta(
+            path,
+            {
+                "index_type": "ivf",
+                "dim": index.dim,
+                "metric": index.metric,
+                "params": {"nlist": index.nlist},
+            },
+        )
+        spark = index.assignments.sparkSession
+        _centroids_to_df(spark, index.centroids).write.mode("overwrite").parquet(
+            f"{path}/centroids"
+        )
+        index.assignments.write.mode("overwrite").partitionBy("list_id").parquet(
+            f"{path}/assignments"
+        )
+    elif isinstance(index, PqIndex):
+        _write_meta(
+            path,
+            {
+                "index_type": "pq",
+                "dim": index.dim,
+                "metric": "l2",
+                "params": {"m": index.m, "nbits": index.nbits},
+            },
+        )
+        spark = index.codes.sparkSession
+        _codebooks_to_df(spark, index.codebooks).write.mode("overwrite").parquet(
+            f"{path}/codebooks"
+        )
+        index.codes.write.mode("overwrite").parquet(f"{path}/codes")
+    elif isinstance(index, IvfPqIndex):
+        _write_meta(
+            path,
+            {
+                "index_type": "ivfpq",
+                "dim": index.dim,
+                "metric": index.metric,
+                "params": {
+                    "nlist": index.nlist,
+                    "m": index.m,
+                    "nbits": index.nbits,
+                },
+            },
+        )
+        spark = index.codes.sparkSession
+        _centroids_to_df(spark, index.centroids).write.mode("overwrite").parquet(
+            f"{path}/centroids"
+        )
+        _codebooks_to_df(spark, index.codebooks).write.mode("overwrite").parquet(
+            f"{path}/codebooks"
+        )
+        index.codes.write.mode("overwrite").partitionBy("list_id").parquet(
+            f"{path}/codes"
+        )
+    elif isinstance(index, LshIndex):
+        _write_meta(
+            path,
+            {
+                "index_type": "lsh",
+                "dim": index.dim,
+                "metric": index.metric,
+                "params": {
+                    "bucket_length": index.bucket_length,
+                    "num_hash_tables": index.num_hash_tables,
+                    "seed": index.seed,
+                    "projections": [[float(x) for x in r] for r in index.projections],
+                    "offsets": [float(x) for x in index.offsets],
+                },
+            },
+        )
+        # partitionBy("t"): a search joins one bucket table at a time
+        index.buckets.write.mode("overwrite").partitionBy("t").parquet(
+            f"{path}/buckets"
+        )
+    else:
+        raise TypeError(f"cannot save index of type {type(index).__name__}")
+
+
+def load_index(spark: SparkSession, path: str):
+    """Load an index artifact by its ``_meta.json`` index_type — the
+    NewSearcher/detectIndexType analogue (search.go:42-53, :193-208),
+    but dispatching on declared metadata instead of a type switch."""
+    from gofaiss_spark.operators.flat import FlatIndex
+    from gofaiss_spark.operators.ivf import IvfIndex
+    from gofaiss_spark.operators.ivfpq import IvfPqIndex
+    from gofaiss_spark.operators.lsh import LshIndex
+    from gofaiss_spark.operators.pq import PqIndex
+
+    meta = _read_meta(path)
+    itype = meta["index_type"]
+    dim = int(meta["dim"])
+    if itype == "flat":
+        return FlatIndex(
+            metric=meta["metric"],
+            dim=dim,
+            vectors=spark.read.parquet(f"{path}/vectors"),
+        )
+    if itype == "ivf":
+        nlist = int(meta["params"]["nlist"])
+        cents = _df_to_centroids(
+            spark.read.parquet(f"{path}/centroids"), nlist, dim
+        )
+        return IvfIndex(
+            metric=meta["metric"],
+            nlist=nlist,
+            dim=dim,
+            centroids=cents,
+            assignments=spark.read.parquet(f"{path}/assignments"),
+        )
+    if itype == "pq":
+        m = int(meta["params"]["m"])
+        nbits = int(meta["params"]["nbits"])
+        cb = _df_to_codebooks(
+            spark.read.parquet(f"{path}/codebooks"), m, 1 << nbits, dim // m
+        )
+        return PqIndex(
+            dim=dim,
+            m=m,
+            nbits=nbits,
+            codebooks=cb,
+            codes=spark.read.parquet(f"{path}/codes"),
+        )
+    if itype == "ivfpq":
+        p = meta["params"]
+        nlist, m, nbits = int(p["nlist"]), int(p["m"]), int(p["nbits"])
+        cents = _df_to_centroids(spark.read.parquet(f"{path}/centroids"), nlist, dim)
+        cb = _df_to_codebooks(
+            spark.read.parquet(f"{path}/codebooks"), m, 1 << nbits, dim // m
+        )
+        return IvfPqIndex(
+            metric=meta["metric"],
+            nlist=nlist,
+            dim=dim,
+            m=m,
+            nbits=nbits,
+            centroids=cents,
+            codebooks=cb,
+            codes=spark.read.parquet(f"{path}/codes"),
+        )
+    if itype == "lsh":
+        p = meta["params"]
+        return LshIndex(
+            metric=meta["metric"],
+            dim=dim,
+            bucket_length=float(p["bucket_length"]),
+            num_hash_tables=int(p["num_hash_tables"]),
+            seed=int(p["seed"]),
+            projections=np.asarray(p["projections"], dtype=np.float64),
+            offsets=np.asarray(p["offsets"], dtype=np.float64),
+            buckets=spark.read.parquet(f"{path}/buckets"),
+        )
+    raise ValueError(f"unknown index_type {itype!r} in {path}/_meta.json")

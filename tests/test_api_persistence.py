@@ -1,0 +1,111 @@
+"""Unified API + persistence round-trips.
+
+Mirrors test/integration/index_test.go:20-56 (create→add→search→
+save→load→re-search, loaded results equal original) and
+pkg/storage/serialize_test.go version-compat rules."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gofaiss_spark import api
+from gofaiss_spark.plans.artifacts import check_version_compat
+
+
+@pytest.fixture(scope="module")
+def vectors(embeddings):
+    return embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(embeddings):
+    return embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def _result_set(df):
+    return {(r.query_id, r.id, r.rank) for r in df.collect()}
+
+
+@pytest.mark.parametrize(
+    "index_type,params",
+    [
+        ("flat", {}),
+        ("ivf", {"nlist": 12}),
+        ("pq", {"m": 8, "nbits": 5}),
+        ("ivfpq", {"nlist": 10, "m": 8, "nbits": 5}),
+    ],
+)
+def test_save_load_search_roundtrip(spark, vectors, queries, tmp_path, index_type, params):
+    idx = api.build_index(vectors, index_type=index_type, params=params)
+    before = _result_set(api.search(idx, queries, k=5, params={"nprobe": 4}))
+    path = str(tmp_path / index_type)
+    api.save(idx, path)
+    loaded = api.load(spark, path)
+    after = _result_set(api.search(loaded, queries, k=5, params={"nprobe": 4}))
+    assert before == after
+    assert api.stats(loaded)["index_type"] == index_type
+    assert api.stats(loaded)["total_vectors"] == vectors.count()
+
+
+def test_lsh_search_recall(vectors, queries):
+    from gofaiss_spark.bench_util import recall_at_k
+    from gofaiss_spark.operators.topk import search_flat
+
+    idx = api.build_index(
+        vectors, index_type="hnsw", params={"num_hash_tables": 16}
+    )
+    assert api.stats(idx)["index_type"] == "lsh"
+    k = 10
+    res = api.search(idx, queries, k=k)
+    truth = search_flat(vectors, queries, k=k, metric="l2")
+    r = recall_at_k(res, truth, k)
+    # HNSW-class tuned recall target (SURVEY.md §6: ≥0.95)
+    assert r >= 0.95, f"lsh recall {r}"
+
+
+def test_search_with_metadata(vectors, queries):
+    idx = api.build_index(vectors, index_type="flat")
+    rows, meta = api.search_with_metadata(idx, queries, k=3)
+    assert meta["index_type"] == "flat"
+    assert meta["n_results"] == len(rows) == 30
+    assert meta["elapsed_sec"] > 0
+
+
+def test_range_search_api(vectors, queries):
+    idx = api.build_index(vectors, index_type="flat")
+    res = api.range_search(idx, queries, threshold=1.3).collect()
+    assert all(r.distance <= 1.3 for r in res)
+
+
+def test_version_compat():
+    check_version_compat("1.0.0")
+    with pytest.raises(ValueError):
+        check_version_compat("2.0.0")  # major mismatch
+    with pytest.raises(ValueError):
+        check_version_compat("1.9.0")  # newer minor
+    with pytest.raises(ValueError):
+        check_version_compat("garbage")
+
+
+def test_unknown_index_type(vectors):
+    with pytest.raises(ValueError):
+        api.build_index(vectors, index_type="faiss9000")
+
+
+def test_cosine_flat_rejects_zero_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [0.0, 0.0])], schema="id long, vec array<float>"
+    )
+    with pytest.raises(ValueError, match="zero vectors"):
+        api.build_index(df, index_type="flat", metric="cosine")
+
+
+def test_flat_rejects_ragged_dims(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])], schema="id long, vec array<float>"
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        api.build_index(df, index_type="flat")
