@@ -1,0 +1,147 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path functions are pure column expressions (JVM-side,
+whole-stage codegen) — no Python in the loop. These extend the
+reference (which has no text ops — SURVEY.md §2.6) as part of the
+north-star LLM-pipeline surface (SURVEY.md §7 phase E).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# language-ID heuristic. Deliberately small + public-knowledge words.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "es", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"],
+}
+
+
+def _as_col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokenize(text) -> Column:
+    """Whitespace tokens, empties dropped."""
+    t = _as_col(text)
+    return F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+
+
+def token_count(text) -> Column:
+    return F.size(tokenize(text))
+
+
+def bpe_ish_token_count(text) -> Column:
+    """A BPE-like token estimate: word-piece chunks of ≤4 chars plus
+    punctuation/digit runs — the cheap proxy for LLM token budgeting.
+    ceil(len(word)/4) summed over words."""
+    toks = tokenize(text)
+    return F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
+    )
+
+
+def char_ngrams(text, n: int = 3) -> Column:
+    """Distinct character n-grams of the lowercased text."""
+    t = F.lower(_as_col(text))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, F.lit(n))))
+
+
+def word_shingles(text, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined), order-preserving with
+    duplicates removed — the MinHash/Jaccard input unit."""
+    toks = tokenize(text)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), count)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_distinct(grams)
+
+
+def stopword_ratio(text, lang: str = "en") -> Column:
+    """Fraction of tokens that are (lang) stopwords."""
+    toks = tokenize(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, F.lower(x))))
+    return F.when(F.size(toks) == 0, 0.0).otherwise(hits / F.size(toks))
+
+
+def punct_ratio(text) -> Column:
+    t = _as_col(text)
+    stripped = F.regexp_replace(t, r"[^\p{L}\p{N}\s]", "")
+    return F.when(F.length(t) == 0, 0.0).otherwise(
+        (F.length(t) - F.length(stripped)) / F.length(t)
+    )
+
+
+def alpha_ratio(text) -> Column:
+    t = _as_col(text)
+    alpha = F.regexp_replace(t, r"[^\p{L}]", "")
+    return F.when(F.length(t) == 0, 0.0).otherwise(F.length(alpha) / F.length(t))
+
+
+def mean_word_length(text) -> Column:
+    toks = tokenize(text)
+    total = F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w))
+    return F.when(F.size(toks) == 0, 0.0).otherwise(total / F.size(toks))
+
+
+def quality_score(text) -> Column:
+    """Heuristic document quality ∈ [0,1]: rewards reasonable length,
+    word shape, and alphabetic content; penalizes punctuation soup.
+    Deterministic arithmetic — oracle-expressible."""
+    t = _as_col(text)
+    n_tok = token_count(t)
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    wl = mean_word_length(t)
+    wl_score = F.when((wl >= 3.0) & (wl <= 10.0), 1.0).otherwise(0.5)
+    score = (
+        len_score * F.lit(0.4)
+        + wl_score * F.lit(0.2)
+        + alpha_ratio(t) * F.lit(0.3)
+        + (1.0 - punct_ratio(t)) * F.lit(0.1)
+    )
+    return F.round(score, 6)
+
+
+def lang_id(text) -> Column:
+    """Stopword-vote language ID over {en, de, es, fr} + CJK-character
+    detection for zh. Returns the best-scoring code or 'und'."""
+    t = _as_col(text)
+    toks = F.transform(tokenize(t), lambda x: F.lower(x))
+    cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
+    scores = []
+    for code, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).alias("hits"),
+                F.lit(code).alias("code"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return (
+        F.when(cjk > 0, F.lit("zh"))
+        .when(best["hits"] > 0, best["code"])
+        .otherwise(F.lit("und"))
+    )
+
+
+def doc_fingerprint(text) -> Column:
+    """64-bit content fingerprint of whitespace-normalized lowercased
+    text (xxhash64) — the exact-dedup key."""
+    norm = F.lower(F.trim(F.regexp_replace(_as_col(text), r"\s+", " ")))
+    return F.xxhash64(norm)
+
+
+def doc_fingerprint_md5(text) -> Column:
+    """MD5 variant of the fingerprint — identical across engines
+    (DuckDB md5() matches), used where an SQL oracle must agree."""
+    norm = F.lower(F.trim(F.regexp_replace(_as_col(text), r"\s+", " ")))
+    return F.md5(norm)

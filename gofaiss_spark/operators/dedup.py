@@ -1,0 +1,323 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all candidate-generation + verify shaped so nothing
+ever goes O(n²) at scale (SURVEY.md §7 phase E):
+
+- exact: hash-groupBy on a normalized fingerprint.
+- MinHash + LSH banding: shingle → minhash signature → band-bucket
+  self-join (candidates) → exact Jaccard verify.
+- SimHash: token-hash sign aggregation → band-bucket join →
+  Hamming-distance verify (JVM ``bit_count(xor)``).
+- n-gram Jaccard: exact pairwise on a BOUNDED pair domain (the
+  verify kernel; also usable standalone at small scale).
+- embedding cosine: LSH bucket candidates → exact cosine verify.
+
+Everything is DataFrame-native; the only Python is the NumPy inside
+mapInPandas for simhash bit-packing.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gofaiss_spark.functions.text import doc_fingerprint, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates (normalized): one row per
+    fingerprint with >1 member. Returns (fingerprint, n_docs, doc_ids)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), doc_fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative of every fingerprint group.
+    One shuffle (the groupBy); survivors keep all original columns."""
+    fp = df.withColumn("_fp", doc_fingerprint(text_col))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["_fp", id_col], "inner").drop("_fp")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, shingles, sig ARRAY<BIGINT>[num_hashes]).
+
+    sig[i] = min over shingles of xxhash64(shingle, i) — pure column
+    expressions, fully codegen'd; the shingle arrays stay distributed.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.lower(F.col(text_col)), shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.withColumn("sig", sig)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash banding + exact-Jaccard verify.
+
+    Candidate pairs collide on ≥1 of ``bands`` band-hashes (LSH OR
+    construction); the band self-join is on (band, band_hash) — the
+    classic shuffle-bounded shape. Returns (doc_a, doc_b, jaccard)
+    with doc_a < doc_b and jaccard ≥ threshold.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes {num_hashes} must divide into {bands} bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice("sig", b * r + 1, r).cast("array<string>").cast("string"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        "band",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        "band",
+        "band_hash",
+    )
+    cands = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cands.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash BIGINT): 64-bit sign-aggregated token hashes.
+
+    Token hashing is JVM-side (xxhash64 inside transform); the bit
+    sign-sum runs vectorized in NumPy via mapInPandas (unpackbits over
+    the token-hash bytes — no per-bit Python loop)."""
+    from gofaiss_spark.functions.text import tokenize
+
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokenize(text_col), lambda t: F.xxhash64(t)).alias("th"),
+    ).filter(F.size("th") > 0)
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, th in enumerate(pdf["th"]):
+                h = np.asarray(th, dtype=np.int64).view(np.uint64)
+                bits = np.unpackbits(
+                    h[:, None].view(np.uint8), axis=1, bitorder="little"
+                )  # (n_tokens, 64)
+                votes = bits.sum(axis=0) * 2 - len(h)  # (+1/-1 sums)
+                packed = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
+                out[i] = packed.view(np.int64)[0]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "simhash": out})
+
+    return hashed.mapInPandas(part, schema="doc_id long, simhash long")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Candidates collide on one of ``bands`` 16-bit chunks (pigeonhole:
+    any pair within Hamming ≤ bands−1 must agree on ≥1 chunk);
+    verification is JVM ``bit_count(a XOR b)``. Returns
+    (doc_a, doc_b, hamming)."""
+    sh = simhash(df, text_col, id_col)
+    width = 64 // bands
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sh.select("doc_id", "simhash", F.explode(chunks).alias("c")).select(
+        "doc_id", "simhash", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk")
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"), "band", "chunk"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "band", "chunk"
+    )
+    return (
+        left.join(right, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, bounded domain)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact pairwise Jaccard over shingle sets — O(n²); only for a
+    BOUNDED input (a verify kernel or small corpus). The scale path is
+    ``minhash_near_dup_pairs``. Returns (doc_a, doc_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(text_col, shingle_n).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "vec",
+    id_col: str = "id",
+    threshold: float = 0.95,
+    num_hash_tables: int = 6,
+    exact: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine similarity ≥ threshold.
+
+    ``exact=True`` scores all pairs (bounded inputs / oracles);
+    otherwise LSH bucket candidates (cosine mode) + exact verify —
+    the 100 TB path. Returns (id_a, id_b, cos_sim)."""
+    from gofaiss_spark.functions.distance import cosine_distance
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if exact:
+        a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a"))
+        b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        sim = 1.0 - cosine_distance("v_a", "v_b")
+        return (
+            pairs.withColumn("cos_sim", F.round(sim, 6))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim")
+        )
+    from gofaiss_spark.operators.lsh import build_lsh
+
+    idx = build_lsh(
+        base, metric="cosine", num_hash_tables=num_hash_tables, seed=seed
+    )
+    left = idx.buckets.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("v_a"), "t", "bucket"
+    )
+    right = idx.buckets.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("v_b"), "t", "bucket"
+    )
+    cands = (
+        left.join(right, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = 1.0 - cosine_distance("v_a", "v_b")
+    return (
+        cands.withColumn("cos_sim", F.round(sim, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,158 @@
+"""Text-analysis + dedup operator tests, including planted-duplicate
+detection (the behavior the ops exist for)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gofaiss_spark.functions.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from gofaiss_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+        (2, "The quick  brown fox jumps over the lazy dog again and again"),  # ws/case dup of 0
+        (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup of 0
+        (4, "völlig anderes thema hier nichts gemeinsam mit den anderen texten überhaupt"),
+        (5, "completely different content about spark distributed query engines at scale"),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "a bb  ccc    dddd ")], "id long, text string")
+    row = df.select(
+        token_count("text").alias("n"),
+        bpe_ish_token_count("text").alias("bpe"),
+    ).first()
+    assert row["n"] == 4
+    assert row["bpe"] == 1 + 1 + 1 + 1  # ceil(len/4) each
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(0, "a b c d")], "id long, text string")
+    row = df.select(word_shingles("text", 2).alias("s")).first()
+    assert row["s"] == ["a b", "b c", "c d"]
+
+
+def test_quality_score_bounds(documents):
+    rows = documents.select(quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_lang_id_smoke(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is in the house and it is warm"),
+            (1, "der hund ist nicht in den garten und das ist gut"),
+            (2, "el perro y el gato en la casa es por un dia"),
+            (3, "le chat est dans la maison et les chiens dans une cour"),
+            (4, "这是 一个 中文 文本"),
+            (5, "xyzzy plugh"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", lang_id("text").alias("l")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "es"
+    assert got[3] == "fr"
+    assert got[4] == "zh"
+    assert got[5] == "und"
+
+
+def test_exact_dedup(docs_with_dups):
+    groups = exact_dup_groups(docs_with_dups).collect()
+    # docs 0,1,2 normalize identically (case + whitespace)
+    assert len(groups) == 1
+    assert groups[0].doc_ids == [0, 1, 2]
+    survivors = exact_dedup(docs_with_dups)
+    ids = sorted(r.doc_id for r in survivors.collect())
+    assert ids == [0, 3, 4, 5]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "hello worlds")],
+        "id long, text string",
+    )
+    fps = [r["fp"] for r in df.select(doc_fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_minhash_finds_planted_near_dup(docs_with_dups):
+    sigs = minhash_signatures(docs_with_dups, num_hashes=32, shingle_n=2)
+    row = sigs.first()
+    assert len(row["sig"]) == 32
+    pairs = minhash_near_dup_pairs(
+        docs_with_dups, num_hashes=32, bands=16, shingle_n=2, threshold=0.5
+    ).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert (0, 3) in got  # one-word edit at threshold 0.5, 2-shingles
+    assert all(not (a in (4, 5) or b in (4, 5)) for a, b in got)
+    for r in pairs:
+        if (r.doc_a, r.doc_b) == (0, 1):
+            assert r.jaccard == 1.0
+
+
+def test_minhash_band_validation(docs_with_dups):
+    with pytest.raises(ValueError):
+        minhash_near_dup_pairs(docs_with_dups, num_hashes=32, bands=5)
+
+
+def test_simhash_duplicates_and_bands(docs_with_dups):
+    sh = {r.doc_id: r.simhash for r in simhash(docs_with_dups).collect()}
+    assert sh[0] == sh[1]  # identical text → identical simhash
+    pairs = simhash_near_dup_pairs(docs_with_dups, max_hamming=3).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert got[(0, 1)] == 0
+    assert (4, 5) not in got
+
+
+def test_ngram_jaccard_exact(docs_with_dups):
+    pairs = ngram_jaccard_pairs(docs_with_dups, shingle_n=1, threshold=0.8).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert got[(0, 1)] == 1.0
+    assert (0, 3) in got  # 1-word substitution, unigram sets overlap >0.8
+    assert all(not (a == 4 or b == 4) for a, b in got)
+
+
+def test_embedding_near_dup_exact_vs_lsh(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.random((80, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    # plant: 80+i = tiny perturbation of i (cos sim ≈ 1)
+    for i in range(5):
+        rows.append((80 + i, [float(x) for x in (base[i] + 1e-4)]))
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    exact = embedding_near_dup_pairs(df, threshold=0.999, exact=True).collect()
+    exact_pairs = {(r.id_a, r.id_b) for r in exact}
+    assert {(i, 80 + i) for i in range(5)} <= exact_pairs
+    lsh = embedding_near_dup_pairs(
+        df, threshold=0.999, exact=False, num_hash_tables=8
+    ).collect()
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh}
+    assert {(i, 80 + i) for i in range(5)} <= lsh_pairs
+    assert lsh_pairs <= exact_pairs  # LSH never invents pairs (verify step)
