@@ -319,6 +319,216 @@ def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# text analysis + dedup (training-data pipeline surface, SURVEY.md §7 phase E)
+# ---------------------------------------------------------------------------
+
+MINHASH_THRESHOLD = 0.7
+MINHASH_SHINGLE_N = 3
+EMB_DUP_THRESHOLD = 0.4  # embeddings are centered; max pairwise cos ≈ 0.51
+
+
+def _doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofaiss_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs, fingerprint="md5").select("doc_id", "n_chars")
+
+
+_DOC_EXACT_DEDUP_SQL = """
+WITH fp AS (
+  SELECT doc_id, n_chars,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+  FROM documents
+),
+keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+SELECT fp.doc_id, fp.n_chars FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.doc_id
+"""
+
+
+# Exact pairwise Jaccard over lowercased word shingles — the shared
+# oracle for both the exact kernel and the MinHash-banded scale path
+# (banding at r=1 makes candidate recall deterministic-complete for
+# any pair sharing one minhash, verified to cover all pairs ≥ 0.7).
+_JACCARD_PAIRS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+{MINHASH_SHINGLE_N - 1}], ' ')
+                        FOR i IN range(1, greatest(len(toks) - {MINHASH_SHINGLE_N - 1}, 0) + 1)]) AS t
+  FROM d
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.t, b.t))::DOUBLE
+               / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jaccard >= {MINHASH_THRESHOLD}
+"""
+
+
+def _doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofaiss_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_near_dup_pairs(
+        docs,
+        num_hashes=32,
+        bands=32,
+        shingle_n=MINHASH_SHINGLE_N,
+        threshold=MINHASH_THRESHOLD,
+    )
+
+
+def _doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofaiss_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", F.lower(F.trim("text"))
+    )
+    return ngram_jaccard_pairs(
+        docs, shingle_n=MINHASH_SHINGLE_N, threshold=MINHASH_THRESHOLD
+    )
+
+
+def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash fingerprints (rows-only: xxhash64 bit
+    sign-aggregation is engine-specific; planted near-dup pair
+    behavior is gated in tests/test_text_dedup.py). Pair output is
+    deliberately not the entry here: the synthetic corpus draws from
+    a ~30-word vocabulary, which makes unweighted SimHash collapse
+    (55k of 125k pairs within Hamming 3) — a data property, not an
+    operator property."""
+    from gofaiss_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", F.lower(F.trim("text"))
+    )
+    return simhash(docs)
+
+
+def _doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofaiss_spark.functions.text import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", lang_id("text").alias("pred_lang"))
+
+
+def _sw_list(code: str) -> str:
+    from gofaiss_spark.functions.text import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[code]) + "]"
+
+
+def _lang_id_sql() -> str:
+    packs = ",\n      ".join(
+        f"struct_pack(hits := len(list_filter(toks, x -> list_contains({_sw_list(c)}, x)))::INT, code := '{c}')"
+        for c in ("en", "de", "es", "fr")
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '') AS toks,
+         regexp_matches(text, '[一-鿿]') AS has_cjk
+  FROM documents
+),
+s AS (
+  SELECT doc_id, has_cjk,
+    list_aggregate([
+      {packs}
+    ], 'max') AS best
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN has_cjk THEN 'zh'
+            WHEN best.hits > 0 THEN best.code
+            ELSE 'und' END AS pred_lang
+FROM s
+"""
+
+
+def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofaiss_spark.functions.text import (
+        bpe_ish_token_count,
+        quality_score,
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        quality_score("text").alias("quality"),
+    )
+
+
+_DOC_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, toks,
+         len(toks)::INT AS n_tok,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+         END AS wl,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE / length(text)
+         END AS alpha,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))::DOUBLE / length(text)
+         END AS punct
+  FROM t
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS INT))) AS INT) AS n_bpe_tokens,
+       round(least(n_tok / 64.0, 1.0) * 0.4
+             + (CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+             + alpha * 0.3
+             + (1.0 - punct) * 0.1, 6) AS quality
+FROM m
+"""
+
+
+def _embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofaiss_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _vectors(spark, sf_dir), threshold=EMB_DUP_THRESHOLD, exact=True
+    )
+
+
+_EMB_NEAR_DUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE cos_sim >= {EMB_DUP_THRESHOLD}
+"""
+
+
+def _embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup (the 100 TB path; rows-only — candidate
+    recall vs exact is gated in tests/test_text_dedup.py)."""
+    from gofaiss_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _vectors(spark, sf_dir),
+        threshold=EMB_DUP_THRESHOLD,
+        exact=False,
+        num_hash_tables=8,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: exact top-10 L2
     neighbors for a 100-query batch (the flat-index oracle plan)."""
@@ -344,6 +554,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _ivfpq_topk,
         "lsh_topk": _lsh_topk,
         "ann_recall_report": _ann_recall_report,
+        "doc_exact_dedup": _doc_exact_dedup,
+        "doc_minhash_near_dup": _doc_minhash_near_dup,
+        "doc_ngram_jaccard": _doc_ngram_jaccard,
+        "doc_simhash": _doc_simhash,
+        "doc_lang_id": _doc_lang_id,
+        "doc_quality": _doc_quality,
+        "embedding_near_dup_exact": _embedding_near_dup_exact,
+        "embedding_near_dup_lsh": _embedding_near_dup_lsh,
     }
 
 
@@ -378,8 +596,16 @@ GROUP BY label, g.i
         "doc_lang_dist": _DOC_LANG_DIST_SQL,
         "doc_token_stats": _DOC_TOKEN_STATS_SQL,
         "ivf_fullprobe_topk": _IVF_FULLPROBE_SQL,
+        "doc_exact_dedup": _DOC_EXACT_DEDUP_SQL,
+        "doc_minhash_near_dup": _JACCARD_PAIRS_SQL,
+        "doc_ngram_jaccard": _JACCARD_PAIRS_SQL,
+        "doc_lang_id": _lang_id_sql(),
+        "doc_quality": _DOC_QUALITY_SQL,
+        "embedding_near_dup_exact": _EMB_NEAR_DUP_SQL,
         # ivf_topk_nprobe / pq_topk / ivfpq_topk / lsh_topk /
-        # ann_recall_report: approximate or engine-specific results —
-        # intentionally no SQL oracle (rows-only check); their quality
-        # gates are the recall tests against the flat oracle.
+        # ann_recall_report / doc_simhash /
+        # embedding_near_dup_lsh: approximate or engine-specific
+        # results — intentionally no SQL oracle (rows-only check);
+        # their quality gates are the recall/planted-dup tests
+        # against the exact oracles.
     }

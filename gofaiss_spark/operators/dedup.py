@@ -25,21 +25,31 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gofaiss_spark.functions.text import doc_fingerprint, word_shingles
+from gofaiss_spark.functions.text import (
+    doc_fingerprint,
+    doc_fingerprint_md5,
+    word_shingles,
+)
 
 
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
 
+_FP_FNS = {"xxhash64": doc_fingerprint, "md5": doc_fingerprint_md5}
+
 
 def exact_dup_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: str = "xxhash64",
 ) -> DataFrame:
     """Groups of exact duplicates (normalized): one row per
     fingerprint with >1 member. Returns (fingerprint, n_docs, doc_ids)."""
+    fp_fn = _FP_FNS[fingerprint]
     return (
-        df.select(F.col(id_col).alias("doc_id"), doc_fingerprint(text_col).alias("fp"))
+        df.select(F.col(id_col).alias("doc_id"), fp_fn(text_col).alias("fp"))
         .groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -50,11 +60,15 @@ def exact_dup_groups(
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: str = "xxhash64",
 ) -> DataFrame:
     """Keep the lowest-id representative of every fingerprint group.
-    One shuffle (the groupBy); survivors keep all original columns."""
-    fp = df.withColumn("_fp", doc_fingerprint(text_col))
+    One shuffle (the groupBy); survivors keep all original columns.
+    ``fingerprint="md5"`` is engine-portable (matches DuckDB md5())."""
+    fp = df.withColumn("_fp", _FP_FNS[fingerprint](text_col))
     keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return fp.join(keep, ["_fp", id_col], "inner").drop("_fp")
 
@@ -80,14 +94,15 @@ def minhash_signatures(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.lower(F.col(text_col)), shingle_n).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
-    )
+    def _minhash(i: int):
+        # NB: the lambda must take exactly ONE arg — a two-arg lambda
+        # makes F.transform pass (element, array_index), silently
+        # replacing the hash-family index with the shingle position.
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
+        )
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
     return sh.withColumn("sig", sig)
 
 
