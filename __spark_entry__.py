@@ -284,6 +284,17 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "id", F.round("distance", 6).alias("distance"))
 
 
+def _hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side HNSW graph search (rows-only; recall ≥0.95 gated in
+    tests/test_hnsw.py — the graph build is sequential by nature, so
+    the distributed role-player is LSH; SURVEY.md §7)."""
+    from gofaiss_spark.operators.hnsw import build_hnsw, search_hnsw
+
+    idx = build_hnsw(_vectors(spark, sf_dir), m=16, ef_construction=100, seed=42)
+    res = search_hnsw(idx, _queries_df(spark, sf_dir, N_ANN_QUERIES), k=TOPK_K, ef_search=100)
+    return res.select("query_id", "id", F.round("distance", 6).alias("distance"))
+
+
 def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib LSH ANN (the HNSW role-player; rows-only, recall ≥0.95
     gated in tests/test_api_persistence.py)."""
@@ -553,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _pq_topk,
         "ivfpq_topk": _ivfpq_topk,
         "lsh_topk": _lsh_topk,
+        "hnsw_topk": _hnsw_topk,
         "ann_recall_report": _ann_recall_report,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_minhash_near_dup": _doc_minhash_near_dup,

@@ -24,7 +24,7 @@ from gofaiss_spark.operators.lsh import LshIndex, build_lsh, search_lsh
 from gofaiss_spark.operators.pq import PqIndex, build_pq, search_pq
 from gofaiss_spark.operators.topk import range_search as _range_search
 
-INDEX_TYPES = ("flat", "ivf", "pq", "ivfpq", "lsh", "hnsw")
+INDEX_TYPES = ("flat", "ivf", "pq", "ivfpq", "lsh", "hnsw", "hnsw_local")
 
 DEFAULT_K = 10
 DEFAULT_NPROBE = 10
@@ -75,6 +75,21 @@ def build_index(
             vec_col=vec_col,
             id_col=id_col,
         )
+    if index_type == "hnsw_local":
+        # the small-index fidelity path (SURVEY.md §7: graph build is
+        # sequential; distributed ANN is "hnsw" → LSH below)
+        from gofaiss_spark.operators.hnsw import build_hnsw
+
+        return build_hnsw(
+            vectors,
+            m=params.get("m", 16),
+            ef_construction=params.get("ef_construction", 200),
+            metric=metric,
+            seed=params.get("seed", 42),
+            max_vectors=params.get("max_vectors", 1_000_000),
+            vec_col=vec_col,
+            id_col=id_col,
+        )
     if index_type in ("lsh", "hnsw"):
         return build_lsh(
             vectors,
@@ -104,6 +119,10 @@ def search(index, queries: DataFrame, k: int = DEFAULT_K, params: dict | None = 
         )
     if isinstance(index, LshIndex):
         return search_lsh(index, queries, k=k)
+    from gofaiss_spark.operators.hnsw import HnswIndex, search_hnsw
+
+    if isinstance(index, HnswIndex):
+        return search_hnsw(index, queries, k=k, ef_search=params.get("ef_search"))
     raise TypeError(f"cannot search index of type {type(index).__name__}")
 
 

@@ -1,0 +1,360 @@
+"""HNSW — driver-side fidelity path with distributed batch search.
+
+Reference: pkg/index/hnsw/hnsw.go (431 LoC). Graph construction is
+inherently sequential pointer-chasing (hnsw.go:291-341) and does not
+fit DataFrame execution, so per SURVEY.md §7 the DISTRIBUTED ANN
+role is played by LSH (operators/lsh.py); this module is the
+small-index fidelity path: build on the driver over collected
+vectors (guarded to ``max_vectors``), then serve query BATCHES
+distributed — the graph is broadcast once and each executor runs
+greedy descent for its slice of the query DataFrame.
+
+Parity map (all hnsw.go cites):
+- defaults M=16, efConstruction=200, efSearch=200 (:46-87)
+- level draw ``floor(-ln(U) * 1/ln(M))`` capped at 16 (:282-289)
+- insert: greedy descent above node level, searchLayer(efC) +
+  closest-M selection + bidirectional edges + prune, 2M cap at
+  level 0 (:291-341, :317-320, :394-412, :414-431)
+- search: greedy layers>0, searchLayer(efSearch) at 0, sort, k
+  (:142-187)
+- Remove: drop node, filter edge lists, re-pick entry (:203-242)
+- Stats ExtraInfo{metric, M, efConstruction, efSearch, maxLevel}
+  (:245-278)
+
+At 100 TB the answer is NOT this module — it's IVF/IVFPQ partitioned
+parquet or LSH. This exists because the reference's HNSW semantics
+(ef/M tuning, graph edges) are part of its API surface; edges are
+exportable as a ``(level, src, dst)`` DataFrame for persistence.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gofaiss_spark.functions.distance import validate_metric
+from gofaiss_spark.operators.topk import RESULT_SCHEMA, topk
+
+DEFAULT_M = 16
+DEFAULT_EF_CONSTRUCTION = 200
+DEFAULT_EF_SEARCH = 200
+MAX_LEVEL_CAP = 16  # hnsw.go:287
+DEFAULT_MAX_VECTORS = 1_000_000
+
+
+@dataclass
+class HnswGraph:
+    """Picklable graph payload broadcast to executors."""
+
+    metric: str
+    dim: int
+    m: int
+    ef_construction: int
+    vecs: np.ndarray  # (n, dim) float32; L2-normalized when cosine
+    ids: np.ndarray  # (n,) int64 external IDs
+    levels: np.ndarray  # (n,) int32
+    edges: list[dict[int, np.ndarray]]  # edges[level][node] -> int32 idxs
+    entry_point: int = -1
+    max_level: int = -1
+
+    def n(self) -> int:
+        return int(self.vecs.shape[0])
+
+
+@dataclass
+class HnswIndex:
+    graph: HnswGraph
+    ef_search: int = DEFAULT_EF_SEARCH
+    seed: int = 42
+    spark: SparkSession | None = field(default=None, repr=False)
+
+    def set_ef_search(self, ef: int) -> None:
+        """Runtime knob parity (hnsw.go:90-94)."""
+        self.ef_search = int(ef)
+
+    def stats(self) -> dict:
+        g = self.graph
+        return {
+            "index_type": "hnsw",
+            "total_vectors": g.n(),
+            "dimension": g.dim,
+            "memory_mb": round(
+                (g.vecs.nbytes + sum(e.nbytes for lv in g.edges for e in lv.values()))
+                / 1e6,
+                3,
+            ),
+            "extra": {
+                "metric": g.metric,
+                "m": g.m,
+                "ef_construction": g.ef_construction,
+                "ef_search": self.ef_search,
+                "max_level": g.max_level,
+            },
+        }
+
+    def edges_df(self, spark: SparkSession | None = None) -> DataFrame:
+        """The graph as a (level, src, dst) DataFrame — the persisted
+        form (SURVEY.md §1.3 HNSW row)."""
+        spark = spark or self.spark
+        g = self.graph
+        rows = [
+            (lvl, int(g.ids[src]), int(g.ids[dst]))
+            for lvl, layer in enumerate(g.edges)
+            for src, nbrs in layer.items()
+            for dst in nbrs.tolist()
+        ]
+        return spark.createDataFrame(rows, schema="level int, src long, dst long")
+
+
+def _prep(vecs: np.ndarray, metric: str) -> np.ndarray:
+    v = np.ascontiguousarray(vecs, dtype=np.float32)
+    if metric == "cosine":
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        v = v / norms
+    return v
+
+
+def _dist_to(g: HnswGraph, q: np.ndarray, idxs: np.ndarray) -> np.ndarray:
+    """Vectorized distance from one query to a batch of graph nodes —
+    the NumPy stand-in for the reference's per-edge scalar calls."""
+    sub = g.vecs[idxs].astype(np.float64)
+    if g.metric == "l2":
+        d = sub - q
+        return np.sqrt(np.einsum("ij,ij->i", d, d))
+    # cosine (pre-normalized) and dot share the -ip / 1-ip shape
+    ip = sub @ q
+    return 1.0 - ip if g.metric == "cosine" else -ip
+
+
+def _search_layer(
+    g: HnswGraph, q: np.ndarray, entry: list[int], ef: int, level: int
+) -> list[tuple[float, int]]:
+    """Bounded best-first expansion (hnsw.go:343-392). Returns up to
+    ``ef`` (distance, node) pairs, unsorted heap order."""
+    dists = _dist_to(g, q, np.asarray(entry, dtype=np.int64))
+    visited = set(entry)
+    candidates = [(float(d), n) for d, n in zip(dists, entry)]
+    heapq.heapify(candidates)
+    results = [(-d, n) for d, n in candidates]  # max-heap via negation
+    heapq.heapify(results)
+    while candidates:
+        d_c, c = heapq.heappop(candidates)
+        if results and d_c > -results[0][0] and len(results) >= ef:
+            break
+        nbrs = g.edges[level].get(c)
+        if nbrs is None or nbrs.size == 0:
+            continue
+        fresh = [int(n) for n in nbrs if int(n) not in visited]
+        if not fresh:
+            continue
+        visited.update(fresh)
+        nd = _dist_to(g, q, np.asarray(fresh, dtype=np.int64))
+        worst = -results[0][0] if results else np.inf
+        for d_n, n in zip(nd, fresh):
+            d_n = float(d_n)
+            if len(results) < ef or d_n < worst:
+                heapq.heappush(candidates, (d_n, n))
+                heapq.heappush(results, (-d_n, n))
+                if len(results) > ef:
+                    heapq.heappop(results)
+                worst = -results[0][0]
+    return [(-nd, n) for nd, n in results]
+
+
+def _greedy_descend(g: HnswGraph, q: np.ndarray, from_level: int, to_level: int) -> int:
+    """ef=1 greedy walk through the upper layers (hnsw.go:158-168)."""
+    ep = g.entry_point
+    cur = float(_dist_to(g, q, np.asarray([ep], dtype=np.int64))[0])
+    for lvl in range(from_level, to_level, -1):
+        improved = True
+        while improved:
+            improved = False
+            nbrs = g.edges[lvl].get(ep)
+            if nbrs is None or nbrs.size == 0:
+                break
+            nd = _dist_to(g, q, nbrs.astype(np.int64))
+            j = int(np.argmin(nd))
+            if float(nd[j]) < cur:
+                cur = float(nd[j])
+                ep = int(nbrs[j])
+                improved = True
+    return ep
+
+
+def _select_neighbors(cands: list[tuple[float, int]], m: int) -> list[int]:
+    """Simple closest-M truncation — the reference deliberately does
+    NOT use the FAISS diversity heuristic (hnsw.go:394-412)."""
+    return [n for _, n in sorted(cands)[:m]]
+
+
+def _prune(g: HnswGraph, node: int, level: int, max_conn: int) -> None:
+    """Keep the ``max_conn`` closest edges of ``node`` (hnsw.go:414-431)."""
+    nbrs = g.edges[level][node]
+    if nbrs.size <= max_conn:
+        return
+    d = _dist_to(g, g.vecs[node].astype(np.float64), nbrs.astype(np.int64))
+    keep = nbrs[np.argsort(d, kind="stable")[:max_conn]]
+    g.edges[level][node] = keep.astype(np.int32)
+
+
+def build_hnsw(
+    vectors: DataFrame,
+    m: int = DEFAULT_M,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    metric: str = "l2",
+    seed: int = 42,
+    max_vectors: int = DEFAULT_MAX_VECTORS,
+    vec_col: str = "vec",
+    id_col: str = "id",
+) -> HnswIndex:
+    """Collect (guarded) and build the graph on the driver.
+
+    Insert loop is hnsw.go:97-139/291-341 re-expressed with NumPy
+    batch distances. Raises if the input exceeds ``max_vectors`` —
+    the explicit small-index contract; use IVF/IVFPQ/LSH beyond it.
+    """
+    validate_metric(metric)
+    df = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    n = df.count()
+    if n == 0:
+        raise ValueError("cannot build hnsw index from an empty DataFrame")
+    if n > max_vectors:
+        raise ValueError(
+            f"hnsw is the driver-side small-index path: {n} rows > max_vectors="
+            f"{max_vectors}; use ivf/ivfpq/lsh for distributed ANN"
+        )
+    rows = df.toPandas()
+    ids = rows["id"].to_numpy(dtype=np.int64)
+    vecs = _prep(np.stack(rows["vec"].to_numpy()), metric)
+    dim = vecs.shape[1]
+
+    rng = np.random.default_rng(seed)
+    mult = 1.0 / np.log(m)
+    # geometric level draw, capped (hnsw.go:282-289)
+    levels = np.minimum(
+        np.floor(-np.log(rng.uniform(1e-12, 1.0, size=n)) * mult).astype(np.int32),
+        MAX_LEVEL_CAP,
+    )
+
+    g = HnswGraph(
+        metric=metric,
+        dim=dim,
+        m=m,
+        ef_construction=ef_construction,
+        vecs=vecs,
+        ids=ids,
+        levels=levels,
+        edges=[dict() for _ in range(MAX_LEVEL_CAP + 1)],
+    )
+
+    for i in range(n):
+        lvl = int(levels[i])
+        q = vecs[i].astype(np.float64)
+        for L in range(lvl + 1):
+            g.edges[L][i] = np.empty(0, dtype=np.int32)
+        if g.entry_point < 0:
+            g.entry_point, g.max_level = i, lvl
+            continue
+        ep = (
+            _greedy_descend(g, q, g.max_level, lvl)
+            if g.max_level > lvl
+            else g.entry_point
+        )
+        eps = [ep]
+        for L in range(min(lvl, g.max_level), -1, -1):
+            w = _search_layer(g, q, eps, ef_construction, L)
+            nbrs = _select_neighbors(w, m)
+            g.edges[L][i] = np.asarray(nbrs, dtype=np.int32)
+            max_conn = 2 * m if L == 0 else m  # hnsw.go:317-320
+            for nb in nbrs:
+                g.edges[L][nb] = np.append(g.edges[L][nb], np.int32(i))
+                _prune(g, nb, L, max_conn)
+            eps = [nb for _, nb in sorted(w)] or eps
+        if lvl > g.max_level:
+            g.entry_point, g.max_level = i, lvl
+    return HnswIndex(graph=g, spark=vectors.sparkSession)
+
+
+def _search_graph_batch(
+    g: HnswGraph, qmat: np.ndarray, qids: np.ndarray, k: int, ef: int
+) -> pd.DataFrame:
+    out_q, out_i, out_d = [], [], []
+    for row in range(qmat.shape[0]):
+        q = qmat[row]
+        ep = _greedy_descend(g, q, g.max_level, 0) if g.max_level > 0 else g.entry_point
+        res = sorted(_search_layer(g, q, [ep], max(ef, k), 0))[: k if k > 0 else None]
+        for d, node in res:
+            out_q.append(qids[row])
+            out_i.append(g.ids[node])
+            out_d.append(d)
+    return pd.DataFrame(
+        {
+            "query_id": np.asarray(out_q, dtype=np.int64),
+            "id": np.asarray(out_i, dtype=np.int64),
+            "distance": np.asarray(out_d, dtype=np.float64),
+        }
+    )
+
+
+def search_hnsw(
+    index: HnswIndex,
+    queries: DataFrame,
+    k: int = 10,
+    ef_search: int | None = None,
+    qvec_col: str = "qvec",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Distributed batch search: broadcast the graph once, run greedy
+    descent per query inside mapInPandas (hnsw.go:142-187 semantics,
+    Spark-batched). Returns (query_id, id, distance, rank)."""
+    ef = int(ef_search if ef_search is not None else index.ef_search)
+    spark = index.spark or queries.sparkSession
+    qdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(qvec_col).alias("qvec")
+    )
+    g = index.graph
+    bc = spark.sparkContext.broadcast(g)
+    metric = g.metric
+
+    def part(batches):
+        gg = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qmat = _prep(np.stack(pdf["qvec"].to_numpy()), metric).astype(np.float64)
+            yield _search_graph_batch(
+                gg, qmat, pdf["query_id"].to_numpy(dtype=np.int64), k, ef
+            )
+
+    res = qdf.mapInPandas(part, schema=RESULT_SCHEMA)
+    return topk(res, k)
+
+
+def remove_hnsw(index: HnswIndex, vector_id: int) -> None:
+    """Remove parity (hnsw.go:203-242): delete the node, filter every
+    edge list, re-pick the entry point from the remaining top level."""
+    g = index.graph
+    pos = np.nonzero(g.ids == vector_id)[0]
+    if pos.size == 0:
+        raise KeyError(f"vector id {vector_id} not found")
+    node = int(pos[0])
+    for lvl, layer in enumerate(g.edges):
+        layer.pop(node, None)
+        for src in list(layer):
+            nbrs = layer[src]
+            if (nbrs == node).any():
+                layer[src] = nbrs[nbrs != node]
+    g.levels[node] = -1
+    if g.entry_point == node:
+        g.entry_point, g.max_level = -1, -1
+        for lvl in range(MAX_LEVEL_CAP, -1, -1):
+            if g.edges[lvl]:
+                g.entry_point = next(iter(g.edges[lvl]))
+                g.max_level = lvl
+                break

@@ -186,7 +186,40 @@ def save_index(index, path: str) -> None:
             f"{path}/buckets"
         )
     else:
-        raise TypeError(f"cannot save index of type {type(index).__name__}")
+        from gofaiss_spark.operators.hnsw import HnswIndex
+
+        if not isinstance(index, HnswIndex):
+            raise TypeError(f"cannot save index of type {type(index).__name__}")
+        g = index.graph
+        spark = index.spark
+        _write_meta(
+            path,
+            {
+                "index_type": "hnsw",
+                "dim": g.dim,
+                "metric": g.metric,
+                "params": {
+                    "m": g.m,
+                    "ef_construction": g.ef_construction,
+                    "ef_search": index.ef_search,
+                    "seed": index.seed,
+                    "entry_point_id": int(g.ids[g.entry_point])
+                    if g.entry_point >= 0
+                    else -1,
+                    "max_level": g.max_level,
+                },
+            },
+        )
+        nodes = spark.createDataFrame(
+            [
+                (int(g.ids[i]), int(g.levels[i]), [float(x) for x in g.vecs[i]])
+                for i in range(g.n())
+                if g.levels[i] >= 0
+            ],
+            schema="id long, level int, vec array<float>",
+        )
+        nodes.write.mode("overwrite").parquet(f"{path}/nodes")
+        index.edges_df(spark).write.mode("overwrite").parquet(f"{path}/edges")
 
 
 def load_index(spark: SparkSession, path: str):
@@ -261,5 +294,41 @@ def load_index(spark: SparkSession, path: str):
             projections=np.asarray(p["projections"], dtype=np.float64),
             offsets=np.asarray(p["offsets"], dtype=np.float64),
             buckets=spark.read.parquet(f"{path}/buckets"),
+        )
+    if itype == "hnsw":
+        from gofaiss_spark.operators.hnsw import (
+            MAX_LEVEL_CAP,
+            HnswGraph,
+            HnswIndex,
+        )
+
+        p = meta["params"]
+        rows = spark.read.parquet(f"{path}/nodes").toPandas()
+        ids = rows["id"].to_numpy(dtype=np.int64)
+        vecs = np.stack(rows["vec"].to_numpy()).astype(np.float32)
+        levels = rows["level"].to_numpy(dtype=np.int32)
+        idx_of = {int(v): i for i, v in enumerate(ids)}
+        g = HnswGraph(
+            metric=meta["metric"],
+            dim=dim,
+            m=int(p["m"]),
+            ef_construction=int(p["ef_construction"]),
+            vecs=vecs,
+            ids=ids,
+            levels=levels,
+            edges=[dict() for _ in range(MAX_LEVEL_CAP + 1)],
+            entry_point=idx_of.get(int(p["entry_point_id"]), -1),
+            max_level=int(p["max_level"]),
+        )
+        by_key: dict[tuple[int, int], list[int]] = {}
+        for r in spark.read.parquet(f"{path}/edges").collect():
+            by_key.setdefault((r.level, idx_of[r.src]), []).append(idx_of[r.dst])
+        for i in range(len(ids)):
+            for lvl in range(int(levels[i]) + 1):
+                g.edges[lvl][i] = np.asarray(
+                    by_key.get((lvl, i), []), dtype=np.int32
+                )
+        return HnswIndex(
+            graph=g, ef_search=int(p["ef_search"]), seed=int(p["seed"]), spark=spark
         )
     raise ValueError(f"unknown index_type {itype!r} in {path}/_meta.json")

@@ -1,0 +1,137 @@
+"""HNSW driver-side index tests: recall vs the flat oracle, efSearch
+sweep, Remove, edges-DataFrame export, and the size guard —
+mirroring test/integration/index_test.go:58-102 of the reference."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gofaiss_spark.bench_util import recall_at_k
+from gofaiss_spark.operators.hnsw import (
+    build_hnsw,
+    remove_hnsw,
+    search_hnsw,
+)
+from gofaiss_spark.operators.topk import search_flat
+
+
+@pytest.fixture(scope="module")
+def vectors(embeddings):
+    return embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(embeddings):
+    return (
+        embeddings.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def index(vectors):
+    return build_hnsw(vectors, m=16, ef_construction=100, metric="l2", seed=42)
+
+
+def test_recall_vs_flat(vectors, queries, index):
+    truth = search_flat(vectors, queries, k=10)
+    res = search_hnsw(index, queries, k=10, ef_search=100)
+    assert recall_at_k(res, truth, 10) >= 0.95
+
+
+def test_results_sorted_and_k_bounded(index, queries):
+    rows = search_hnsw(index, queries, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.distance))
+    for q, items in by_q.items():
+        items.sort()
+        assert len(items) <= 5
+        dists = [d for _, d in items]
+        assert dists == sorted(dists)
+        assert all(np.isfinite(d) and d >= 0 for d in dists)
+
+
+def test_ef_search_sweep_recall_monotone(vectors, queries, index):
+    truth = search_flat(vectors, queries, k=10)
+    recalls = [
+        recall_at_k(search_hnsw(index, queries, k=10, ef_search=ef), truth, 10)
+        for ef in (10, 50, 200)
+    ]
+    assert recalls[-1] >= recalls[0]
+    assert recalls[-1] >= 0.99
+
+
+def test_cosine_metric(vectors, queries):
+    idx = build_hnsw(vectors, m=8, ef_construction=64, metric="cosine", seed=1)
+    truth = search_flat(vectors, queries, k=10, metric="cosine")
+    res = search_hnsw(idx, queries, k=10, ef_search=100)
+    assert recall_at_k(res, truth, 10) >= 0.9
+
+
+def test_remove(vectors, queries):
+    idx = build_hnsw(vectors, m=8, ef_construction=64, seed=7)
+    target = int(
+        search_hnsw(idx, queries.limit(1), k=1).collect()[0].id
+    )
+    remove_hnsw(idx, target)
+    ids_after = {r.id for r in search_hnsw(idx, queries, k=10).collect()}
+    assert target not in ids_after
+    with pytest.raises(KeyError):
+        remove_hnsw(idx, 10**12)
+
+
+def test_edges_df(index, spark):
+    edges = index.edges_df(spark)
+    assert edges.columns == ["level", "src", "dst"]
+    lvl0 = edges.filter(F.col("level") == 0)
+    n = index.graph.n()
+    assert lvl0.select("src").distinct().count() == n
+    # degree cap: 2M at level 0 (hnsw.go:317-320)
+    max_deg = (
+        lvl0.groupBy("src").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    assert max_deg <= 2 * index.graph.m
+
+
+def test_max_vectors_guard(vectors):
+    with pytest.raises(ValueError, match="small-index"):
+        build_hnsw(vectors, max_vectors=10)
+
+
+def test_save_load_roundtrip(index, queries, spark, tmp_path):
+    """Loaded index returns identical results to the original — the
+    integration-test invariant of index_test.go:20-56."""
+    from gofaiss_spark.api import load, save
+
+    path = str(tmp_path / "hnsw_idx")
+    save(index, path)
+    loaded = load(spark, path)
+    orig = sorted(
+        (r.query_id, r.id, round(r.distance, 6))
+        for r in search_hnsw(index, queries, k=10, ef_search=100).collect()
+    )
+    redo = sorted(
+        (r.query_id, r.id, round(r.distance, 6))
+        for r in search_hnsw(loaded, queries, k=10, ef_search=100).collect()
+    )
+    assert orig == redo
+
+
+def test_api_dispatch(vectors, queries):
+    from gofaiss_spark.api import build_index, search
+
+    idx = build_index(vectors, index_type="hnsw_local", params={"ef_construction": 64})
+    res = search(idx, queries, k=5, params={"ef_search": 64})
+    assert res.count() == queries.count() * 5
+
+
+def test_stats(index):
+    s = index.stats()
+    assert s["index_type"] == "hnsw"
+    assert s["total_vectors"] == index.graph.n()
+    assert s["extra"]["m"] == 16
+    assert s["extra"]["max_level"] == index.graph.max_level
