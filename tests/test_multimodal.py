@@ -1,0 +1,114 @@
+"""Multimodal plumbing tests: schema, Arrow batch shapes, fan-out
+cardinality, determinism of the stubbed decode kernel, and the
+driver-side decoder gate."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gofaiss_spark.operators.multimodal import (
+    MODALITIES,
+    documents_as_multimodal,
+    extract_features,
+    modality_stats,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(documents):
+    return documents_as_multimodal(documents).cache()
+
+
+def test_corpus_schema(corpus):
+    assert [f.name for f in corpus.schema.fields] == [
+        "id",
+        "modality",
+        "content",
+        "meta",
+    ]
+    row = corpus.first()
+    assert isinstance(row.content, (bytes, bytearray))
+    assert row.modality in MODALITIES
+    assert set(row.meta) == {"lang", "source", "n_chars", "n_frames"}
+
+
+def test_extract_features_shape_and_unit_norm(corpus):
+    feats = extract_features(corpus, dim=32)
+    rows = feats.collect()
+    assert len(rows) == corpus.count()
+    for r in rows[:20]:
+        assert len(r.features) == 32
+        assert abs(float(np.linalg.norm(r.features)) - 1.0) < 1e-5
+        assert r.n_bytes > 0
+
+
+def test_extract_features_deterministic(corpus, spark):
+    a = {r.id: tuple(r.features) for r in extract_features(corpus, dim=16).collect()}
+    b = {r.id: tuple(r.features) for r in extract_features(corpus, dim=16).collect()}
+    assert a == b
+    # identical payloads → identical features; distinct → distinct
+    df = spark.createDataFrame(
+        [(0, "image", b"same", None), (1, "image", b"same", None), (2, "image", b"diff", None)],
+        schema="id long, modality string, content binary, meta map<string,string>",
+    )
+    got = {r.id: tuple(r.features) for r in extract_features(df, dim=16).collect()}
+    assert got[0] == got[1] != got[2]
+
+
+def test_features_feed_ann_index(corpus):
+    """Decode→embed output plugs straight into the vector engine."""
+    from gofaiss_spark.api import build_index, search
+
+    feats = extract_features(corpus, dim=16).select(
+        "id", F.col("features").alias("vec")
+    )
+    idx = build_index(feats, index_type="flat", metric="cosine")
+    q = feats.limit(3).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    res = search(idx, q, k=1).collect()
+    # nearest neighbor of a corpus vector is itself at distance ~0
+    assert all(r.query_id == r.id and r.distance < 1e-6 for r in res)
+
+
+def test_sample_frames_cardinality(corpus):
+    frames = sample_frames(corpus, every_n=2)
+    got = frames.groupBy("id").count().collect()
+    n_frames = {
+        r.id: int(r.meta["n_frames"]) for r in corpus.select("id", "meta").collect()
+    }
+    assert len(got) == corpus.count()
+    for r in got:
+        expected = (n_frames[r.id] + 1) // 2  # ceil(n/2) sampled at every_n=2
+        assert r["count"] == expected
+    with pytest.raises(ValueError):
+        sample_frames(corpus, every_n=0)
+
+
+def test_frame_bytes_are_slices(spark):
+    df = spark.createDataFrame(
+        [(1, "video", b"abcdefgh", {"n_frames": "4"})],
+        schema="id long, modality string, content binary, meta map<string,string>",
+    )
+    rows = {r.frame_idx: bytes(r.frame) for r in sample_frames(df, every_n=2).collect()}
+    assert rows == {0: b"ab", 2: b"ef"}
+
+
+def test_modality_stats(corpus):
+    rows = {r.modality: r for r in modality_stats(corpus).collect()}
+    assert set(rows) == set(MODALITIES)
+    total = sum(r.n_items for r in rows.values())
+    assert total == corpus.count()
+    for r in rows.values():
+        assert r.total_bytes > 0 and r.avg_bytes > 0
+
+
+def test_real_decoders_gated(corpus):
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        resize_images(corpus, 224, 224)
+    with pytest.raises(NotImplementedError):
+        extract_features(corpus, decoder="audio")
+    with pytest.raises(ValueError):
+        extract_features(corpus, decoder="bogus")
