@@ -1,0 +1,134 @@
+"""Structured Streaming tests: file-source streams over the driver
+testdata, availableNow triggers, memory sinks, and the streaming IVF
+Add path (micro-batch append into a partitioned index artifact)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from gofaiss_spark.streaming.ops import (
+    stream_add_to_ivf,
+    streaming_exact_dedup,
+    windowed_event_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """testdata events re-written (nanos ts → micros) into a
+    directory a file-source stream can watch."""
+    from gofaiss_spark.sources.readers import load_events
+
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_events(spark, sf_dir).write.mode("overwrite").parquet(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    from gofaiss_spark.sources.readers import load_events
+
+    return load_events(spark, sf_dir).cache()
+
+
+def _run_to_memory(stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_agg_stream_matches_batch(spark, events_stream_dir, events_batch):
+    schema = events_batch.schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    agg = windowed_event_agg(stream, window="1 hour", watermark="2 hours")
+    _run_to_memory(agg, "win_agg", "append")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_event_agg(events_batch, window="1 hour").collect()
+    }
+    # append mode emits only windows closed by the final watermark;
+    # every emitted window must agree exactly with the batch plan
+    assert got
+    for key, val in got.items():
+        assert expected[key] == val
+
+
+def test_streaming_dedup_first_seen_wins(spark, tmp_path):
+    src = str(tmp_path / "docs_src")
+    rows = [
+        (0, "the same text", "2024-01-01 00:00:00"),
+        (1, "the same text", "2024-01-01 00:10:00"),
+        (2, "a different text", "2024-01-01 00:20:00"),
+        (3, "THE  same text", "2024-01-01 00:30:00"),  # normalizes equal
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts_s string").select(
+        "doc_id", "text", F.to_timestamp("ts_s").alias("ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    dedup = streaming_exact_dedup(stream, watermark="1 hour")
+    _run_to_memory(dedup, "dedup_out", "append")
+    out_texts = {
+        r.text for r in spark.sql("SELECT * FROM dedup_out").collect()
+    }
+    assert len(out_texts) == 2  # one survivor per fingerprint group
+    # batch path agrees on survivor count
+    assert streaming_exact_dedup(df).count() == 2
+
+
+def test_stream_add_to_ivf(spark, embeddings, tmp_path):
+    from gofaiss_spark.operators.ivf import build_ivf, search_ivf
+    from gofaiss_spark.plans.artifacts import load_index, save_index
+
+    vectors = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    first, rest = (
+        vectors.filter(F.col("id") < 100),
+        vectors.filter(F.col("id") >= 100),
+    )
+    idx = build_ivf(first, nlist=5, seed=42)
+    path = str(tmp_path / "ivf_idx")
+    save_index(idx, path)
+    n_before = load_index(spark, path).assignments.count()
+
+    src = str(tmp_path / "vec_src")
+    rest.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(vectors.schema).parquet(src)
+    q = stream_add_to_ivf(stream, path, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    loaded = load_index(spark, path)
+    assert loaded.assignments.count() == vectors.count()
+    assert n_before == first.count()
+    # the grown index still answers correctly: full-probe == flat
+    from gofaiss_spark.operators.topk import search_flat
+
+    queries = vectors.limit(5).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    got = sorted(
+        (r.query_id, r.id) for r in search_ivf(loaded, queries, k=3, nprobe=5).collect()
+    )
+    want = sorted(
+        (r.query_id, r.id) for r in search_flat(vectors, queries, k=3).collect()
+    )
+    assert got == want
+
+    with pytest.raises(ValueError, match="expected ivf"):
+        from gofaiss_spark.operators.flat import build_flat
+
+        flat_path = str(tmp_path / "flat_idx")
+        save_index(build_flat(vectors), flat_path)
+        stream_add_to_ivf(stream, flat_path, checkpoint_dir=str(tmp_path / "ckpt2"))
