@@ -540,6 +540,79 @@ def _embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# multimodal corpus surface
+# ---------------------------------------------------------------------------
+
+
+def _mm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofaiss_spark.operators.multimodal import documents_as_multimodal
+
+    return documents_as_multimodal(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofaiss_spark.operators.multimodal import modality_stats
+
+    return modality_stats(_mm_corpus(spark, sf_dir))
+
+
+_MULTIMODAL_STATS_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         ['text','image','audio','video'][CAST(doc_id % 4 AS INT) + 1] AS modality,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT modality,
+       count(*) AS n_items,
+       sum(n_bytes) AS total_bytes,
+       round(avg(n_bytes), 4) AS avg_bytes
+FROM c GROUP BY modality
+"""
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→embed plumbing (rows-only: the fake feature kernel is
+    engine-specific; determinism + unit-norm gated in
+    tests/test_multimodal.py)."""
+    from gofaiss_spark.operators.multimodal import extract_features
+
+    return extract_features(_mm_corpus(spark, sf_dir), dim=16).select(
+        "id", "modality", "n_bytes"
+    )
+
+
+def _multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofaiss_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(_mm_corpus(spark, sf_dir), every_n=2)
+    return frames.select(
+        "id", "frame_idx", F.length("frame").cast("long").alias("n_frame_bytes")
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+WITH c AS (
+  SELECT doc_id AS id,
+         CAST(doc_id % 7 + 1 AS INT) AS n_frames,
+         octet_length(encode(text)) AS len
+  FROM documents
+),
+f AS (
+  SELECT id, n_frames, len,
+         greatest(len // n_frames, 1) AS fsize,
+         unnest(range(0, n_frames, 2)) AS frame_idx
+  FROM c
+)
+SELECT id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(greatest(least(fsize, len - frame_idx * fsize), 0) AS BIGINT) AS n_frame_bytes
+FROM f
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: exact top-10 L2
     neighbors for a 100-query batch (the flat-index oracle plan)."""
@@ -574,6 +647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _doc_quality,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
+        "multimodal_stats": _multimodal_stats,
+        "multimodal_features": _multimodal_features,
+        "multimodal_frame_sample": _multimodal_frame_sample,
     }
 
 
@@ -614,6 +690,8 @@ GROUP BY label, g.i
         "doc_lang_id": _lang_id_sql(),
         "doc_quality": _DOC_QUALITY_SQL,
         "embedding_near_dup_exact": _EMB_NEAR_DUP_SQL,
+        "multimodal_stats": _MULTIMODAL_STATS_SQL,
+        "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
         # ivf_topk_nprobe / pq_topk / ivfpq_topk / lsh_topk /
         # ann_recall_report / doc_simhash /
         # embedding_near_dup_lsh: approximate or engine-specific
