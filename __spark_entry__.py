@@ -358,9 +358,11 @@ SELECT fp.doc_id, fp.n_chars FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = 
 
 
 # Exact pairwise Jaccard over lowercased word shingles — the shared
-# oracle for both the exact kernel and the MinHash-banded scale path
-# (banding at r=1 makes candidate recall deterministic-complete for
-# any pair sharing one minhash, verified to cover all pairs ≥ 0.7).
+# oracle for both the exact kernel and the MinHash-banded scale path.
+# Banding: 32 hashes / 8 bands → r=4, LSH threshold (1/8)^(1/4)≈0.6;
+# at the planted-dup similarities (≥0.97) candidate recall is ~1 and,
+# because the hash functions are fixed, deterministic (verified: the
+# banded output equals the exact pairwise oracle at sf0.01 and sf0.1).
 _JACCARD_PAIRS_SQL = f"""
 WITH d AS (
   SELECT doc_id,
@@ -389,7 +391,7 @@ def _doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(
         docs,
         num_hashes=32,
-        bands=32,
+        bands=8,
         shingle_n=MINHASH_SHINGLE_N,
         threshold=MINHASH_THRESHOLD,
     )

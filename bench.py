@@ -81,13 +81,35 @@ def main() -> None:
     )
 
     lsh = timed("lsh_build", lambda: build_lsh(vectors))
+    lsh.buckets.cache().count()
     timed("lsh_search", lambda: search_lsh(lsh, queries, k=K).count())
+
+    from gofaiss_spark.operators.hnsw import build_hnsw, search_hnsw
+
+    hnsw = timed(
+        "hnsw_build", lambda: build_hnsw(vectors, m=16, ef_construction=100)
+    )
+    timed(
+        "hnsw_search",
+        lambda: search_hnsw(hnsw, queries, k=K, ef_search=100).count(),
+    )
 
     # --- relational / pipeline ----------------------------------------
     import __spark_entry__ as entry_mod
 
     qmap = entry_mod.queries()
-    for name in ("tpch_q1", "revenue_by_nation", "events_hourly", "doc_token_stats"):
+    for name in (
+        "tpch_q1",
+        "revenue_by_nation",
+        "events_hourly",
+        "doc_token_stats",
+        "doc_exact_dedup",
+        "doc_minhash_near_dup",
+        "doc_lang_id",
+        "doc_quality",
+        "multimodal_features",
+        "multimodal_frame_sample",
+    ):
         timed(name, lambda name=name: qmap[name](spark, SF_DIR).count())
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)

@@ -56,12 +56,28 @@ def char_ngrams(text, n: int = 3) -> Column:
 
 def word_shingles(text, n: int = 3) -> Column:
     """Word n-gram shingles (space-joined), order-preserving with
-    duplicates removed — the MinHash/Jaccard input unit."""
+    duplicates removed — the MinHash/Jaccard input unit.
+
+    Built as a zip_with chain over shifted token arrays, NOT as
+    ``transform(sequence(...), i -> slice(toks, i, n))``: a lambda
+    body that references the token expression re-evaluates the whole
+    regex tokenization per element (O(tokens²) splits per document —
+    measured 4.5× slower at 5k docs). The chain references it only
+    n(n+1)/2 times, independent of document length."""
     toks = tokenize(text)
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), count)
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.array_distinct(grams)
+    if n == 1:
+        return F.array_distinct(toks)
+    acc = toks
+    for i in range(1, n):
+        shifted = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
+        acc = F.zip_with(
+            acc,
+            shifted,
+            lambda a, b: F.when(
+                a.isNull() | b.isNull(), F.lit(None)
+            ).otherwise(F.concat_ws(" ", a, b)),
+        )
+    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
 
 
 def stopword_ratio(text, lang: str = "en") -> Column:

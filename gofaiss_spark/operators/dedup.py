@@ -87,19 +87,38 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, shingles, sig ARRAY<BIGINT>[num_hashes]).
 
-    sig[i] = min over shingles of xxhash64(shingle, i) — pure column
-    expressions, fully codegen'd; the shingle arrays stay distributed.
+    sig[i] = min over shingles of family_i(xxhash64(shingle)) — pure
+    column expressions, fully codegen'd; the shingle arrays stay
+    distributed. Each shingle STRING is hashed once; the num_hashes
+    families re-hash the resulting 8-byte long (xxhash64(h, i)), which
+    is ~num_hashes× less string hashing on the hot path.
     """
+    return _hashed_signatures(df, text_col, id_col, num_hashes, shingle_n).drop("_h")
+
+
+def _hashed_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(doc_id, shingles, _h ARRAY<BIGINT>, sig): ``_h`` is the
+    per-shingle 64-bit hash set — the working representation for both
+    the signature and the exact-Jaccard verify (set sizes are
+    preserved under the hash up to 2^-64 collisions)."""
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.lower(F.col(text_col)), shingle_n).alias("shingles"),
     ).filter(F.size("shingles") > 0)
+    sh = sh.withColumn("_h", F.transform("shingles", lambda s: F.xxhash64(s)))
+
     def _minhash(i: int):
         # NB: the lambda must take exactly ONE arg — a two-arg lambda
         # makes F.transform pass (element, array_index), silently
         # replacing the hash-family index with the shingle position.
         return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
+            F.transform(F.col("_h"), lambda h: F.xxhash64(h, F.lit(i)))
         )
 
     sig = F.array(*[_minhash(i) for i in range(num_hashes)])
@@ -125,42 +144,52 @@ def minhash_near_dup_pairs(
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes {num_hashes} must divide into {bands} bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = _hashed_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # Banding on NARROW rows only — (doc_id, band, band_hash). The
+    # shingle arrays must not ride the self-join shuffle: at scale
+    # that multiplies every document's shingles by ``bands`` and
+    # again by its candidate count.
     banded = sigs.select(
         "doc_id",
-        "shingles",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(F.slice("sig", b * r + 1, r).cast("array<string>").cast("string"))
+                    F.xxhash64(*[F.col("sig").getItem(b * r + j) for j in range(r)])
                     for b in range(bands)
                 ]
             )
         ).alias("band", "band_hash"),
     )
-    left = banded.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        "band",
-        "band_hash",
-    )
-    right = banded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        "band",
-        "band_hash",
-    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     cands = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # Exact-Jaccard verify on the HASHED shingle sets (long arrays —
+    # array_intersect over longs is far cheaper than over long
+    # strings; set sizes are identical up to 2^-64 hash collisions),
+    # attached only to the (small) candidate set: Catalyst broadcasts
+    # the pair list, so the corpus-side arrays are scanned once per
+    # side, never shuffled keyed on pairs.
+    sh = sigs.select("doc_id", "_h")
+    pairs = (
+        cands.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("_h").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("_h").alias("sh_b")),
+            "doc_b",
+        )
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cands.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -318,21 +347,29 @@ def embedding_near_dup_pairs(
     idx = build_lsh(
         base, metric="cosine", num_hash_tables=num_hash_tables, seed=seed
     )
-    left = idx.buckets.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("v_a"), "t", "bucket"
-    )
-    right = idx.buckets.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("v_b"), "t", "bucket"
-    )
+    # Same narrow-candidate shape as minhash banding: the bucket
+    # self-join moves only (id, t, bucket); vectors are attached to
+    # the deduped pair set afterwards (broadcast pair list → the
+    # vector table is never shuffled on pair keys).
+    bk = idx.buckets.select("t", "bucket", "id")
     cands = (
-        left.join(right, ["t", "bucket"])
+        bk.select(F.col("id").alias("id_a"), "t", "bucket")
+        .join(bk.select(F.col("id").alias("id_b"), "t", "bucket"), ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "v_a", "v_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cands.join(
+            base.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a")), "id_a"
+        )
+        .join(
+            base.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b")), "id_b"
+        )
     )
     sim = 1.0 - cosine_distance("v_a", "v_b")
     return (
-        cands.withColumn("cos_sim", F.round(sim, 6))
+        pairs.withColumn("cos_sim", F.round(sim, 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

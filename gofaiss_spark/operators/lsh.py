@@ -188,10 +188,14 @@ def search_lsh(
         ],
         schema="t int, bucket long, query_id long",
     )
-    candidates = (
-        index.buckets.join(F.broadcast(qbuckets), ["t", "bucket"])
-        .select("query_id", "id", "vec")
-        .dropDuplicates(["query_id", "id"])
+    # No shuffle-side dedup of raw candidates: that would move full
+    # vectors through a shuffle keyed on (query_id, id). Instead,
+    # score + per-partition top-k FIRST (narrow rows out), dedupe the
+    # tiny scored set after — at scale the shuffle carries ≤
+    # partitions × |queries| × k 24-byte rows instead of the whole
+    # candidate×vec set.
+    candidates = index.buckets.join(F.broadcast(qbuckets), ["t", "bucket"]).select(
+        "query_id", "id", "vec"
     )
 
     qindex = {int(qid): i for i, qid in enumerate(query_ids)}
@@ -209,10 +213,13 @@ def search_lsh(
             out = []
             for qid in np.unique(qids):
                 mask = qids == qid
+                # in-partition dedup (the same id can land in several
+                # bucket tables): keep one row per candidate id so the
+                # local top-k is over distinct neighbors
+                sub_ids, first_idx = np.unique(ids[mask], return_index=True)
                 qv = qmat_raw[qindex[int(qid)]][None, :]
                 metric = "cosine" if is_cos else "l2"
-                d = np_distance_matrix(base[mask], qv, metric)[:, 0]
-                sub_ids = ids[mask]
+                d = np_distance_matrix(base[mask][first_idx], qv, metric)[:, 0]
                 kk = min(k, d.shape[0]) if k > 0 else d.shape[0]
                 sel = np.argpartition(d, kk - 1)[:kk] if kk < d.shape[0] else np.arange(d.shape[0])
                 out.append(
@@ -227,5 +234,7 @@ def search_lsh(
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    cand = candidates.mapInPandas(part, schema=RESULT_SCHEMA)
-    return topk(cand, k)
+    scored = candidates.mapInPandas(part, schema=RESULT_SCHEMA)
+    # cross-partition duplicates of (query_id, id) carry identical
+    # deterministic distances — dedup on the narrow scored rows
+    return topk(scored.dropDuplicates(["query_id", "id"]), k)
