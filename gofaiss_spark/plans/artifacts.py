@@ -51,6 +51,51 @@ def check_version_compat(found: str) -> None:
         )
 
 
+# ---------------------------------------------------------------------------
+# Version migration registry (VersionMigrator parity, version.go:96-126):
+# from→to migration functions over on-disk artifacts. A migration takes
+# (spark, path, meta) and returns the updated meta dict; migrate_index
+# walks the chain until the target version is reached.
+# ---------------------------------------------------------------------------
+
+_MIGRATIONS: dict[str, tuple[str, object]] = {}
+
+
+def register_migration(from_version: str, to_version: str, fn) -> None:
+    """Register ``fn(spark, path, meta) -> meta`` migrating an index
+    artifact from ``from_version`` to ``to_version``."""
+    _MIGRATIONS[from_version] = (to_version, fn)
+
+
+def migrate_index(spark: SparkSession, path: str, target: str | None = None) -> dict:
+    """Walk registered migrations from the artifact's current
+    format_version to ``target`` (default: FORMAT_VERSION). Raises if
+    no chain reaches the target. Returns the final meta dict."""
+    target = target or FORMAT_VERSION
+    meta = _read_meta_raw(path)
+    seen = set()
+    while meta.get("format_version") != target:
+        cur = meta.get("format_version")
+        if cur in seen:
+            raise ValueError(f"migration cycle detected at {cur}")
+        seen.add(cur)
+        if cur not in _MIGRATIONS:
+            raise ValueError(
+                f"no migration path from {cur} to {target} for {path}"
+            )
+        to_version, fn = _MIGRATIONS[cur]
+        meta = fn(spark, path, dict(meta))
+        meta["format_version"] = to_version
+        with open(os.path.join(path, "_meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+    return meta
+
+
+def _read_meta_raw(path: str) -> dict:
+    with open(f"{path}/_meta.json") as f:
+        return json.load(f)
+
+
 def _write_meta(path: str, meta: dict) -> None:
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "_meta.json"), "w") as f:

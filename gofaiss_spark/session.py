@@ -23,8 +23,11 @@ def get_spark(app_name: str = "gofaiss_spark", cpus: int | None = None) -> Spark
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # On a cluster, spark-submit/--master (or $SPARK_GRAFT_MASTER)
+    # wins; local[cpus] is only the standalone/test default.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
