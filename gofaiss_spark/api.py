@@ -103,6 +103,17 @@ def build_index(
     raise ValueError(f"unknown index type {index_type!r} (expected one of {INDEX_TYPES})")
 
 
+def cache_index(index) -> None:
+    """Materialize + cache the index's resident DataFrames — the
+    serving-mode contract (an in-memory reference index is always
+    'cached'; on a cluster, persist-to-parquet + load plays this
+    role). No-op for driver-side indexes."""
+    for attr in ("vectors", "assignments", "codes", "buckets"):
+        df = getattr(index, attr, None)
+        if df is not None and hasattr(df, "cache"):
+            df.cache().count()
+
+
 def search(index, queries: DataFrame, k: int = DEFAULT_K, params: dict | None = None) -> DataFrame:
     """Search/BatchSearch dispatch (search.go:56-112) — batch-native:
     ``queries`` is always a (query_id, qvec) DataFrame."""

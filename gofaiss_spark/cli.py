@@ -120,7 +120,7 @@ def cmd_bench(args, spark: SparkSession) -> int:
     QPS/latency/recall per index — batch-native (the whole query set
     is one job; per-query latency is elapsed/n, matching how the
     reference's averages are consumed)."""
-    from gofaiss_spark.api import build_index, search, stats
+    from gofaiss_spark.api import build_index, cache_index, search, stats
     from gofaiss_spark.bench_util import recall_at_k
     from gofaiss_spark.operators.topk import search_flat
 
@@ -139,15 +139,27 @@ def cmd_bench(args, spark: SparkSession) -> int:
     results = []
     for index_type in args.index_type:
         t0 = time.monotonic()
-        idx = build_index(vectors, index_type=index_type, metric=args.metric)
+        # train on ≤5k vectors like the reference benchmark protocol
+        # (benchmark_comparison.go:258-263 trains IVF/PQ/IVFPQ on 5k)
+        params = (
+            {"train_fraction": min(1.0, 5000.0 / args.n)}
+            if index_type in ("ivf", "pq", "ivfpq")
+            else {}
+        )
+        idx = build_index(
+            vectors, index_type=index_type, metric=args.metric, params=params
+        )
+        cache_index(idx)  # materialize the artifact — build ends here
         st = stats(idx)
         build_sec = time.monotonic() - t0
         # warmup (main.go:140-143)
         search(idx, queries.limit(10), k=args.k).count()
         t1 = time.monotonic()
-        res = search(idx, queries, k=args.k)
+        res = search(idx, queries, k=args.k).cache()
+        res.count()
+        query_sec = time.monotonic() - t1  # search only — recall is scored after
         recall = recall_at_k(res, truth, args.k)
-        query_sec = time.monotonic() - t1
+        res.unpersist()
         results.append(
             {
                 "index_type": index_type,

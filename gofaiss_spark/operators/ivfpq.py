@@ -185,50 +185,68 @@ def search_ivfpq(
     query_mat = np.stack(qrows["qvec"].to_numpy()).astype(np.float64)
 
     probes = probe_lists(index.centroids, query_ids, query_mat, nprobe, index.metric)
-    # per-(query,list) residual tables: (q·nprobe, M, ksub), keyed dict
-    tables: dict[tuple[int, int], np.ndarray] = {}
-    qindex = {int(qid): i for i, qid in enumerate(query_ids)}
-    for qid, lid in zip(probes["query_id"], probes["list_id"]):
-        resid = query_mat[qindex[int(qid)]] - index.centroids[int(lid)]
-        tables[(int(qid), int(lid))] = adc_tables(
-            index.codebooks, resid[None, :]
-        )[0]
-
-    probe_df = spark.createDataFrame(probes)
     probed_list_ids = [int(x) for x in probes["list_id"].unique()]
+
+    # Probe map + on-the-fly residual ADC tables. Two scale rules:
+    # (1) codes are NEVER joined to queries (row duplication per
+    # probing query); (2) tables are built per (list, batch) inside
+    # the kernel from the broadcast codebooks/centroids/queries —
+    # precomputing all q·nprobe tables driver-side and shipping them
+    # in the closure was ~160 MB serialized per task at 1000 queries.
+    qindex = {int(qid): i for i, qid in enumerate(query_ids)}
+    probe_map: dict[int, np.ndarray] = {}
+    for qid, lid in zip(probes["query_id"], probes["list_id"]):
+        probe_map.setdefault(int(lid), []).append(qindex[int(qid)])
+    probe_map = {lid: np.asarray(v, dtype=np.int64) for lid, v in probe_map.items()}
+
+    sc = spark.sparkContext
+    bc = sc.broadcast(
+        (query_mat, query_ids, probe_map, index.centroids, index.codebooks)
+    )
     mm = index.m
 
-    candidates = (
-        index.codes.filter(F.col("list_id").isin(probed_list_ids))
-        .join(F.broadcast(probe_df), "list_id")
-        .select("query_id", "list_id", "id", "code")
+    candidates = index.codes.filter(F.col("list_id").isin(probed_list_ids)).select(
+        "list_id", "id", "code"
     )
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qmat, qids_arr, pmap, cents, books = bc.value
         cols = np.arange(mm)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = []
-            for (qid, lid), grp in pdf.groupby(["query_id", "list_id"], sort=False):
-                t = tables[(int(qid), int(lid))]  # (M, ksub)
-                codes = np.stack(grp["code"].to_numpy()).astype(np.int64)
-                d2 = t[cols[None, :], codes].sum(axis=1)
-                np.maximum(d2, 0.0, out=d2)
-                b = d2.shape[0]
+            out_q, out_i, out_d = [], [], []
+            for lid, grp in pdf.groupby("list_id", sort=False):
+                qidx = pmap.get(int(lid))
+                if qidx is None:
+                    continue
+                resid = qmat[qidx] - cents[int(lid)][None, :]  # (nq, dim)
+                tabs = adc_tables(books, resid)  # (nq, M, ksub)
+                codes = np.stack(grp["code"].to_numpy()).astype(np.int64)  # (b, M)
+                ids = grp["id"].to_numpy(dtype=np.int64)
+                b = codes.shape[0]
                 kk = min(k, b) if k > 0 else b
-                sel = np.argpartition(d2, kk - 1)[:kk] if kk < b else np.arange(b)
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.full(sel.shape[0], qid, dtype=np.int64),
-                            "id": grp["id"].to_numpy(dtype=np.int64)[sel],
-                            "distance": np.sqrt(d2[sel]),
-                        }
+                for j in range(qidx.shape[0]):
+                    d2 = tabs[j][cols[None, :], codes].sum(axis=1)
+                    np.maximum(d2, 0.0, out=d2)
+                    sel = (
+                        np.argpartition(d2, kk - 1)[:kk]
+                        if kk < b
+                        else np.arange(b)
                     )
+                    out_q.append(
+                        np.full(sel.shape[0], qids_arr[qidx[j]], dtype=np.int64)
+                    )
+                    out_i.append(ids[sel])
+                    out_d.append(np.sqrt(d2[sel]))
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "id": np.concatenate(out_i),
+                        "distance": np.concatenate(out_d),
+                    }
                 )
-            if out:
-                yield pd.concat(out, ignore_index=True)
 
     cand = candidates.mapInPandas(part, schema=RESULT_SCHEMA)
     return topk(cand, k)
