@@ -180,61 +180,67 @@ def search_lsh(
     qmat = _normalize_rows(qmat_raw) if index.metric == "cosine" else qmat_raw
     qh = _hash_matrix(qmat, index.projections, index.offsets, index.bucket_length)
     L = index.num_hash_tables
-    qbuckets = spark.createDataFrame(
-        [
-            (int(t), int(qh[i, t]), int(query_ids[i]))
-            for i in range(qh.shape[0])
-            for t in range(L)
-        ],
-        schema="t int, bucket long, query_id long",
-    )
-    # No shuffle-side dedup of raw candidates: that would move full
-    # vectors through a shuffle keyed on (query_id, id). Instead,
-    # score + per-partition top-k FIRST (narrow rows out), dedupe the
-    # tiny scored set after — at scale the shuffle carries ≤
-    # partitions × |queries| × k 24-byte rows instead of the whole
-    # candidate×vec set.
-    candidates = index.buckets.join(F.broadcast(qbuckets), ["t", "bucket"]).select(
-        "query_id", "id", "vec"
-    )
 
-    qindex = {int(qid): i for i, qid in enumerate(query_ids)}
+    # Same scan-once kernel design as IVF/IVFPQ search: a broadcast
+    # probe map {(t, bucket) -> query row idxs} instead of joining
+    # bucket rows to queries (which replicates each candidate vector
+    # once per matching query). The semi-join on distinct probed
+    # (t, bucket) pairs prunes the bucket table — partition pruning
+    # on t when the artifact is partitionBy("t") parquet.
+    probe_map: dict[tuple[int, int], list[int]] = {}
+    for i in range(qh.shape[0]):
+        for t in range(L):
+            probe_map.setdefault((t, int(qh[i, t])), []).append(i)
+    probe_map = {
+        key: np.asarray(v, dtype=np.int64) for key, v in probe_map.items()
+    }
+    probed = spark.createDataFrame(
+        [(t, b) for (t, b) in probe_map], schema="t int, bucket long"
+    )
+    candidates = index.buckets.join(F.broadcast(probed), ["t", "bucket"], "left_semi"
+    ).select("t", "bucket", "id", "vec")
+
+    bc = spark.sparkContext.broadcast((qmat_raw, query_ids, probe_map))
     is_cos = index.metric == "cosine"
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from gofaiss_spark.functions.distance import np_distance_matrix
 
+        qmat_b, qids_arr, pmap = bc.value
+        metric = "cosine" if is_cos else "l2"
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            base = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            qids = pdf["query_id"].to_numpy(dtype=np.int64)
-            out = []
-            for qid in np.unique(qids):
-                mask = qids == qid
-                # in-partition dedup (the same id can land in several
-                # bucket tables): keep one row per candidate id so the
-                # local top-k is over distinct neighbors
-                sub_ids, first_idx = np.unique(ids[mask], return_index=True)
-                qv = qmat_raw[qindex[int(qid)]][None, :]
-                metric = "cosine" if is_cos else "l2"
-                d = np_distance_matrix(base[mask][first_idx], qv, metric)[:, 0]
-                kk = min(k, d.shape[0]) if k > 0 else d.shape[0]
-                sel = np.argpartition(d, kk - 1)[:kk] if kk < d.shape[0] else np.arange(d.shape[0])
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.full(sel.shape[0], qid, dtype=np.int64),
-                            "id": sub_ids[sel],
-                            "distance": d[sel],
-                        }
+            out_q, out_i, out_d = [], [], []
+            for (t, b), grp in pdf.groupby(["t", "bucket"], sort=False):
+                qidx = pmap.get((int(t), int(b)))
+                if qidx is None:
+                    continue
+                base = np.stack(grp["vec"].to_numpy()).astype(np.float64)
+                ids = grp["id"].to_numpy(dtype=np.int64)
+                d = np_distance_matrix(base, qmat_b[qidx], metric)  # (b, nq)
+                n = d.shape[0]
+                kk = min(k, n) if k > 0 else n
+                for j in range(qidx.shape[0]):
+                    dj = d[:, j]
+                    sel = (
+                        np.argpartition(dj, kk - 1)[:kk] if kk < n else np.arange(n)
                     )
+                    out_q.append(
+                        np.full(sel.shape[0], qids_arr[qidx[j]], dtype=np.int64)
+                    )
+                    out_i.append(ids[sel])
+                    out_d.append(dj[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "id": np.concatenate(out_i),
+                        "distance": np.concatenate(out_d),
+                    }
                 )
-            if out:
-                yield pd.concat(out, ignore_index=True)
 
     scored = candidates.mapInPandas(part, schema=RESULT_SCHEMA)
-    # cross-partition duplicates of (query_id, id) carry identical
+    # a candidate can surface from several hash tables with identical
     # deterministic distances — dedup on the narrow scored rows
     return topk(scored.dropDuplicates(["query_id", "id"]), k)
