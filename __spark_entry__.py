@@ -542,6 +542,47 @@ def _embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch formulation; the streaming
+    applyInPandasWithState twin is gated equal in tests/test_streaming)."""
+    from gofaiss_spark.sources.readers import load_events
+    from gofaiss_spark.streaming.ops import sessionize_batch
+
+    sess = sessionize_batch(load_events(spark, sf_dir), gap_minutes=60)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return sess.select(
+        "user_id",
+        "session_idx",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+_EVENT_SESSIONS_SQL = """
+WITH flags AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000 THEN 1
+              ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+  FROM flags
+)
+SELECT user_id, session_idx,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal corpus surface
 # ---------------------------------------------------------------------------
@@ -632,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _tpch_q1,
         "revenue_by_nation": _revenue_by_nation,
         "events_hourly": _events_hourly,
+        "event_sessions": _event_sessions,
         "doc_lang_dist": _doc_lang_dist,
         "doc_token_stats": _doc_token_stats,
         "ivf_fullprobe_topk": _ivf_fullprobe_topk,
@@ -683,6 +725,7 @@ GROUP BY label, g.i
         "tpch_q1": _TPCH_Q1_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
+        "event_sessions": _EVENT_SESSIONS_SQL,
         "doc_lang_dist": _DOC_LANG_DIST_SQL,
         "doc_token_stats": _DOC_TOKEN_STATS_SQL,
         "ivf_fullprobe_topk": _IVF_FULLPROBE_SQL,

@@ -79,6 +79,129 @@ def streaming_exact_dedup(
     return with_fp.dropDuplicates(["_fp"]).drop("_fp")
 
 
+def sessionize_batch(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization, batch formulation: a new session
+    starts when the gap to the previous event of the same user
+    exceeds ``gap_minutes``. lag → boundary flag → running sum =
+    session index; one shuffle on user_id shared by the window and
+    the final group-by. Output: (user_id, session_idx, session_start,
+    session_end, n_events, sum_value)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_sec = gap_minutes * 60.0
+    prev_ts = F.lag(ts_col).over(w)
+    # cast("double") keeps fractional seconds — unix_timestamp would
+    # truncate to whole seconds and disagree with the streaming path
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("double") - prev_ts.cast("double") > gap_sec),
+        1,
+    ).otherwise(0)
+    with_idx = events.withColumn(
+        "session_idx", F.sum(new_session).over(w).cast("int")
+    )
+    return (
+        with_idx.groupBy(user_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """The same sessions computed incrementally with
+    ``applyInPandasWithState``: per-user open-session state, closed
+    either by an in-batch gap or by event-time timeout once the
+    watermark passes the gap horizon. State is O(open sessions), not
+    O(events) — the custom-stateful-operator pattern the reference
+    has no analogue for (SURVEY.md §2.6 streaming row)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_minutes * 60_000_000)  # microsecond precision
+
+    out_schema = (
+        f"{user_col} long, session_idx int, session_start timestamp, "
+        "session_end timestamp, n_events long, sum_value double"
+    )
+    state_schema = "start long, end long, n long, s double, idx int"
+
+    def fn(key, pdfs, state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            start, end, n, s, idx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    user_col: [uid],
+                    "session_idx": [idx],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [round(s, 2)],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        ts_us = (rows[ts_col].astype("int64") // 1_000).to_numpy()
+        vals = rows[value_col].to_numpy()
+        if state.exists:
+            start, end, n, s, idx = state.get
+        else:
+            start, end, n, s, idx = 0, 0, 0, 0.0, 0  # n == 0 ⇒ no open session
+        closed = []
+        for t, v in zip(ts_us, vals):
+            if n == 0 or t - end > gap_us:
+                if n > 0:
+                    closed.append((start, end, n, s, idx))
+                idx += 1
+                start, end, n, s = int(t), int(t), 1, float(v)
+            else:
+                end, n, s = max(end, int(t)), n + 1, s + float(v)
+        state.update((int(start), int(end), int(n), float(s), int(idx)))
+        state.setTimeoutTimestamp((int(end) + gap_us) // 1_000)  # ms epoch
+        if closed:
+            yield pd.DataFrame(
+                {
+                    user_col: [uid] * len(closed),
+                    "session_idx": [c[4] for c in closed],
+                    "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [round(c[3], 2) for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_add_to_ivf(
     stream: DataFrame,
     index_path: str,

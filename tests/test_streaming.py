@@ -8,6 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from gofaiss_spark.streaming.ops import (
+    sessionize_batch,
+    sessionize_stream,
     stream_add_to_ivf,
     streaming_exact_dedup,
     windowed_event_agg,
@@ -85,6 +87,53 @@ def test_streaming_dedup_first_seen_wins(spark, tmp_path):
     assert len(out_texts) == 2  # one survivor per fingerprint group
     # batch path agrees on survivor count
     assert streaming_exact_dedup(df).count() == 2
+
+
+def test_sessionize_batch_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),   # same session (10m gap)
+        (1, "2024-01-01 01:00:00", 3.0),   # new session (50m gap)
+        (2, "2024-01-01 00:05:00", 4.0),   # other user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.sum_value)
+        for r in sessionize_batch(df, gap_minutes=30).collect()
+    }
+    assert got == {(1, 1): (2, 3.0), (1, 2): (1, 3.0), (2, 1): (1, 4.0)}
+
+
+def test_sessionize_stream_matches_batch(spark, events_stream_dir, events_batch):
+    """Stateful streaming sessions == batch window sessions, for all
+    sessions the final watermark was able to close."""
+    schema = events_batch.schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    sess = sessionize_stream(stream, gap_minutes=60, watermark="1 minute")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    expected = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in sessionize_batch(events_batch, gap_minutes=60).collect()
+    }
+    assert got  # the stream closed sessions
+    for key, val in got.items():
+        assert expected[key] == val
+    # coverage: most sessions close (only per-user tails can stay open)
+    n_users = events_batch.select("user_id").distinct().count()
+    assert len(got) >= len(expected) - n_users
 
 
 def test_stream_add_to_ivf(spark, embeddings, tmp_path):
