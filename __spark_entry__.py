@@ -140,6 +140,133 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _decimal_revenue():
+    """round(sum(extprice*(1-disc)), 2) in exact DECIMAL arithmetic:
+    double partial-aggregation fold order differs between engines and
+    flips penny-boundary roundings — decimals make the sum exact and
+    engine-independent. Output cast to double for hashing parity."""
+    dec = "decimal(18,4)"
+    rev = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1).cast(dec) - F.col("l_discount").cast(dec)
+    )
+    return F.round(F.sum(rev), 2).cast("double").alias("revenue")
+
+
+def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority analogue (TPC-H Q3 on the driver's star
+    schema): big⋈big shuffle joins with pre-filtered inputs, then a
+    grouped revenue rollup."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < "1997-03-15"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > "1997-03-15"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(_decimal_revenue())
+    )
+
+
+_TPCH_Q3_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+"""
+
+
+def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume analogue (TPC-H Q5): six-table join;
+    nation/region broadcast, customer-nation co-membership predicate."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_decimal_revenue())
+    )
+
+
+_TPCH_Q5_SQL = """
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def _tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item-reporting analogue (TPC-H Q10): revenue lost to
+    returns per customer, top 20 — TakeOrderedAndProject shape."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_decimal_revenue())
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_TPCH_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -671,6 +798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_norms": _vector_norms,
         "centroid_by_label": _centroid_by_label,
         "tpch_q1": _tpch_q1,
+        "tpch_q3": _tpch_q3,
+        "tpch_q5": _tpch_q5,
+        "tpch_q10": _tpch_q10,
         "revenue_by_nation": _revenue_by_nation,
         "events_hourly": _events_hourly,
         "event_sessions": _event_sessions,
@@ -723,6 +853,9 @@ FROM embeddings, generate_series(0, 63) AS g(i)
 GROUP BY label, g.i
 """,
         "tpch_q1": _TPCH_Q1_SQL,
+        "tpch_q3": _TPCH_Q3_SQL,
+        "tpch_q5": _TPCH_Q5_SQL,
+        "tpch_q10": _TPCH_Q10_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -158,6 +158,30 @@ def range_search(index, queries: DataFrame, threshold: float, max_results: int |
     return topk(out, max_results if max_results else 0)
 
 
+def remove_ids(index, ids: list[int]):
+    """Remove vectors by id — an anti-join over the index's resident
+    DataFrames. The reference returns "not supported" for IVF/IVFPQ
+    (ivf.go:177-179, ivfpq.go:299-302); Spark's immutable-DataFrame
+    model makes deletion a filter, so we implement it (documented
+    deviation, SURVEY.md §2.2). HNSW routes to its graph-aware remove
+    (hnsw.go:203-242 parity). Returns the updated index (same object;
+    DataFrame fields replaced)."""
+    from gofaiss_spark.operators.hnsw import HnswIndex, remove_hnsw
+
+    if isinstance(index, HnswIndex):
+        for vid in ids:
+            remove_hnsw(index, vid)
+        return index
+    from pyspark.sql import functions as F
+
+    id_set = [int(i) for i in ids]
+    for attr in ("vectors", "assignments", "codes", "buckets"):
+        df = getattr(index, attr, None)
+        if df is not None and hasattr(df, "filter"):
+            setattr(index, attr, df.filter(~F.col("id").isin(id_set)))
+    return index
+
+
 def search_with_metadata(index, queries: DataFrame, k: int = DEFAULT_K, params: dict | None = None) -> tuple[list, dict]:
     """Timing wrapper (search.go:150-162): returns (rows, metadata)."""
     t0 = time.monotonic()

@@ -17,6 +17,18 @@ def _as_col(c) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def validate_dimension(df: DataFrame, dim: int, vec_col: str = "vec") -> DataFrame:
+    """Ingest-time schema assertion (ValidateDimension parity,
+    vector.go:37-44): raises if any row's vector length ≠ dim.
+    Distributed count of violations — no collect of the data."""
+    bad = df.filter(F.size(_as_col(vec_col)) != dim).count()
+    if bad:
+        raise ValueError(
+            f"vector dimension mismatch: {bad} row(s) where size({vec_col}) != {dim}"
+        )
+    return df
+
+
 def vector_add(a, b) -> Column:
     return F.zip_with(_as_col(a), _as_col(b), lambda x, y: x + y)
 

@@ -109,3 +109,33 @@ def test_flat_rejects_ragged_dims(spark):
     )
     with pytest.raises(ValueError, match="dimension"):
         api.build_index(df, index_type="flat")
+
+
+def test_validate_dimension(spark):
+    from gofaiss_spark.functions.vector import validate_dimension
+
+    ok = spark.createDataFrame([(0, [1.0, 2.0]), (1, [3.0, 4.0])], "id long, vec array<float>")
+    assert validate_dimension(ok, 2) is ok
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(0, [1.0, 2.0]), (1, [3.0])], "id long, vec array<float>")
+    with _pytest.raises(ValueError, match="dimension mismatch"):
+        validate_dimension(bad, 2)
+
+
+def test_remove_ids_anti_join(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from gofaiss_spark.api import build_index, remove_ids, search
+
+    vectors = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    idx = build_index(vectors, index_type="ivf", params={"nlist": 5})
+    n0 = idx.assignments.count()
+    target = int(vectors.first()["id"])
+    remove_ids(idx, [target])
+    assert idx.assignments.count() == n0 - 1
+    q = vectors.limit(3).select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+    ids = {r.id for r in search(idx, q, k=5, params={"nprobe": 5}).collect()}
+    assert target not in ids
