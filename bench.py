@@ -100,8 +100,12 @@ def main() -> None:
     qmap = entry_mod.queries()
     for name in (
         "tpch_q1",
+        "tpch_q3",
+        "tpch_q5",
+        "tpch_q10",
         "revenue_by_nation",
         "events_hourly",
+        "event_sessions",
         "doc_token_stats",
         "doc_exact_dedup",
         "doc_minhash_near_dup",
