@@ -267,6 +267,174 @@ LIMIT 20
 """
 
 
+def _tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change analogue (TPC-H Q6): pure filter +
+    single-group aggregate. All three predicates reach the parquet
+    scan as PushedFilters; at 100 TB this is a scan-bound query with
+    zero shuffle (single-partition final agg of one row)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = "decimal(18,4)"
+    rev = F.col("l_extendedprice").cast(dec) * F.col("l_discount").cast(dec)
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_TPCH_Q6_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def _tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effect analogue (TPC-H Q14): conditional aggregation
+    over a fact⋈dim join. `part` is a dimension → broadcast hash join,
+    no shuffle of lineitem; the month filter prunes the scan. Sums in
+    DECIMAL then rounded so the promo ratio is engine-independent."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    dec = "decimal(18,4)"
+    rev = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1).cast(dec) - F.col("l_discount").cast(dec)
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = joined.agg(
+        F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(dec))), 2)
+        .cast("double")
+        .alias("promo_revenue"),
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(100.0 * F.col("promo_revenue") / F.col("total_revenue"), 4).alias(
+            "promo_pct"
+        ),
+    )
+
+
+_TPCH_Q14_SQL = """
+WITH s AS (
+  SELECT
+    CAST(round(sum(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS promo_revenue,
+    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+)
+SELECT promo_revenue, total_revenue,
+       round(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+FROM s
+"""
+
+
+def _tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-customer analogue (TPC-H Q18): groupBy-HAVING
+    derived table joined back to orders + customer. The HAVING filter
+    shrinks the derived side to ~0.1% of orders before the join, so
+    Spark (with AQE) picks a broadcast join for it; sum(l_quantity)
+    is exact in DOUBLE (integral values)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+_TPCH_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 300
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, sum_qty
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def _tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority-checking analogue (TPC-H Q4, adapted: the
+    driver's lineitem has no commit/receipt dates, so the EXISTS
+    predicate is 'order has a returned line item'). Left-semi join:
+    lineitem is deduplicated map-side and never widens orders."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    returned = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting over the documents table (reference
+    analogue: the exact-dedup key; SURVEY.md §2.6 scalar-function
+    surface). MD5 over whitespace-normalized lowercased text —
+    byte-identical across engines, so fully oracle-checked."""
+    from gofaiss_spark.functions.text import doc_fingerprint_md5
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", doc_fingerprint_md5("text").alias("fingerprint"))
+
+
+_DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+"""
+
+
 def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -801,6 +969,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _tpch_q3,
         "tpch_q5": _tpch_q5,
         "tpch_q10": _tpch_q10,
+        "tpch_q4": _tpch_q4,
+        "tpch_q6": _tpch_q6,
+        "tpch_q14": _tpch_q14,
+        "tpch_q18": _tpch_q18,
+        "doc_fingerprint": _doc_fingerprint,
         "revenue_by_nation": _revenue_by_nation,
         "events_hourly": _events_hourly,
         "event_sessions": _event_sessions,
@@ -856,6 +1029,11 @@ GROUP BY label, g.i
         "tpch_q3": _TPCH_Q3_SQL,
         "tpch_q5": _TPCH_Q5_SQL,
         "tpch_q10": _TPCH_Q10_SQL,
+        "tpch_q4": _TPCH_Q4_SQL,
+        "tpch_q6": _TPCH_Q6_SQL,
+        "tpch_q14": _TPCH_Q14_SQL,
+        "tpch_q18": _TPCH_Q18_SQL,
+        "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,

@@ -101,8 +101,12 @@ def main() -> None:
     for name in (
         "tpch_q1",
         "tpch_q3",
+        "tpch_q4",
         "tpch_q5",
+        "tpch_q6",
         "tpch_q10",
+        "tpch_q14",
+        "tpch_q18",
         "revenue_by_nation",
         "events_hourly",
         "event_sessions",
