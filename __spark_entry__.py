@@ -604,8 +604,11 @@ def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of each ANN index vs the flat oracle, as a DataFrame
     (benchmark_comparison.go:459-487 analogue). Rows-only check."""
     from gofaiss_spark.bench_util import recall_at_k
+    from gofaiss_spark.operators.hnsw import build_hnsw, search_hnsw
     from gofaiss_spark.operators.ivf import build_ivf, search_ivf
+    from gofaiss_spark.operators.ivfpq import build_ivfpq, search_ivfpq
     from gofaiss_spark.operators.lsh import build_lsh, search_lsh
+    from gofaiss_spark.operators.pq import build_pq, search_pq
     from gofaiss_spark.operators.topk import search_flat
 
     v = _vectors(spark, sf_dir).cache()
@@ -614,10 +617,16 @@ def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth.count()
     ivf = build_ivf(v, nlist=10, metric="l2", seed=42)
     lsh = build_lsh(v, metric="l2", num_hash_tables=16)
+    pq = build_pq(v, m=8, nbits=8, seed=42)
+    ivfpq = build_ivfpq(v, nlist=10, m=8, nbits=8, seed=42)
+    hnsw = build_hnsw(v, m=16, ef_construction=100)
     rows = [
         ("ivf_nprobe4", recall_at_k(search_ivf(ivf, q, k=TOPK_K, nprobe=4), truth, TOPK_K)),
         ("ivf_fullprobe", recall_at_k(search_ivf(ivf, q, k=TOPK_K, nprobe=10), truth, TOPK_K)),
         ("lsh", recall_at_k(search_lsh(lsh, q, k=TOPK_K), truth, TOPK_K)),
+        ("pq_m8", recall_at_k(search_pq(pq, q, k=TOPK_K), truth, TOPK_K)),
+        ("ivfpq_fullprobe", recall_at_k(search_ivfpq(ivfpq, q, k=TOPK_K, nprobe=10), truth, TOPK_K)),
+        ("hnsw_ef100", recall_at_k(search_hnsw(hnsw, q, k=TOPK_K), truth, TOPK_K)),
     ]
     return spark.createDataFrame(
         [(n, float(round(r, 4))) for n, r in rows],

@@ -211,7 +211,6 @@ def search_ivfpq(
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qmat, qids_arr, pmap, cents, books = bc.value
-        cols = np.arange(mm)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -226,19 +225,22 @@ def search_ivfpq(
                 ids = grp["id"].to_numpy(dtype=np.int64)
                 b = codes.shape[0]
                 kk = min(k, b) if k > 0 else b
-                for j in range(qidx.shape[0]):
-                    d2 = tabs[j][cols[None, :], codes].sum(axis=1)
-                    np.maximum(d2, 0.0, out=d2)
-                    sel = (
-                        np.argpartition(d2, kk - 1)[:kk]
-                        if kk < b
-                        else np.arange(b)
-                    )
-                    out_q.append(
-                        np.full(sel.shape[0], qids_arr[qidx[j]], dtype=np.int64)
-                    )
-                    out_i.append(ids[sel])
-                    out_d.append(np.sqrt(d2[sel]))
+                # vectorized over the queries probing this list:
+                # M gathers of (nq, b), then one batched top-k
+                nq = qidx.shape[0]
+                d2 = np.zeros((nq, b), dtype=np.float64)
+                for mi in range(mm):
+                    d2 += tabs[:, mi, codes[:, mi]]
+                np.maximum(d2, 0.0, out=d2)
+                if kk < b:
+                    sel = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                else:
+                    sel = np.broadcast_to(np.arange(b), (nq, b))
+                out_q.append(np.repeat(qids_arr[qidx], sel.shape[1]))
+                out_i.append(ids[sel.ravel()])
+                out_d.append(
+                    np.sqrt(np.take_along_axis(d2, sel, axis=1).ravel())
+                )
             if out_q:
                 yield pd.DataFrame(
                     {
