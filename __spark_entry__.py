@@ -915,7 +915,7 @@ WITH c AS (
 )
 SELECT modality,
        count(*) AS n_items,
-       sum(n_bytes) AS total_bytes,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        round(avg(n_bytes), 4) AS avg_bytes
 FROM c GROUP BY modality
 """

@@ -117,21 +117,32 @@ def build_ivfpq(
             f"need at least nlist*{min_train_factor} = {nlist * min_train_factor} "
             f"training vectors, got {n}"
         )
-    train_df = vectors
+    train_df = None
     if train_fraction is not None and train_fraction < 1.0:
         train_df = vectors.sample(fraction=train_fraction, seed=seed)
 
     # (1) coarse centroids
-    cents = train_kmeans_centroids(train_df, nlist, seed=seed, vec_col=vec_col)
-    # (2)+(3) assign & residual for the TRAINING set → PQ codebooks
-    train_assigned = assign_to_centroids(train_df, cents, metric, vec_col, id_col)
-    cent_df_residual = _with_residual(train_assigned, cents, vec_col)
-    codebooks = train_pq_codebooks(
-        cent_df_residual, dim, m, nbits, vec_col="residual", id_col="id"
+    cents = train_kmeans_centroids(
+        train_df if train_df is not None else vectors, nlist, seed=seed, vec_col=vec_col
     )
-    # (4) full Add: assign → residual → encode, keeping list_id
+    # (2)+(3)+(4): one assign→residual lineage over the full set. When
+    # training on the full set (train_fraction None) the codebook
+    # trainer and the encoder share it — persisted so the BLAS
+    # assignment pass runs once, not twice. At 100 TB you set
+    # train_fraction (the reference trains on 5k of 100k,
+    # benchmark_comparison.go:258-263), so only the small sample is
+    # double-assigned and nothing full-scale is cached.
     assigned = assign_to_centroids(vectors, cents, metric, vec_col, id_col)
     with_res = _with_residual(assigned, cents, vec_col)
+    if train_df is not None:
+        train_assigned = assign_to_centroids(train_df, cents, metric, vec_col, id_col)
+        train_res = _with_residual(train_assigned, cents, vec_col)
+    else:
+        with_res = with_res.persist()
+        train_res = with_res
+    codebooks = train_pq_codebooks(
+        train_res, dim, m, nbits, vec_col="residual", id_col="id"
+    )
     codes = encode_pq(
         with_res, codebooks, vec_col="residual", id_col="id", extra_cols=("list_id",)
     )
