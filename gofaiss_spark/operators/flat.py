@@ -35,12 +35,15 @@ class FlatIndex:
 
     def stats(self) -> dict:
         """Count/dim summary — the reference stubs this out
-        (flat.go:151); ours is real."""
+        (flat.go:151); ours is real. memory_mb follows the reference's
+        logical-bytes convention (n·dim·4, float32)."""
+        total = self.vectors.count()
         return {
             "index_type": "flat",
-            "total_vectors": self.vectors.count(),
+            "total_vectors": total,
             "dimension": self.dim,
             "metric": self.metric,
+            "memory_mb": (total * self.dim * 4) / (1024 * 1024),
         }
 
 

@@ -57,7 +57,8 @@ class IvfIndex:
         )
 
     def stats(self) -> dict:
-        """Stats parity (ivf.go:182-224): totals + params."""
+        """Stats parity (ivf.go:199-224): totals + params +
+        memory_mb = (n·dim·4 + nlist·dim·4)/MiB."""
         total = self.assignments.count()
         return {
             "index_type": "ivf",
@@ -66,6 +67,7 @@ class IvfIndex:
             "metric": self.metric,
             "nlist": self.nlist,
             "trained": True,
+            "memory_mb": ((total + self.nlist) * self.dim * 4) / (1024 * 1024),
         }
 
 

@@ -74,8 +74,12 @@ class IvfPqIndex:
         )
 
     def stats(self) -> dict:
-        """compressionRatio = (n·dim·4)/(n·M) (ivfpq.go:322-364)."""
+        """compressionRatio = (n·dim·4)/(n·M); memory_mb = (n·M codes
+        + M·ksub·dsub·4 codebooks + nlist·dim·4 centroids)/MiB
+        (ivfpq.go:322-364)."""
         total = self.codes.count()
+        ksub = 1 << self.nbits
+        dsub = self.dim // self.m
         return {
             "index_type": "ivfpq",
             "total_vectors": total,
@@ -85,6 +89,12 @@ class IvfPqIndex:
             "m": self.m,
             "nbits": self.nbits,
             "compression_ratio": (self.dim * 4) / self.m,
+            "memory_mb": (
+                total * self.m
+                + self.m * ksub * dsub * 4
+                + self.nlist * self.dim * 4
+            )
+            / (1024 * 1024),
         }
 
 

@@ -52,13 +52,19 @@ class LshIndex:
     buckets: DataFrame = field(repr=False)  # (t, bucket, id, vec)
 
     def stats(self) -> dict:
+        """No reference analogue for LSH memory (the ref has no LSH);
+        memory_mb estimates the bucket table: n·L rows × (dim·4 vec +
+        8 id + 8 bucket + 4 table)."""
+        total = self.buckets.count() // self.num_hash_tables
+        row_bytes = self.dim * 4 + 20
         return {
             "index_type": "lsh",
-            "total_vectors": self.buckets.count() // self.num_hash_tables,
+            "total_vectors": total,
             "dimension": self.dim,
             "metric": self.metric,
             "bucket_length": self.bucket_length,
             "num_hash_tables": self.num_hash_tables,
+            "memory_mb": (total * self.num_hash_tables * row_bytes) / (1024 * 1024),
         }
 
 

@@ -64,7 +64,8 @@ class PqIndex:
         return self.dim // self.m
 
     def stats(self) -> dict:
-        """compressionRatio = dim·4 / M (pq.go:207-233)."""
+        """compressionRatio = dim·4 / M; memory_mb =
+        (n·M codes + M·ksub·dsub·4 codebooks)/MiB (pq.go:205-233)."""
         total = self.codes.count()
         return {
             "index_type": "pq",
@@ -75,6 +76,8 @@ class PqIndex:
             "ksub": self.ksub,
             "dsub": self.dsub,
             "compression_ratio": (self.dim * 4) / self.m,
+            "memory_mb": (total * self.m + self.m * self.ksub * self.dsub * 4)
+            / (1024 * 1024),
         }
 
 

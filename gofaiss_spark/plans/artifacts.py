@@ -91,6 +91,18 @@ def migrate_index(spark: SparkSession, path: str, target: str | None = None) -> 
     return meta
 
 
+def artifact_size_mb(path: str) -> float:
+    """On-disk footprint (MiB) of a saved index artifact — the
+    Parquet-era analogue of the reference's MemoryUsageMB
+    (stats.go:4-10; SURVEY.md §4 row 13): sum of all files under the
+    artifact directory (parquet parts + _meta.json)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total / (1024 * 1024)
+
+
 def _read_meta_raw(path: str) -> dict:
     with open(f"{path}/_meta.json") as f:
         return json.load(f)
@@ -140,55 +152,74 @@ def _df_to_codebooks(df, m: int, ksub: int, dsub: int) -> np.ndarray:
     return out
 
 
-def save_index(index, path: str) -> None:
+def _write_df(df, path: str, fmt: str, partition_by: str | None = None) -> None:
+    """Write one artifact component. For the JSON debug format a
+    ``_schema.json`` sidecar (underscore prefix → ignored by Spark's
+    hidden-file filter) preserves exact types for the round-trip."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    getattr(w, fmt)(path)
+    if fmt == "json":
+        with open(os.path.join(path, "_schema.json"), "w") as f:
+            f.write(df.schema.json())
+
+
+def export_index_json(index, path: str) -> None:
+    """Human-readable JSON debug export of an index artifact —
+    line-delimited JSON per component, same directory layout as the
+    Parquet format (SaveToFileJSON parity, pkg/storage/json.go:15-56;
+    cross-format round-trip mirrors serialize_test.go:300-370).
+    ``load_index`` reads it back via the ``format`` field in
+    _meta.json."""
+    save_index(index, path, fmt="json")
+
+
+def save_index(index, path: str, fmt: str = "parquet") -> None:
     """Persist any index artifact (Save parity: flat.go:123-147,
-    ivfpq.go:367-470 — but Parquet, not gob)."""
+    ivfpq.go:367-470 — but Parquet, not gob; ``fmt="json"`` gives the
+    debug export of pkg/storage/json.go)."""
     from gofaiss_spark.operators.flat import FlatIndex
     from gofaiss_spark.operators.ivf import IvfIndex
     from gofaiss_spark.operators.ivfpq import IvfPqIndex
     from gofaiss_spark.operators.lsh import LshIndex
     from gofaiss_spark.operators.pq import PqIndex
 
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"unknown artifact format {fmt!r}")
+
+    def wm(meta: dict) -> None:
+        _write_meta(path, {**meta, "format": fmt})
+
     if isinstance(index, FlatIndex):
-        _write_meta(
-            path, {"index_type": "flat", "dim": index.dim, "metric": index.metric}
-        )
-        index.vectors.write.mode("overwrite").parquet(f"{path}/vectors")
+        wm({"index_type": "flat", "dim": index.dim, "metric": index.metric})
+        _write_df(index.vectors, f"{path}/vectors", fmt)
     elif isinstance(index, IvfIndex):
-        _write_meta(
-            path,
+        wm(
             {
                 "index_type": "ivf",
                 "dim": index.dim,
                 "metric": index.metric,
                 "params": {"nlist": index.nlist},
-            },
+            }
         )
         spark = index.assignments.sparkSession
-        _centroids_to_df(spark, index.centroids).write.mode("overwrite").parquet(
-            f"{path}/centroids"
-        )
-        index.assignments.write.mode("overwrite").partitionBy("list_id").parquet(
-            f"{path}/assignments"
-        )
+        _write_df(_centroids_to_df(spark, index.centroids), f"{path}/centroids", fmt)
+        _write_df(index.assignments, f"{path}/assignments", fmt, "list_id")
     elif isinstance(index, PqIndex):
-        _write_meta(
-            path,
+        wm(
             {
                 "index_type": "pq",
                 "dim": index.dim,
                 "metric": "l2",
                 "params": {"m": index.m, "nbits": index.nbits},
-            },
+            }
         )
         spark = index.codes.sparkSession
-        _codebooks_to_df(spark, index.codebooks).write.mode("overwrite").parquet(
-            f"{path}/codebooks"
-        )
-        index.codes.write.mode("overwrite").parquet(f"{path}/codes")
+        _write_df(_codebooks_to_df(spark, index.codebooks), f"{path}/codebooks", fmt)
+        _write_df(index.codes, f"{path}/codes", fmt)
     elif isinstance(index, IvfPqIndex):
-        _write_meta(
-            path,
+        wm(
             {
                 "index_type": "ivfpq",
                 "dim": index.dim,
@@ -198,21 +229,14 @@ def save_index(index, path: str) -> None:
                     "m": index.m,
                     "nbits": index.nbits,
                 },
-            },
+            }
         )
         spark = index.codes.sparkSession
-        _centroids_to_df(spark, index.centroids).write.mode("overwrite").parquet(
-            f"{path}/centroids"
-        )
-        _codebooks_to_df(spark, index.codebooks).write.mode("overwrite").parquet(
-            f"{path}/codebooks"
-        )
-        index.codes.write.mode("overwrite").partitionBy("list_id").parquet(
-            f"{path}/codes"
-        )
+        _write_df(_centroids_to_df(spark, index.centroids), f"{path}/centroids", fmt)
+        _write_df(_codebooks_to_df(spark, index.codebooks), f"{path}/codebooks", fmt)
+        _write_df(index.codes, f"{path}/codes", fmt, "list_id")
     elif isinstance(index, LshIndex):
-        _write_meta(
-            path,
+        wm(
             {
                 "index_type": "lsh",
                 "dim": index.dim,
@@ -224,12 +248,10 @@ def save_index(index, path: str) -> None:
                     "projections": [[float(x) for x in r] for r in index.projections],
                     "offsets": [float(x) for x in index.offsets],
                 },
-            },
+            }
         )
         # partitionBy("t"): a search joins one bucket table at a time
-        index.buckets.write.mode("overwrite").partitionBy("t").parquet(
-            f"{path}/buckets"
-        )
+        _write_df(index.buckets, f"{path}/buckets", fmt, "t")
     else:
         from gofaiss_spark.operators.hnsw import HnswIndex
 
@@ -237,8 +259,7 @@ def save_index(index, path: str) -> None:
             raise TypeError(f"cannot save index of type {type(index).__name__}")
         g = index.graph
         spark = index.spark
-        _write_meta(
-            path,
+        wm(
             {
                 "index_type": "hnsw",
                 "dim": g.dim,
@@ -253,7 +274,7 @@ def save_index(index, path: str) -> None:
                     else -1,
                     "max_level": g.max_level,
                 },
-            },
+            }
         )
         nodes = spark.createDataFrame(
             [
@@ -263,8 +284,8 @@ def save_index(index, path: str) -> None:
             ],
             schema="id long, level int, vec array<float>",
         )
-        nodes.write.mode("overwrite").parquet(f"{path}/nodes")
-        index.edges_df(spark).write.mode("overwrite").parquet(f"{path}/edges")
+        _write_df(nodes, f"{path}/nodes", fmt)
+        _write_df(index.edges_df(spark), f"{path}/edges", fmt)
 
 
 def load_index(spark: SparkSession, path: str):
@@ -280,44 +301,50 @@ def load_index(spark: SparkSession, path: str):
     meta = _read_meta(path)
     itype = meta["index_type"]
     dim = int(meta["dim"])
+    fmt = meta.get("format", "parquet")
+
+    def rd(name: str):
+        p = f"{path}/{name}"
+        if fmt == "json":
+            from pyspark.sql.types import StructType
+
+            with open(os.path.join(p, "_schema.json")) as f:
+                schema = StructType.fromJson(json.load(f))
+            return spark.read.schema(schema).json(p)
+        return spark.read.parquet(p)
+
     if itype == "flat":
         return FlatIndex(
             metric=meta["metric"],
             dim=dim,
-            vectors=spark.read.parquet(f"{path}/vectors"),
+            vectors=rd("vectors"),
         )
     if itype == "ivf":
         nlist = int(meta["params"]["nlist"])
-        cents = _df_to_centroids(
-            spark.read.parquet(f"{path}/centroids"), nlist, dim
-        )
+        cents = _df_to_centroids(rd("centroids"), nlist, dim)
         return IvfIndex(
             metric=meta["metric"],
             nlist=nlist,
             dim=dim,
             centroids=cents,
-            assignments=spark.read.parquet(f"{path}/assignments"),
+            assignments=rd("assignments"),
         )
     if itype == "pq":
         m = int(meta["params"]["m"])
         nbits = int(meta["params"]["nbits"])
-        cb = _df_to_codebooks(
-            spark.read.parquet(f"{path}/codebooks"), m, 1 << nbits, dim // m
-        )
+        cb = _df_to_codebooks(rd("codebooks"), m, 1 << nbits, dim // m)
         return PqIndex(
             dim=dim,
             m=m,
             nbits=nbits,
             codebooks=cb,
-            codes=spark.read.parquet(f"{path}/codes"),
+            codes=rd("codes"),
         )
     if itype == "ivfpq":
         p = meta["params"]
         nlist, m, nbits = int(p["nlist"]), int(p["m"]), int(p["nbits"])
-        cents = _df_to_centroids(spark.read.parquet(f"{path}/centroids"), nlist, dim)
-        cb = _df_to_codebooks(
-            spark.read.parquet(f"{path}/codebooks"), m, 1 << nbits, dim // m
-        )
+        cents = _df_to_centroids(rd("centroids"), nlist, dim)
+        cb = _df_to_codebooks(rd("codebooks"), m, 1 << nbits, dim // m)
         return IvfPqIndex(
             metric=meta["metric"],
             nlist=nlist,
@@ -326,7 +353,7 @@ def load_index(spark: SparkSession, path: str):
             nbits=nbits,
             centroids=cents,
             codebooks=cb,
-            codes=spark.read.parquet(f"{path}/codes"),
+            codes=rd("codes"),
         )
     if itype == "lsh":
         p = meta["params"]
@@ -338,7 +365,7 @@ def load_index(spark: SparkSession, path: str):
             seed=int(p["seed"]),
             projections=np.asarray(p["projections"], dtype=np.float64),
             offsets=np.asarray(p["offsets"], dtype=np.float64),
-            buckets=spark.read.parquet(f"{path}/buckets"),
+            buckets=rd("buckets"),
         )
     if itype == "hnsw":
         from gofaiss_spark.operators.hnsw import (
@@ -348,7 +375,7 @@ def load_index(spark: SparkSession, path: str):
         )
 
         p = meta["params"]
-        rows = spark.read.parquet(f"{path}/nodes").toPandas()
+        rows = rd("nodes").toPandas()
         ids = rows["id"].to_numpy(dtype=np.int64)
         vecs = np.stack(rows["vec"].to_numpy()).astype(np.float32)
         levels = rows["level"].to_numpy(dtype=np.int32)
@@ -366,7 +393,7 @@ def load_index(spark: SparkSession, path: str):
             max_level=int(p["max_level"]),
         )
         by_key: dict[tuple[int, int], list[int]] = {}
-        for r in spark.read.parquet(f"{path}/edges").collect():
+        for r in rd("edges").collect():
             by_key.setdefault((r.level, idx_of[r.src]), []).append(idx_of[r.dst])
         for i in range(len(ids)):
             for lvl in range(int(levels[i]) + 1):

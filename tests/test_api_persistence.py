@@ -46,8 +46,25 @@ def test_save_load_search_roundtrip(spark, vectors, queries, tmp_path, index_typ
     loaded = api.load(spark, path)
     after = _result_set(api.search(loaded, queries, k=5, params={"nprobe": 4}))
     assert before == after
-    assert api.stats(loaded)["index_type"] == index_type
-    assert api.stats(loaded)["total_vectors"] == vectors.count()
+    s = api.stats(loaded)
+    assert s["index_type"] == index_type
+    assert s["total_vectors"] == vectors.count()
+    assert s["memory_mb"] > 0
+    from gofaiss_spark.plans.artifacts import artifact_size_mb
+
+    assert artifact_size_mb(path) > 0
+
+
+def test_lsh_stats_memory(vectors):
+    from gofaiss_spark.operators.lsh import build_lsh
+
+    idx = build_lsh(vectors, metric="l2", num_hash_tables=4)
+    s = idx.stats()
+    n = vectors.count()
+    assert s["total_vectors"] == n
+    assert s["memory_mb"] == pytest.approx(
+        n * 4 * (s["dimension"] * 4 + 20) / (1024 * 1024)
+    )
 
 
 def test_lsh_search_recall(vectors, queries):
@@ -139,3 +156,40 @@ def test_remove_ids_anti_join(spark, embeddings):
     q = vectors.limit(3).select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
     ids = {r.id for r in search(idx, q, k=5, params={"nprobe": 5}).collect()}
     assert target not in ids
+
+
+@pytest.mark.parametrize(
+    "index_type,params",
+    [
+        ("flat", {}),
+        ("ivf", {"nlist": 12}),
+        ("ivfpq", {"nlist": 10, "m": 8, "nbits": 5}),
+    ],
+)
+def test_json_export_roundtrip(spark, vectors, queries, tmp_path, index_type, params):
+    """Cross-format parity (storage/json.go:15-56,
+    serialize_test.go:300-370): JSON debug export loads back to an
+    index that returns identical search results."""
+    from gofaiss_spark.plans.artifacts import export_index_json, load_index
+
+    idx = api.build_index(vectors, index_type=index_type, params=params)
+    before = _result_set(api.search(idx, queries, k=5, params={"nprobe": 4}))
+    path = str(tmp_path / f"{index_type}_json")
+    export_index_json(idx, path)
+    loaded = load_index(spark, path)
+    after = _result_set(api.search(loaded, queries, k=5, params={"nprobe": 4}))
+    assert before == after
+    # the export really is line-delimited JSON, not parquet
+    import glob
+    import json as jsonlib
+
+    comp = {"flat": "vectors", "ivf": "assignments", "ivfpq": "codes"}[index_type]
+    files = [
+        f
+        for f in glob.glob(f"{path}/{comp}/**/part-*", recursive=True)
+        if not f.endswith(".crc")
+    ]
+    assert files
+    with open(files[0]) as f:
+        first = f.readline().strip()
+    assert first == "" or isinstance(jsonlib.loads(first), dict)

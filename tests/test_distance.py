@@ -87,3 +87,58 @@ def test_np_zero_vector_cosine():
     queries = np.array([[1.0, 1.0]])
     dm = np_distance_matrix(base, queries, "cosine")
     assert dm[0, 0] == 1.0
+
+
+def test_matrix_vector_multiply(spark):
+    """Exact values, distance_test.go style (simd.go:105-115)."""
+    from gofaiss_spark.functions.vector import matrix_vector_multiply
+
+    mat = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [0.0, 0.0])],
+        schema="id long, vec array<double>",
+    )
+    got = {r["id"]: r["value"] for r in matrix_vector_multiply(mat, [1.0, 1.0]).collect()}
+    assert got == {0: pytest.approx(3.0), 1: pytest.approx(7.0), 2: pytest.approx(0.0)}
+    got2 = {r["id"]: r["value"] for r in matrix_vector_multiply(mat, [2.0, -1.0]).collect()}
+    assert got2 == {0: pytest.approx(0.0), 1: pytest.approx(2.0), 2: pytest.approx(0.0)}
+
+
+def test_pairwise_l2_distance_exact(spark):
+    """Upper triangle of simd.go:117-136's matrix: 3-4-5 triangle."""
+    from gofaiss_spark.functions.vector import pairwise_l2_distance
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [3.0, 4.0]), (2, [3.0, 0.0])],
+        schema="id long, vec array<double>",
+    )
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in pairwise_l2_distance(df).collect()}
+    assert got == {
+        (0, 1): pytest.approx(5.0),
+        (0, 2): pytest.approx(3.0),
+        (1, 2): pytest.approx(4.0),
+    }
+
+
+def test_pairwise_l2_distance_banded_matches_exact(spark):
+    """The LSH-pruned scale path must return exactly the exact kernel's
+    pairs within max_distance (candidate recall 1 at this geometry)."""
+    from gofaiss_spark.functions.vector import pairwise_l2_distance
+
+    rng = np.random.default_rng(7)
+    pts = rng.random((40, 4))
+    pts[20:] = pts[:20] + rng.normal(scale=0.01, size=(20, 4))  # planted close pairs
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+        schema="id long, vec array<double>",
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in pairwise_l2_distance(df).filter(F.col("distance") <= 0.1).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in pairwise_l2_distance(df, max_distance=0.1).collect()
+    }
+    assert set(banded) == set(exact)
+    for k in exact:
+        assert banded[k] == pytest.approx(exact[k])

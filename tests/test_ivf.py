@@ -96,6 +96,11 @@ def test_nprobe_bounds(index, queries):
 
 def test_stats(index, vectors):
     s = index.stats()
-    assert s["total_vectors"] == vectors.count()
+    n = vectors.count()
+    assert s["total_vectors"] == n
     assert s["nlist"] == 16
     assert s["index_type"] == "ivf"
+    # ivf.go:199-224: (n + nlist) * dim * 4 bytes
+    assert s["memory_mb"] == pytest.approx(
+        (n + 16) * index.dim * 4 / (1024 * 1024)
+    )

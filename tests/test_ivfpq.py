@@ -83,6 +83,13 @@ def test_recall_improves_with_nprobe(index, vectors, queries):
 
 def test_stats(index, vectors):
     s = index.stats()
-    assert s["total_vectors"] == vectors.count()
+    n = vectors.count()
+    assert s["total_vectors"] == n
     assert s["compression_ratio"] == 32.0
     assert s["index_type"] == "ivfpq"
+    # ivfpq.go:322-364: codes + codebooks + centroids
+    ksub, dsub = 1 << s["nbits"], s["dimension"] // s["m"]
+    assert s["memory_mb"] == pytest.approx(
+        (n * s["m"] + s["m"] * ksub * dsub * 4 + s["nlist"] * s["dimension"] * 4)
+        / (1024 * 1024)
+    )

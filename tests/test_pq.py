@@ -125,5 +125,10 @@ def test_distances_are_approximate_but_ordered(index, queries):
 
 def test_stats(index, vectors):
     s = index.stats()
-    assert s["total_vectors"] == vectors.count()
+    n = vectors.count()
+    assert s["total_vectors"] == n
     assert s["compression_ratio"] == (64 * 4) / 8  # 32x
+    # pq.go:205-233: n·M codes + M·ksub·dsub·4 codebook bytes
+    assert s["memory_mb"] == pytest.approx(
+        (n * s["m"] + s["m"] * s["ksub"] * s["dsub"] * 4) / (1024 * 1024)
+    )
