@@ -61,6 +61,7 @@ class HnswGraph:
     edges: list[dict[int, np.ndarray]]  # edges[level][node] -> int32 idxs
     entry_point: int = -1
     max_level: int = -1
+    vn: np.ndarray | None = field(default=None, repr=False)  # ||v||² cache
 
     def n(self) -> int:
         return int(self.vecs.shape[0])
@@ -120,25 +121,64 @@ def _prep(vecs: np.ndarray, metric: str) -> np.ndarray:
     return v
 
 
-def _dist_to(g: HnswGraph, q: np.ndarray, idxs: np.ndarray) -> np.ndarray:
-    """Vectorized distance from one query to a batch of graph nodes —
-    the NumPy stand-in for the reference's per-edge scalar calls."""
-    sub = g.vecs[idxs].astype(np.float64)
-    if g.metric == "l2":
-        d = sub - q
-        return np.sqrt(np.einsum("ij,ij->i", d, d))
-    # cosine (pre-normalized) and dot share the -ip / 1-ip shape
+def _vnorms(g: HnswGraph) -> np.ndarray:
+    if g.vn is None:
+        g.vn = np.einsum("ij,ij->i", g.vecs, g.vecs)
+    return g.vn
+
+
+def _score_to(g: HnswGraph, q: np.ndarray, idxs: np.ndarray, qn: float) -> np.ndarray:
+    """Ordering score from one query to a batch of graph nodes — the
+    NumPy stand-in for the reference's per-edge scalar calls
+    (hnsw.go distance calls). For L2 this is the SQUARED distance
+    (||v||² + ||q||² − 2⟨v,q⟩ from the precomputed norm cache): a
+    monotone stand-in, so heap order and neighbor selection are
+    unchanged while the hot loop does one gather + one gemv and no
+    sqrt. Stays in float32 like the reference's []float32 math."""
+    sub = g.vecs[idxs]
     ip = sub @ q
+    if g.metric == "l2":
+        return _vnorms(g)[idxs] + qn - 2.0 * ip
+    # cosine (pre-normalized) and dot share the -ip / 1-ip shape
     return 1.0 - ip if g.metric == "cosine" else -ip
 
 
+def _score_to_dist(g: HnswGraph, s: np.ndarray) -> np.ndarray:
+    """Score space → reported distance (sqrt for l2, identity else)."""
+    if g.metric == "l2":
+        return np.sqrt(np.maximum(s, 0.0))
+    return np.asarray(s)
+
+
+def _qnorm(g: HnswGraph, q: np.ndarray) -> float:
+    return float(q @ q) if g.metric == "l2" else 0.0
+
+
 def _search_layer(
-    g: HnswGraph, q: np.ndarray, entry: list[int], ef: int, level: int
+    g: HnswGraph,
+    q: np.ndarray,
+    entry: list[int],
+    ef: int,
+    level: int,
+    seen: np.ndarray | None = None,
+    gen: int = 0,
 ) -> list[tuple[float, int]]:
     """Bounded best-first expansion (hnsw.go:343-392). Returns up to
-    ``ef`` (distance, node) pairs, unsorted heap order."""
-    dists = _dist_to(g, q, np.asarray(entry, dtype=np.int64))
-    visited = set(entry)
+    ``ef`` (distance, node) pairs, unsorted heap order.
+
+    ``seen``/``gen`` is an optional generation-marked visited array
+    (one int32 per node, no per-call allocation or hashing) — the
+    hot-loop replacement for a Python set when the caller runs many
+    expansions over the same graph. Scores are in ``_score_to``
+    space (squared L2) — callers needing reported distances apply
+    ``_score_to_dist``."""
+    qn = _qnorm(g, q)
+    entry_arr = np.asarray(entry, dtype=np.int64)
+    dists = _score_to(g, q, entry_arr, qn)
+    if seen is None:
+        visited = set(entry)
+    else:
+        seen[entry_arr] = gen
     candidates = [(float(d), n) for d, n in zip(dists, entry)]
     heapq.heapify(candidates)
     results = [(-d, n) for d, n in candidates]  # max-heap via negation
@@ -150,14 +190,31 @@ def _search_layer(
         nbrs = g.edges[level].get(c)
         if nbrs is None or nbrs.size == 0:
             continue
-        fresh = [int(n) for n in nbrs if int(n) not in visited]
-        if not fresh:
-            continue
-        visited.update(fresh)
-        nd = _dist_to(g, q, np.asarray(fresh, dtype=np.int64))
+        if seen is None:
+            fresh = [int(n) for n in nbrs if int(n) not in visited]
+            if not fresh:
+                continue
+            visited.update(fresh)
+            fresh_arr = np.asarray(fresh, dtype=np.int64)
+        else:
+            fresh_arr = nbrs[seen[nbrs] != gen]
+            if fresh_arr.size == 0:
+                continue
+            seen[fresh_arr] = gen
+        nd = _score_to(g, q, fresh_arr, qn)
         worst = -results[0][0] if results else np.inf
-        for d_n, n in zip(nd, fresh):
-            d_n = float(d_n)
+        if len(results) >= ef:
+            # numpy pre-filter: once the result heap is full, only
+            # neighbors beating the current worst can matter — skip
+            # the Python heap ops for the (typical) majority that
+            # don't
+            keep = nd < worst
+            if not keep.any():
+                continue
+            nd, fresh = nd[keep], fresh_arr[keep].tolist()
+        else:
+            fresh = fresh_arr.tolist()
+        for d_n, n in zip(nd.tolist(), fresh):
             if len(results) < ef or d_n < worst:
                 heapq.heappush(candidates, (d_n, n))
                 heapq.heappush(results, (-d_n, n))
@@ -168,9 +225,11 @@ def _search_layer(
 
 
 def _greedy_descend(g: HnswGraph, q: np.ndarray, from_level: int, to_level: int) -> int:
-    """ef=1 greedy walk through the upper layers (hnsw.go:158-168)."""
+    """ef=1 greedy walk through the upper layers (hnsw.go:158-168).
+    Runs in score space — argmin is ordering-only."""
+    qn = _qnorm(g, q)
     ep = g.entry_point
-    cur = float(_dist_to(g, q, np.asarray([ep], dtype=np.int64))[0])
+    cur = float(_score_to(g, q, np.asarray([ep], dtype=np.int64), qn)[0])
     for lvl in range(from_level, to_level, -1):
         improved = True
         while improved:
@@ -178,7 +237,7 @@ def _greedy_descend(g: HnswGraph, q: np.ndarray, from_level: int, to_level: int)
             nbrs = g.edges[lvl].get(ep)
             if nbrs is None or nbrs.size == 0:
                 break
-            nd = _dist_to(g, q, nbrs.astype(np.int64))
+            nd = _score_to(g, q, nbrs, qn)
             j = int(np.argmin(nd))
             if float(nd[j]) < cur:
                 cur = float(nd[j])
@@ -198,7 +257,8 @@ def _prune(g: HnswGraph, node: int, level: int, max_conn: int) -> None:
     nbrs = g.edges[level][node]
     if nbrs.size <= max_conn:
         return
-    d = _dist_to(g, g.vecs[node].astype(np.float64), nbrs.astype(np.int64))
+    v = g.vecs[node]
+    d = _score_to(g, v, nbrs, _qnorm(g, v))
     keep = nbrs[np.argsort(d, kind="stable")[:max_conn]]
     g.edges[level][node] = keep.astype(np.int32)
 
@@ -253,9 +313,11 @@ def build_hnsw(
         edges=[dict() for _ in range(MAX_LEVEL_CAP + 1)],
     )
 
+    seen = np.zeros(n, dtype=np.int32)  # generation-marked visited
+    gen = 0
     for i in range(n):
         lvl = int(levels[i])
-        q = vecs[i].astype(np.float64)
+        q = vecs[i]
         for L in range(lvl + 1):
             g.edges[L][i] = np.empty(0, dtype=np.int32)
         if g.entry_point < 0:
@@ -268,7 +330,8 @@ def build_hnsw(
         )
         eps = [ep]
         for L in range(min(lvl, g.max_level), -1, -1):
-            w = _search_layer(g, q, eps, ef_construction, L)
+            gen += 1
+            w = _search_layer(g, q, eps, ef_construction, L, seen, gen)
             nbrs = _select_neighbors(w, m)
             g.edges[L][i] = np.asarray(nbrs, dtype=np.int32)
             max_conn = 2 * m if L == 0 else m  # hnsw.go:317-320
@@ -285,14 +348,18 @@ def _search_graph_batch(
     g: HnswGraph, qmat: np.ndarray, qids: np.ndarray, k: int, ef: int
 ) -> pd.DataFrame:
     out_q, out_i, out_d = [], [], []
+    seen = np.zeros(g.n(), dtype=np.int32)
     for row in range(qmat.shape[0]):
         q = qmat[row]
         ep = _greedy_descend(g, q, g.max_level, 0) if g.max_level > 0 else g.entry_point
-        res = sorted(_search_layer(g, q, [ep], max(ef, k), 0))[: k if k > 0 else None]
-        for d, node in res:
+        res = sorted(_search_layer(g, q, [ep], max(ef, k), 0, seen, row + 1))[
+            : k if k > 0 else None
+        ]
+        dists = _score_to_dist(g, np.asarray([s for s, _ in res]))
+        for d, (_, node) in zip(dists, res):
             out_q.append(qids[row])
             out_i.append(g.ids[node])
-            out_d.append(d)
+            out_d.append(float(d))
     return pd.DataFrame(
         {
             "query_id": np.asarray(out_q, dtype=np.int64),
@@ -327,7 +394,7 @@ def search_hnsw(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            qmat = _prep(np.stack(pdf["qvec"].to_numpy()), metric).astype(np.float64)
+            qmat = _prep(np.stack(pdf["qvec"].to_numpy()), metric)
             yield _search_graph_batch(
                 gg, qmat, pdf["query_id"].to_numpy(dtype=np.int64), k, ef
             )
