@@ -962,6 +962,92 @@ FROM m
 """
 
 
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+SAMPLE_PCT = 10
+TOPQ_K = 5
+
+
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (curation surface). The
+    chunk text rides as an md5 so the oracle hash-checks content
+    without shipping full strings through the compare."""
+    from gofaiss_spark.operators.curation import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ch = chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+_DOC_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       unnest([{{'chunk_idx': CAST((i - 1) / {CHUNK_TOKENS - CHUNK_OVERLAP} AS INT),
+                 'n_chunk_tokens': CAST(len(toks[i:i+{CHUNK_TOKENS - 1}]) AS INT),
+                 'chunk_md5': md5(array_to_string(toks[i:i+{CHUNK_TOKENS - 1}], ' '))}}
+                FOR i IN range(1, len(toks) + 1, {CHUNK_TOKENS - CHUNK_OVERLAP})],
+              recursive := true)
+FROM t WHERE len(toks) > 0
+"""
+
+
+def _doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket sampling — the engine-portable
+    train/holdout split (stable across runs and corpus growth)."""
+    from gofaiss_spark.operators.curation import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_sample(docs, pct=SAMPLE_PCT).select("doc_id", "bucket", "n_chars")
+
+
+_DOC_HASH_SAMPLE_SQL = f"""
+SELECT doc_id,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+            AS BIGINT) AS bucket,
+       n_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < {SAMPLE_PCT}
+"""
+
+
+def _doc_top_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-k docs per language by quality score — the group-wise
+    curation filter (one shuffle on lang, bounded window sort)."""
+    from gofaiss_spark.functions.text import quality_score
+    from gofaiss_spark.operators.curation import top_k_by_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", F.round(quality_score("text"), 6).alias("quality")
+    )
+    return top_k_by_group(
+        docs, "lang", "quality", TOPQ_K, tiebreak_col="doc_id"
+    ).select("lang", "doc_id", "quality", "group_rank")
+
+
+_DOC_TOP_QUALITY_SQL = f"""
+WITH q AS ({_DOC_QUALITY_SQL}),
+j AS (
+  SELECT d.lang, q.doc_id, q.quality,
+         CAST(row_number() OVER (PARTITION BY d.lang
+                                 ORDER BY q.quality DESC, q.doc_id ASC) AS INT)
+           AS group_rank
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+)
+SELECT lang, doc_id, quality, group_rank FROM j WHERE group_rank <= {TOPQ_K}
+"""
+
+
 def _embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofaiss_spark.operators.dedup import embedding_near_dup_pairs
 
@@ -1171,6 +1257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": _doc_simhash,
         "doc_lang_id": _doc_lang_id,
         "doc_quality": _doc_quality,
+        "doc_chunks": _doc_chunks,
+        "doc_hash_sample": _doc_hash_sample,
+        "doc_top_quality_per_lang": _doc_top_quality_per_lang,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "multimodal_stats": _multimodal_stats,
@@ -1224,6 +1313,9 @@ GROUP BY label, g.i
         "doc_ngram_jaccard": _JACCARD_PAIRS_SQL,
         "doc_lang_id": _lang_id_sql(),
         "doc_quality": _DOC_QUALITY_SQL,
+        "doc_chunks": _DOC_CHUNKS_SQL,
+        "doc_hash_sample": _DOC_HASH_SAMPLE_SQL,
+        "doc_top_quality_per_lang": _DOC_TOP_QUALITY_SQL,
         "embedding_near_dup_exact": _EMB_NEAR_DUP_SQL,
         # the LSH path's banded-candidate + exact-verify output equals
         # the exact pair set at the driver SFs (hyperplanes are

@@ -131,6 +131,9 @@ def main() -> None:
         "doc_minhash_near_dup",
         "doc_lang_id",
         "doc_quality",
+        "doc_chunks",
+        "doc_hash_sample",
+        "doc_top_quality_per_lang",
         "multimodal_features",
         "multimodal_frame_sample",
     ):
