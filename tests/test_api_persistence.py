@@ -193,3 +193,29 @@ def test_json_export_roundtrip(spark, vectors, queries, tmp_path, index_type, pa
     with open(files[0]) as f:
         first = f.readline().strip()
     assert first == "" or isinstance(jsonlib.loads(first), dict)
+
+
+def test_ivf_artifact_partition_pruning(spark, vectors, tmp_path):
+    """Scale regression guard: a loaded IVF artifact's probed-list
+    scan must prune parquet partitions (SCALE.md §1 — nprobe search
+    reads only the probed list_id directories, the property that
+    keeps search sub-linear at 100 TB)."""
+    import contextlib
+    import io
+
+    from gofaiss_spark.plans.artifacts import load_index, save_index
+
+    idx = api.build_index(vectors, index_type="ivf", params={"nlist": 8})
+    path = str(tmp_path / "prune_ivf")
+    save_index(idx, path)
+    loaded = load_index(spark, path)
+    probed = loaded.assignments.filter(F.col("list_id").isin([1, 3]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "list_id" in pf and "IN (1,3)" in pf.replace(" ", "").replace("IN(", "IN (")
