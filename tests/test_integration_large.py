@@ -71,3 +71,23 @@ def test_50k_roundtrip(spark, big_vectors, big_queries, tmp_path, index_type, pa
     s = api.stats(loaded)
     assert s["total_vectors"] == N
     assert s["memory_mb"] > 0
+
+
+def test_concurrent_searches(spark, big_vectors, big_queries):
+    """TestConcurrentOperations analogue (index_test.go:332-359): the
+    reference guards its index with an RWMutex; DataFrames are
+    immutable, so concurrent queries are independent Spark jobs —
+    this pins down that N threads searching one index all get the
+    serial answer."""
+    import concurrent.futures
+
+    from gofaiss_spark.operators.topk import search_flat
+
+    expect = _result_set(search_flat(big_vectors, big_queries, k=10))
+
+    def one_search(_i):
+        return _result_set(search_flat(big_vectors, big_queries, k=10))
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(one_search, range(6)))
+    assert all(r == expect for r in results)
