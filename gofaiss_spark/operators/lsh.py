@@ -9,12 +9,17 @@ so the candidate re-rank runs through the engine's BLAS kernels
 instead of per-pair UDF calls):
 
 - build: L Gaussian projections r_t with offsets b_t;
-  bucket(v, t) = floor((⟨v, r_t⟩ + b_t) / bucket_length). The big
-  table explodes to (t, bucket, id, vec) — L rows per vector.
+  bucket(v, t) = floor((⟨v, r_t⟩ + b_t) / bucket_length). The bucket
+  table is NARROW — (t, bucket, id), L rows per vector — and the
+  vectors live once in a separate (id, vec) table: at 100 TB an
+  L-fold copy of the vector payload is the artifact-size killer, so
+  only 24-byte bucket rows are duplicated (~L·n·24 B vs L·n·dim·4 B).
 - search: hash the query batch the same way (driver-side NumPy —
-  the batch is small), inner-join on (t, bucket) to get candidates
-  (bucket-colliding pairs only — never n×q), dedupe (query, id),
-  exact re-rank, window top-k.
+  the batch is small), semi-join the probed (t, bucket) pairs to get
+  candidates (bucket-colliding pairs only — never n×q), join the
+  candidate ids back to the vectors table (the only wide rows moved
+  are actual candidates), dedupe (query, id), exact re-rank, window
+  top-k.
 
 ef/M have no direct analogue; (bucket_length, num_hash_tables) are
 calibrated against the recall targets the reference docs publish
@@ -49,14 +54,14 @@ class LshIndex:
     seed: int
     projections: np.ndarray  # (L, dim)
     offsets: np.ndarray  # (L,)
-    buckets: DataFrame = field(repr=False)  # (t, bucket, id, vec)
+    buckets: DataFrame = field(repr=False)  # (t, bucket, id) — narrow
+    vectors: DataFrame = field(repr=False)  # (id, vec) — stored once
 
     def stats(self) -> dict:
         """No reference analogue for LSH memory (the ref has no LSH);
-        memory_mb estimates the bucket table: n·L rows × (dim·4 vec +
-        8 id + 8 bucket + 4 table)."""
+        memory_mb = vectors once (dim·4 + 8 id) + n·L narrow bucket
+        rows (8 bucket + 8 id + 4 table + ~4 overhead)."""
         total = self.buckets.count() // self.num_hash_tables
-        row_bytes = self.dim * 4 + 20
         return {
             "index_type": "lsh",
             "total_vectors": total,
@@ -64,7 +69,11 @@ class LshIndex:
             "metric": self.metric,
             "bucket_length": self.bucket_length,
             "num_hash_tables": self.num_hash_tables,
-            "memory_mb": (total * self.num_hash_tables * row_bytes) / (1024 * 1024),
+            "memory_mb": (
+                total * (self.dim * 4 + 8)
+                + total * self.num_hash_tables * 24
+            )
+            / (1024 * 1024),
         }
 
 
@@ -96,9 +105,10 @@ def build_lsh(
 
     ``bucket_length`` defaults to ≈ the median pairwise distance of a
     small sample — the recall/candidate-size knob (calibrated on the
-    bench set: recall ≈0.99 at 6 tables). The exploded
-    buckets DataFrame is the persistent artifact; at scale it is
-    written partitioned by ``t`` so a search touches each table once.
+    bench set: recall ≈0.99 at 6 tables). The narrow buckets
+    DataFrame plus the once-stored vectors table are the persistent
+    artifact; at scale buckets are written partitioned by ``t`` so a
+    search touches each table once.
     """
     if metric not in ("l2", "cosine"):
         raise ValueError(f"lsh supports l2|cosine, got {metric!r}")
@@ -143,13 +153,10 @@ def build_lsh(
                     "t": np.tile(np.arange(L, dtype=np.int32), b),
                     "bucket": h.ravel(),
                     "id": np.repeat(pdf["id"].to_numpy(dtype=np.int64), L),
-                    "vec": np.repeat(pdf["vec"].to_numpy(), L),
                 }
             )
 
-    buckets = df.mapInPandas(
-        part, schema="t int, bucket long, id long, vec array<float>"
-    )
+    buckets = df.mapInPandas(part, schema="t int, bucket long, id long")
     return LshIndex(
         metric=metric,
         dim=dim,
@@ -159,6 +166,7 @@ def build_lsh(
         projections=projections,
         offsets=offsets,
         buckets=buckets,
+        vectors=df,
     )
 
 
@@ -203,8 +211,14 @@ def search_lsh(
     probed = spark.createDataFrame(
         [(t, b) for (t, b) in probe_map], schema="t int, bucket long"
     )
-    candidates = index.buckets.join(F.broadcast(probed), ["t", "bucket"], "left_semi"
-    ).select("t", "bucket", "id", "vec")
+    # semi-join prunes the narrow bucket table (partition pruning on t
+    # for saved artifacts); only the surviving CANDIDATE ids pull
+    # their vector row — the vectors table is stored once, never ×L
+    candidates = (
+        index.buckets.join(F.broadcast(probed), ["t", "bucket"], "left_semi")
+        .join(index.vectors, "id")
+        .select("t", "bucket", "id", "vec")
+    )
 
     bc = spark.sparkContext.broadcast((qmat_raw, query_ids, probe_map))
     is_cos = index.metric == "cosine"

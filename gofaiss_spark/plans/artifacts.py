@@ -250,8 +250,11 @@ def save_index(index, path: str, fmt: str = "parquet") -> None:
                 },
             }
         )
-        # partitionBy("t"): a search joins one bucket table at a time
+        # partitionBy("t"): a search joins one bucket table at a time;
+        # vectors are stored ONCE, not per table (the ×L payload copy
+        # is the artifact-size killer at scale)
         _write_df(index.buckets, f"{path}/buckets", fmt, "t")
+        _write_df(index.vectors, f"{path}/vectors", fmt)
     else:
         from gofaiss_spark.operators.hnsw import HnswIndex
 
@@ -366,6 +369,7 @@ def load_index(spark: SparkSession, path: str):
             projections=np.asarray(p["projections"], dtype=np.float64),
             offsets=np.asarray(p["offsets"], dtype=np.float64),
             buckets=rd("buckets"),
+            vectors=rd("vectors"),
         )
     if itype == "hnsw":
         from gofaiss_spark.operators.hnsw import (

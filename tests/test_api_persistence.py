@@ -62,8 +62,9 @@ def test_lsh_stats_memory(vectors):
     s = idx.stats()
     n = vectors.count()
     assert s["total_vectors"] == n
+    # vectors stored once + n·L narrow 24-byte bucket rows
     assert s["memory_mb"] == pytest.approx(
-        n * 4 * (s["dimension"] * 4 + 20) / (1024 * 1024)
+        (n * (s["dimension"] * 4 + 8) + n * 4 * 24) / (1024 * 1024)
     )
 
 
