@@ -962,6 +962,30 @@ FROM m
 """
 
 
+def _doc_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-wins near-dup FILTER (the dedup decision the
+    training pipeline actually applies; pair mining is
+    doc_minhash_near_dup). Oracle: a doc survives iff it is never the
+    higher id of an exact-Jaccard ≥0.7 pair — equivalent here because
+    the banded candidate set equals the exact pair set on this corpus
+    (verified at sf0.001/sf0.01, same property the pair query's oracle
+    relies on)."""
+    from gofaiss_spark.operators.dedup import near_dup_dedup_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", F.lower(F.trim("text"))
+    )
+    return near_dup_dedup_batch(
+        docs, num_hashes=32, bands=8, shingle_n=MINHASH_SHINGLE_N
+    ).select("doc_id", "n_chars")
+
+
+_DOC_NEAR_DUP_DEDUP_SQL = (
+    "SELECT doc_id, n_chars FROM documents WHERE doc_id NOT IN "
+    "(SELECT doc_b FROM (" + _JACCARD_PAIRS_SQL + ") p)"
+)
+
+
 CHUNK_TOKENS = 32
 CHUNK_OVERLAP = 8
 SAMPLE_PCT = 10
@@ -1260,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "doc_hash_sample": _doc_hash_sample,
         "doc_top_quality_per_lang": _doc_top_quality_per_lang,
+        "doc_near_dup_dedup": _doc_near_dup_dedup,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "multimodal_stats": _multimodal_stats,
@@ -1316,6 +1341,7 @@ GROUP BY label, g.i
         "doc_chunks": _DOC_CHUNKS_SQL,
         "doc_hash_sample": _DOC_HASH_SAMPLE_SQL,
         "doc_top_quality_per_lang": _DOC_TOP_QUALITY_SQL,
+        "doc_near_dup_dedup": _DOC_NEAR_DUP_DEDUP_SQL,
         "embedding_near_dup_exact": _EMB_NEAR_DUP_SQL,
         # the LSH path's banded-candidate + exact-verify output equals
         # the exact pair set at the driver SFs (hyperplanes are

@@ -134,6 +134,7 @@ def main() -> None:
         "doc_chunks",
         "doc_hash_sample",
         "doc_top_quality_per_lang",
+        "doc_near_dup_dedup",
         "multimodal_features",
         "multimodal_frame_sample",
     ):

@@ -125,6 +125,69 @@ def _hashed_signatures(
     return sh.withColumn("sig", sig)
 
 
+def _band_hash_array(r: int, bands: int):
+    """ARRAY of ``bands`` band hashes: xxhash64 over each row-chunk of
+    ``sig`` (r signature slots per band — the LSH OR-construction)."""
+    return F.array(
+        *[
+            F.xxhash64(*[F.col("sig").getItem(b * r + j) for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, band, band_hash) — the narrow banding rows. This is
+    the join/registry key set for candidate generation: batch pair
+    mining (minhash_near_dup_pairs) self-joins it; the streaming
+    dedup (streaming/ops.stream_near_dup_minhash) persists it as the
+    incremental seen-registry. Docs with zero shingles emit no rows."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes {num_hashes} must divide into {bands} bands")
+    r = num_hashes // bands
+    sigs = _hashed_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    return sigs.select(
+        "doc_id", F.posexplode(_band_hash_array(r, bands)).alias("band", "band_hash")
+    )
+
+
+def near_dup_dedup_batch(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """First-seen-wins near-dup FILTER (the dedup decision, not the
+    pair report): keep a doc iff no lower-id doc shares any band
+    hash. min-per-(band,hash) + all-bands check — two bounded
+    shuffles on narrow keys. Docs with zero shingles are kept (they
+    cannot collide). This is the batch twin of
+    streaming/ops.stream_near_dup_minhash: identical output when the
+    stream arrives in id order."""
+    bands_df = minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_n)
+    firsts = bands_df.groupBy("band", "band_hash").agg(
+        F.min("doc_id").alias("_first_doc")
+    )
+    dup_ids = (
+        bands_df.join(firsts, ["band", "band_hash"])
+        .filter(F.col("_first_doc") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    return df.join(
+        dup_ids.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -151,14 +214,7 @@ def minhash_near_dup_pairs(
     # again by its candidate count.
     banded = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col("sig").getItem(b * r + j) for j in range(r)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(_band_hash_array(r, bands)).alias("band", "band_hash"),
     )
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")

@@ -249,3 +249,78 @@ def stream_add_to_ivf(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_near_dup_minhash(
+    stream: DataFrame,
+    registry_path: str,
+    kept_path: str,
+    checkpoint_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Incremental first-seen-wins MinHash near-dup over a document
+    stream.
+
+    State is NOT executor memory: it is a persisted narrow
+    (doc_id, band, band_hash) registry parquet — restart-safe,
+    unbounded-corpus-safe, and shared by later batch jobs. Per
+    micro-batch:
+
+    1. band the batch (operators/dedup.minhash_bands — pure column
+       expressions);
+    2. a doc is a duplicate iff any band hash is in the registry
+       (left-semi against narrow keys) or collides with a lower-id
+       doc inside the batch (min-per-key);
+    3. survivors append to ``kept_path``; ALL banded rows (kept and
+       dropped) append to the registry, preserving the min-doc-wins
+       semantics of operators/dedup.near_dup_dedup_batch — the batch
+       twin produces the identical kept set when docs arrive in id
+       order (gated in tests/test_streaming.py).
+
+    Same artifact-as-state design as ``stream_add_to_ivf``: the
+    streaming commit log serializes appends. Returns the started
+    StreamingQuery.
+    """
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        from gofaiss_spark.operators.dedup import minhash_bands
+
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        bands_df = minhash_bands(
+            batch, text_col, id_col, num_hashes, bands, shingle_n
+        ).cache()
+        firsts = bands_df.groupBy("band", "band_hash").agg(
+            F.min("doc_id").alias("_first_doc")
+        )
+        dup_in_batch = (
+            bands_df.join(firsts, ["band", "band_hash"])
+            .filter(F.col("_first_doc") < F.col("doc_id"))
+            .select("doc_id")
+        )
+        try:
+            reg = spark.read.parquet(registry_path).select("band", "band_hash")
+            dup_vs_reg = bands_df.join(
+                reg, ["band", "band_hash"], "left_semi"
+            ).select("doc_id")
+            dup_ids = dup_in_batch.union(dup_vs_reg).distinct()
+        except Exception:  # first batch: no registry yet
+            dup_ids = dup_in_batch.distinct()
+        kept = batch.join(
+            dup_ids.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+        )
+        kept.write.mode("append").parquet(kept_path)
+        bands_df.write.mode("append").parquet(registry_path)
+        bands_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

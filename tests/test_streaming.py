@@ -181,3 +181,35 @@ def test_stream_add_to_ivf(spark, embeddings, tmp_path):
         flat_path = str(tmp_path / "flat_idx")
         save_index(build_flat(vectors), flat_path)
         stream_add_to_ivf(stream, flat_path, checkpoint_dir=str(tmp_path / "ckpt2"))
+
+
+def test_stream_near_dup_matches_batch(spark, documents, tmp_path):
+    """Two stream runs over the id-ordered corpus halves must produce
+    exactly the batch twin's kept set (first-seen-wins, registry
+    carried across runs via the persisted band parquet)."""
+    from gofaiss_spark.operators.dedup import near_dup_dedup_batch
+    from gofaiss_spark.streaming.ops import stream_near_dup_minhash
+
+    docs = documents.select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "nd_src")
+    reg = str(tmp_path / "nd_registry")
+    kept = str(tmp_path / "nd_kept")
+
+    def run_chunk(chunk_df, ckpt):
+        chunk_df.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = stream_near_dup_minhash(
+            stream, registry_path=reg, kept_path=kept, checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    # same checkpoint across runs → run 2 only sees the new files
+    ckpt = str(tmp_path / "nd_ckpt")
+    run_chunk(docs.filter(F.col("doc_id") <= mid), ckpt)
+    run_chunk(docs.filter(F.col("doc_id") > mid), ckpt)
+
+    got = {r.doc_id for r in spark.read.parquet(kept).collect()}
+    expect = {r.doc_id for r in near_dup_dedup_batch(docs).collect()}
+    assert got == expect
+    assert len(got) < docs.count()  # the corpus has planted near-dups
