@@ -204,6 +204,16 @@ def main() -> None:
                            "qps_batch": round(bn_q / sec, 1), "recall": brec(res, truth),
                            "nlist": bl_nlist, "nprobe": 10, "memory_mb": mem_mb(bivf)}
 
+        # tuned-recall row (BASELINE.md "tuning-adjusted targets":
+        # IVF nprobe=50 → recall ≥0.90, docs/benchmarks.md:134-144) —
+        # same index, wider probe
+        sec, res = bsearch(lambda: search_ivf(bivf, bq, k=K, nprobe=50))
+        baseline["ivf_tuned"] = {"search_sec": sec,
+                                 "qps_batch": round(bn_q / sec, 1),
+                                 "recall": brec(res, truth),
+                                 "nlist": bl_nlist, "nprobe": 50,
+                                 "target_recall": 0.90}
+
         t0 = time.monotonic()
         bpq = build_pq(bvec, m=16, nbits=8, seed=42, train_fraction=bl_tf)
         bpq.codes.cache().count()
@@ -223,6 +233,22 @@ def main() -> None:
                              "qps_batch": round(bn_q / sec, 1), "recall": brec(res, truth),
                              "nlist": bl_nlist, "m": 8, "nbits": 8, "nprobe": 10,
                              "memory_mb": mem_mb(bivfpq)}
+
+        # tuned-recall row (IVFPQ nlist=316, M=16, nprobe=50,
+        # train ≥50k → recall ≥0.90, docs/benchmarks.md:201-211)
+        if big and os.environ.get("SPARK_GRAFT_BASELINE_TUNED", "1") != "0":
+            t0 = time.monotonic()
+            bivfpq_t = build_ivfpq(bvec, nlist=bl_nlist, m=16, nbits=8, seed=42,
+                                   train_fraction=0.5)
+            bivfpq_t.codes.cache().count()
+            build_s = round(time.monotonic() - t0, 4)
+            sec, res = bsearch(lambda: search_ivfpq(bivfpq_t, bq, k=K, nprobe=50))
+            baseline["ivfpq_tuned"] = {"build_sec": build_s, "search_sec": sec,
+                                       "qps_batch": round(bn_q / sec, 1),
+                                       "recall": brec(res, truth),
+                                       "nlist": bl_nlist, "m": 16, "nbits": 8,
+                                       "nprobe": 50, "target_recall": 0.90,
+                                       "memory_mb": mem_mb(bivfpq_t)}
 
         bl_L = 8 if big else 16  # measured: L=8 → recall 0.991 @100k
         t0 = time.monotonic()
