@@ -417,6 +417,551 @@ GROUP BY o_orderpriority
 """
 
 
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-shipping analogue (TPC-H Q7): bidirectional trade
+    between two 2-nation blocs by ship year (blocs instead of single
+    nations so the sf0.001 smoke set is non-empty). Nation is a
+    25-row dim on both
+    sides of the fact — broadcast twice under different role aliases,
+    so lineitem shuffles only for the orders/customer joins."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("_n1key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("_n2key"))
+        .filter(
+            (
+                F.col("supp_nation").isin("NATION_1", "NATION_3")
+                & F.col("cust_nation").isin("NATION_2", "NATION_4")
+            )
+            | (
+                F.col("supp_nation").isin("NATION_2", "NATION_4")
+                & F.col("cust_nation").isin("NATION_1", "NATION_3")
+            )
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_decimal_revenue())
+    )
+
+
+_TPCH_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name IN ('NATION_1','NATION_3') AND n2.n_name IN ('NATION_2','NATION_4'))
+    OR (n1.n_name IN ('NATION_2','NATION_4') AND n2.n_name IN ('NATION_1','NATION_3')))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+def _tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National-market-share analogue (TPC-H Q8): NATION_5's share of
+    ECONOMY-part revenue sold into ASIA, by order year. The share is
+    a ratio of two exact DECIMAL sums cast to double — one IEEE
+    division per group, engine-independent."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_regionkey").alias("_n2rkey")
+    )
+    dec = "decimal(18,4)"
+    rev = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1).cast(dec) - F.col("l_discount").cast(dec)
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("_n1key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("_n2key"))
+        .join(F.broadcast(region), F.col("_n2rkey") == region.r_regionkey)
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(
+            F.lit(0).cast(dec)
+        )).alias("_n5"),
+        F.sum(rev).alias("_tot"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("_n5").cast("double") / F.col("_tot").cast("double"), 6).alias(
+            "mkt_share"
+        ),
+        F.round("_tot", 2).cast("double").alias("total_revenue"),
+    )
+
+
+_TPCH_Q8_SQL = """
+WITH j AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
+       CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue
+FROM j GROUP BY o_year
+"""
+
+
+def _tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type-profit analogue (TPC-H Q9, adapted: no partsupp
+    table, so supply cost is modeled as 0.8·p_retailprice·l_quantity).
+    Profit by supplier nation and order year for parts named
+    '%red%'. Tight DECIMAL casts keep the three-factor product inside
+    precision 38 on both engines, so the sum is exact."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    supp = _read(spark, sf_dir, "supplier")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    nation = _read(spark, sf_dir, "nation")
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    retail = F.col("p_retailprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(4,0)")
+    profit = ext * (F.lit(1).cast("decimal(4,2)") - disc) - F.lit(0.8).cast(
+        "decimal(2,1)"
+    ) * retail * qty
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+_TPCH_Q9_SQL = """
+SELECT n_name,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                      - CAST(0.8 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,0))), 2) AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+"""
+
+
+def _tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-order-count distribution (TPC-H Q13): LEFT OUTER join
+    so order-less customers survive into the c_count=0 bucket, then a
+    second aggregation over the first — the classic double groupBy."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_TPCH_Q13_SQL = """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM c_orders GROUP BY c_count
+"""
+
+
+def _tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-supplier analogue (TPC-H Q15): quarterly revenue per
+    supplier, keep the max-revenue supplier(s). The revenue view is
+    100 rows after aggregation, so the max is computed over a
+    broadcast-sized side; equality compares round-2 doubles (exact —
+    both sides derive from the same DECIMAL sum)."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(_decimal_revenue().alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx._mx)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+_TPCH_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
+def _tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts-supplier-relationship analogue (TPC-H Q16, adapted: no
+    partsupp, so supplier variety is counted from actual shipments).
+    count(DISTINCT) forces a two-phase shuffle — partial distinct
+    map-side, exact distinct on the (brand,type,size) key."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_TPCH_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def _tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17): the correlated
+    'below 20% of this part's average quantity' subquery, decorrelated
+    into a per-part aggregate re-joined to lineitem. Quantities are
+    integral doubles, so avg is exact and the 0.2·avg threshold is a
+    single deterministic IEEE multiply on both engines."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    pa = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_lim")
+    )
+    dec = "decimal(18,4)"
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pa, li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_lim"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(dec)).cast("double") / 7.0, 2
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_TPCH_Q17_SQL = """
+WITH pa AS (
+  SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS lim
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pa ON pa.pk = l_partkey
+WHERE p_brand = 'Brand#3' AND l_quantity < lim
+"""
+
+
+def _tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted-revenue analogue (TPC-H Q19, adapted to the
+    available part columns): three OR-ed (brand, size-range,
+    quantity-range) branches. One broadcast join; the disjunction is
+    a single codegen'd predicate — no union of three scans."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        _decimal_revenue(), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+_TPCH_Q19_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-promotion analogue (TPC-H Q20, adapted: availqty is
+    modeled as shipped quantity). Suppliers who moved >50 units of any
+    'red…' part in 1996, with how many such parts. Quantity sums are
+    integral doubles — exact."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _read(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 50)
+    )
+    return (
+        shipped.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_heavy_parts"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "n_heavy_parts")
+    )
+
+
+_TPCH_Q20_SQL = """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_suppkey, s_name, n_name, n_heavy_parts
+FROM (SELECT l_suppkey, count(*) AS n_heavy_parts
+      FROM shipped WHERE qty > 50 GROUP BY l_suppkey) h
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def _tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waiting-orders analogue (TPC-H Q21, adapted: 'kept the order
+    waiting' = sole supplier with returned lines in a multi-supplier
+    order). EXISTS → left-semi join, NOT EXISTS → left-anti join, both
+    on the narrow distinct (order, supplier) projection. Top 20 by
+    blame count with a deterministic key tiebreak."""
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    al = li.select("l_orderkey", "l_suppkey").distinct()
+    rl = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    o2 = al.select(F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk"))
+    r2 = rl.select(F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk"))
+    blamed = rl.join(
+        o2,
+        (rl.l_orderkey == o2._ok) & (rl.l_suppkey != o2._sk),
+        "left_semi",
+    ).join(
+        r2,
+        (rl.l_orderkey == r2._ok) & (rl.l_suppkey != r2._sk),
+        "left_anti",
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+_TPCH_Q21_SQL = """
+WITH al AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+     rl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+SELECT s_suppkey, s_name, numwait
+FROM (
+  SELECT rl.l_suppkey, count(*) AS numwait
+  FROM rl
+  WHERE EXISTS (SELECT 1 FROM al WHERE al.l_orderkey = rl.l_orderkey AND al.l_suppkey <> rl.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM rl r2 WHERE r2.l_orderkey = rl.l_orderkey AND r2.l_suppkey <> rl.l_suppkey)
+  GROUP BY rl.l_suppkey
+) b
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 20
+"""
+
+
+def _tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity analogue (TPC-H Q22, adapted: nation
+    plays the phone-prefix role). Rich customers (balance above the
+    positive-balance average) with no orders since 2000, counted per
+    nation. The scalar average is an exact DECIMAL sum divided once
+    in double; the anti join replaces NOT EXISTS."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    nation = _read(spark, sf_dir, "nation")
+    dec = "decimal(18,4)"
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_avg_bal")
+        )
+    )
+    return (
+        cust.join(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast(dec)), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+_TPCH_Q22_SQL = """
+WITH hi AS (
+  SELECT c_custkey, c_nationkey, c_acctbal
+  FROM customer
+  WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+                     FROM customer WHERE c_acctbal > 0)
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+)
+SELECT n_name, count(*) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
+FROM hi JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost-supplier analogue (TPC-H Q2, adapted: no partsupp,
+    so a supplier's 'offer' for a part is the minimum extended price
+    it ever shipped it at). For LARGE parts of size ≤ 25, find the
+    supplier(s) matching the per-part minimum — the correlated-min
+    subquery decorrelated into aggregate + equality join. min() over
+    identical doubles is exact, so the join key is engine-safe."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 25)
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("offer")
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("offer").alias("_best")
+    )
+    return (
+        offers.join(
+            best, (offers.l_partkey == F.col("_pk")) & (offers.offer == F.col("_best"))
+        )
+        .join(F.broadcast(part), offers.l_partkey == part.p_partkey)
+        .join(supp, offers.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round("offer", 2).alias("best_price"),
+        )
+    )
+
+
+_TPCH_Q2_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS offer
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (SELECT l_partkey AS pk, min(offer) AS best FROM offers GROUP BY l_partkey)
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+       round(offer, 2) AS best_price
+FROM offers
+JOIN best ON offers.l_partkey = best.pk AND offers.offer = best.best
+JOIN part ON offers.l_partkey = p_partkey
+JOIN supplier ON offers.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'LARGE' AND p_size <= 25
+"""
+
+
 def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprinting over the documents table (reference
     analogue: the exact-dedup key; SURVEY.md §2.6 scalar-function
@@ -1262,6 +1807,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _tpch_q6,
         "tpch_q14": _tpch_q14,
         "tpch_q18": _tpch_q18,
+        "tpch_q2": _tpch_q2,
+        "tpch_q7": _tpch_q7,
+        "tpch_q8": _tpch_q8,
+        "tpch_q9": _tpch_q9,
+        "tpch_q13": _tpch_q13,
+        "tpch_q15": _tpch_q15,
+        "tpch_q16": _tpch_q16,
+        "tpch_q17": _tpch_q17,
+        "tpch_q19": _tpch_q19,
+        "tpch_q20": _tpch_q20,
+        "tpch_q21": _tpch_q21,
+        "tpch_q22": _tpch_q22,
         "doc_fingerprint": _doc_fingerprint,
         "revenue_by_nation": _revenue_by_nation,
         "events_hourly": _events_hourly,
@@ -1326,6 +1883,18 @@ GROUP BY label, g.i
         "tpch_q6": _TPCH_Q6_SQL,
         "tpch_q14": _TPCH_Q14_SQL,
         "tpch_q18": _TPCH_Q18_SQL,
+        "tpch_q2": _TPCH_Q2_SQL,
+        "tpch_q7": _TPCH_Q7_SQL,
+        "tpch_q8": _TPCH_Q8_SQL,
+        "tpch_q9": _TPCH_Q9_SQL,
+        "tpch_q13": _TPCH_Q13_SQL,
+        "tpch_q15": _TPCH_Q15_SQL,
+        "tpch_q16": _TPCH_Q16_SQL,
+        "tpch_q17": _TPCH_Q17_SQL,
+        "tpch_q19": _TPCH_Q19_SQL,
+        "tpch_q20": _TPCH_Q20_SQL,
+        "tpch_q21": _TPCH_Q21_SQL,
+        "tpch_q22": _TPCH_Q22_SQL,
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
