@@ -123,10 +123,21 @@ def search(index, queries: DataFrame, k: int = DEFAULT_K, params: dict | None = 
     if isinstance(index, IvfIndex):
         return search_ivf(index, queries, k=k, nprobe=params.get("nprobe", DEFAULT_NPROBE))
     if isinstance(index, PqIndex):
-        return search_pq(index, queries, k=k)
+        return search_pq(
+            index,
+            queries,
+            k=k,
+            refine=params.get("refine"),
+            base=params.get("base"),
+        )
     if isinstance(index, IvfPqIndex):
         return search_ivfpq(
-            index, queries, k=k, nprobe=params.get("nprobe", DEFAULT_NPROBE)
+            index,
+            queries,
+            k=k,
+            nprobe=params.get("nprobe", DEFAULT_NPROBE),
+            refine=params.get("refine"),
+            base=params.get("base"),
         )
     if isinstance(index, LshIndex):
         return search_lsh(index, queries, k=k)

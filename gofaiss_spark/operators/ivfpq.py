@@ -67,6 +67,13 @@ class IvfPqIndex:
     centroids: np.ndarray  # (nlist, dim)
     codebooks: np.ndarray  # (M, ksub, dsub) — trained on residuals
     codes: DataFrame = field(repr=False)  # (id, list_id, code array<smallint>)
+    # True when codes rows are already grouped by list_id (loaded from
+    # a partitionBy("list_id") artifact). In-memory builds are NOT —
+    # every physical partition then holds a slice of every list, and
+    # the per-(query,list) ADC tables would be rebuilt once per
+    # partition (a silent partitions× redundancy). search_ivfpq
+    # repartitions on list_id when this is False.
+    colocated: bool = False
 
     def list_sizes(self) -> DataFrame:
         return self.codes.groupBy("list_id").agg(
@@ -191,11 +198,24 @@ def search_ivfpq(
     nprobe: int = 10,
     qvec_col: str = "qvec",
     query_id_col: str = "query_id",
+    refine: int | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """nprobe-pruned ADC search (ivfpq.go:222-284).
 
     Per probed (query, list): residual query → squared-L2 tables →
-    gather-sum over codes → sqrt → top-k."""
+    gather-sum over codes → sqrt → top-k.
+
+    ``refine=r`` re-ranks the top-(k·r) ADC candidates with exact L2
+    against ``base`` (the original vectors DataFrame) — the FAISS
+    RefineFlat pattern; the residual-quantization error then costs
+    recall only, never distance accuracy."""
+    if refine is not None:
+        if refine < 1:
+            raise ValueError(f"refine must be >= 1, got {refine}")
+        if base is None:
+            raise ValueError("refine requires base= (the original vectors)")
+    k_cand = k * refine if refine is not None and k > 0 else k
     qrows = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(qvec_col).alias("qvec")
     ).toPandas()
@@ -229,6 +249,17 @@ def search_ivfpq(
     candidates = index.codes.filter(F.col("list_id").isin(probed_list_ids)).select(
         "list_id", "id", "code"
     )
+    if not index.colocated:
+        # Group each list's rows into one partition so its ADC tables
+        # are built exactly once. Loaded artifacts are already
+        # list-contiguous on disk (partitionBy("list_id")) and skip
+        # this; the shuffle moves only narrow (list_id, id, M-byte
+        # code) rows. Capped at one partition per probed list.
+        nparts = min(
+            index.codes.sparkSession.sparkContext.defaultParallelism,
+            max(1, len(probed_list_ids)),
+        )
+        candidates = candidates.repartition(nparts, "list_id")
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qmat, qids_arr, pmap, cents, books = bc.value
@@ -245,7 +276,7 @@ def search_ivfpq(
                 codes = np.stack(grp["code"].to_numpy()).astype(np.int64)  # (b, M)
                 ids = grp["id"].to_numpy(dtype=np.int64)
                 b = codes.shape[0]
-                kk = min(k, b) if k > 0 else b
+                kk = min(k_cand, b) if k_cand > 0 else b
                 # vectorized over the queries probing this list:
                 # M gathers of (nq, b), then one batched top-k
                 nq = qidx.shape[0]
@@ -272,4 +303,16 @@ def search_ivfpq(
                 )
 
     cand = candidates.mapInPandas(part, schema=RESULT_SCHEMA)
+    if refine is not None:
+        from gofaiss_spark.operators.topk import refine_exact
+
+        return refine_exact(
+            topk(cand, k_cand),
+            base,
+            queries,
+            k,
+            metric=index.metric,
+            qvec_col=qvec_col,
+            query_id_col=query_id_col,
+        )
     return topk(cand, k)

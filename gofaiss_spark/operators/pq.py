@@ -224,9 +224,23 @@ def search_pq(
     k: int = 10,
     qvec_col: str = "qvec",
     query_id_col: str = "query_id",
+    refine: int | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """ADC search (pq.go:127-179): table gather + per-batch top-k.
-    Returns (query_id, id, distance, rank); distance = sqrt(Σ table)."""
+    Returns (query_id, id, distance, rank); distance = sqrt(Σ table).
+
+    ``refine=r`` re-ranks the top-(k·r) ADC candidates with exact L2
+    against ``base`` (the original vectors DataFrame) — the FAISS
+    RefineFlat pattern; quantization then costs recall only, never
+    distance accuracy. ``base`` is required with refine: PQ stores
+    codes, the originals live in the lake."""
+    if refine is not None:
+        if refine < 1:
+            raise ValueError(f"refine must be >= 1, got {refine}")
+        if base is None:
+            raise ValueError("refine requires base= (the original vectors)")
+    k_cand = k * refine if refine is not None and k > 0 else k
     qrows = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(qvec_col).alias("qvec")
     ).toPandas()
@@ -252,7 +266,7 @@ def search_pq(
             for mi in range(mm):
                 d2 += tables[:, mi, codes[:, mi]]  # (q, B) gather
             np.maximum(d2, 0.0, out=d2)
-            kk = min(k, b) if k > 0 else b
+            kk = min(k_cand, b) if k_cand > 0 else b
             if kk < b:
                 sel = np.argpartition(d2, kk - 1, axis=1)[:, :kk]  # (q, kk)
             else:
@@ -268,4 +282,16 @@ def search_pq(
             )
 
     cand = index.codes.select("id", "code").mapInPandas(part, schema=RESULT_SCHEMA)
+    if refine is not None:
+        from gofaiss_spark.operators.topk import refine_exact
+
+        return refine_exact(
+            topk(cand, k_cand),
+            base,
+            queries,
+            k,
+            metric="l2",
+            qvec_col=qvec_col,
+            query_id_col=query_id_col,
+        )
     return topk(cand, k)

@@ -180,6 +180,47 @@ def search_flat(
     return topk(cand, k)
 
 
+def refine_exact(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "l2",
+    vec_col: str = "vec",
+    qvec_col: str = "qvec",
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact re-ranking of an approximate candidate list (the FAISS
+    IndexRefineFlat idea): take the top-(k·oversample) ids from a
+    quantized search, fetch their original vectors, recompute the true
+    metric, keep the exact top-k.
+
+    Scale shape: ``candidates`` is queries × k_cand narrow (query_id,
+    id) rows — the join back to ``vectors`` is an equi-join on id that
+    touches only candidate rows (shuffle-hash on id at 100 TB, never a
+    rescan), and the query batch rides as a broadcast. Quantization
+    error then only affects which candidates are considered (recall),
+    never the reported distances or their order.
+    """
+    validate_metric(metric)
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(qvec_col).alias("_qvec")
+    )
+    scored = (
+        candidates.select("query_id", "id")
+        .join(v, "id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "id",
+            distance_col(metric, "_vec", "_qvec").alias("distance"),
+        )
+    )
+    return topk(scored, k)
+
+
 def range_search(
     vectors: DataFrame,
     queries: DataFrame,

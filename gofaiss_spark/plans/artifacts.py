@@ -357,6 +357,8 @@ def load_index(spark: SparkSession, path: str):
             centroids=cents,
             codebooks=cb,
             codes=rd("codes"),
+            colocated=True,  # partitionBy("list_id") artifact: rows
+            # arrive list-contiguous, no re-shuffle needed for ADC
         )
     if itype == "lsh":
         p = meta["params"]
