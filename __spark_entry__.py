@@ -1201,6 +1201,39 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_invariants(res, v)
 
 
+def _pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC search + exact re-rank (refine=10) as hard-checked
+    invariants. Refined distances are exact L2 (the FAISS
+    IndexRefineFlat pattern), so the flat lower-bound and
+    distance-honesty checks apply even though the candidate set is
+    quantizer-chosen — the reference reports quantized distances with
+    no re-rank (pq.go:127-179); refine is the Spark-side upgrade
+    (recall measured 0.995+ at the driver SFs, gated in
+    tests/test_refine.py)."""
+    from gofaiss_spark.operators.pq import build_pq, search_pq
+    from gofaiss_spark.operators.topk import search_flat
+
+    v = _vectors(spark, sf_dir)
+    q = _queries_df(spark, sf_dir, N_ANN_QUERIES)
+    idx = build_pq(v, m=8, nbits=6)
+    res = search_pq(idx, q, k=TOPK_K, refine=10, base=v)
+    return _ann_invariants(res, v, queries=q, truth=search_flat(v, q, k=TOPK_K))
+
+
+def _ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ residual-ADC search + exact re-rank (refine=10) as
+    hard-checked invariants (exact distances → lower bound + honesty
+    apply; see _pq_refine_topk)."""
+    from gofaiss_spark.operators.ivfpq import build_ivfpq, search_ivfpq
+    from gofaiss_spark.operators.topk import search_flat
+
+    v = _vectors(spark, sf_dir)
+    q = _queries_df(spark, sf_dir, N_ANN_QUERIES)
+    idx = build_ivfpq(v, nlist=10, m=8, nbits=5)
+    res = search_ivfpq(idx, q, k=TOPK_K, nprobe=4, refine=10, base=v)
+    return _ann_invariants(res, v, queries=q, truth=search_flat(v, q, k=TOPK_K))
+
+
 def _hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-side HNSW graph search as hard-checked invariants
     (exact distances → lower bound + honesty apply; recall ≥0.95 is
@@ -1829,6 +1862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_nprobe": _ivf_topk_nprobe,
         "pq_topk": _pq_topk,
         "ivfpq_topk": _ivfpq_topk,
+        "pq_refine_topk": _pq_refine_topk,
+        "ivfpq_refine_topk": _ivfpq_refine_topk,
         "lsh_topk": _lsh_topk,
         "hnsw_topk": _hnsw_topk,
         "ann_recall_report": _ann_recall_report,
@@ -1926,6 +1961,8 @@ GROUP BY label, g.i
         "ivf_topk_nprobe": _ANN_OK_SQL,
         "pq_topk": _ANN_OK_SQL,
         "ivfpq_topk": _ANN_OK_SQL,
+        "pq_refine_topk": _ANN_OK_SQL,
+        "ivfpq_refine_topk": _ANN_OK_SQL,
         "lsh_topk": _ANN_OK_SQL,
         "hnsw_topk": _ANN_OK_SQL,
         "ann_recall_report": _ANN_RECALL_REPORT_SQL,

@@ -95,6 +95,13 @@ def main() -> None:
             ivfpq_l, queries, k=K, nprobe=max(1, nlist // 10)
         ).count(),
     )
+    timed(
+        "ivfpq_refine_search",
+        lambda: search_ivfpq(
+            ivfpq_l, queries, k=K, nprobe=max(1, nlist // 10),
+            refine=10, base=vectors,
+        ).count(),
+    )
 
     lsh = timed("lsh_build", lambda: build_lsh(vectors))
     lsh.buckets.cache().count()
