@@ -1650,6 +1650,91 @@ SELECT lang, doc_id, quality, group_rank FROM j WHERE group_rank <= {TOPQ_K}
 """
 
 
+def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-token ratio,
+    dup-trigram fraction, top-bigram share) — pure shuffle-free
+    column expressions; see operators/curation.py:repetition_stats."""
+    from gofaiss_spark.operators.curation import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
+_DOC_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, toks,
+         list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bi,
+         list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tri
+  FROM t
+)
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  round(CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(toks))::DOUBLE / len(toks) END, 6)
+    AS dup_token_ratio,
+  round(CASE WHEN len(tri) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(tri))::DOUBLE / len(tri) END, 6)
+    AS dup_trigram_frac,
+  round(CASE WHEN len(bi) = 0 THEN 0.0
+             ELSE list_max(list_transform(list_distinct(bi),
+                           b -> len(list_filter(bi, x -> x = b))))::DOUBLE
+                  / len(bi) END, 6)
+    AS top_bigram_frac
+FROM g
+"""
+
+
+CONTAM_N = 4  # word n-gram width; eval set = doc_id % 17 == 0
+
+
+def _doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: training docs sharing word
+    4-grams with the (synthetic) eval split. The eval n-gram table is
+    broadcast; see operators/curation.py:contamination_check."""
+    from gofaiss_spark.operators.curation import contamination_check
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr = docs.filter(F.col("doc_id") % 17 != 0)
+    return contamination_check(tr, ev, n=CONTAM_N)
+
+
+_DOC_CONTAMINATION_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - {CONTAM_N - 1}, 0)),
+           i -> {" || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(CONTAM_N))})) AS grams
+  FROM t
+),
+ev AS (
+  SELECT doc_id AS eval_doc_id, len(grams) AS n_eval, unnest(grams) AS gram
+  FROM g WHERE doc_id % 17 = 0
+),
+tr AS (
+  SELECT doc_id AS train_doc_id, unnest(grams) AS gram
+  FROM g WHERE doc_id % 17 <> 0
+)
+SELECT train_doc_id, eval_doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_ngrams,
+       round(count(*)::DOUBLE / n_eval, 6) AS containment
+FROM tr JOIN ev USING (gram)
+GROUP BY train_doc_id, eval_doc_id, n_eval
+"""
+
+
 def _embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofaiss_spark.operators.dedup import embedding_near_dup_pairs
 
@@ -1877,6 +1962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_sample": _doc_hash_sample,
         "doc_top_quality_per_lang": _doc_top_quality_per_lang,
         "doc_near_dup_dedup": _doc_near_dup_dedup,
+        "doc_repetition": _doc_repetition,
+        "doc_contamination": _doc_contamination,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "multimodal_stats": _multimodal_stats,
@@ -1946,6 +2033,8 @@ GROUP BY label, g.i
         "doc_hash_sample": _DOC_HASH_SAMPLE_SQL,
         "doc_top_quality_per_lang": _DOC_TOP_QUALITY_SQL,
         "doc_near_dup_dedup": _DOC_NEAR_DUP_DEDUP_SQL,
+        "doc_repetition": _DOC_REPETITION_SQL,
+        "doc_contamination": _DOC_CONTAMINATION_SQL,
         "embedding_near_dup_exact": _EMB_NEAR_DUP_SQL,
         # the LSH path's banded-candidate + exact-verify output equals
         # the exact pair set at the driver SFs (hyperplanes are

@@ -54,9 +54,10 @@ def char_ngrams(text, n: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, F.lit(n))))
 
 
-def word_shingles(text, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined), order-preserving with
-    duplicates removed — the MinHash/Jaccard input unit.
+def word_ngrams(text, n: int = 3) -> Column:
+    """Word n-grams (space-joined) WITH duplicates, order-preserving —
+    the repetition-analysis unit; ``word_shingles`` is its distinct
+    twin.
 
     Built as a zip_with chain over shifted token arrays, NOT as
     ``transform(sequence(...), i -> slice(toks, i, n))``: a lambda
@@ -66,7 +67,7 @@ def word_shingles(text, n: int = 3) -> Column:
     n(n+1)/2 times, independent of document length."""
     toks = tokenize(text)
     if n == 1:
-        return F.array_distinct(toks)
+        return toks
     acc = toks
     for i in range(1, n):
         shifted = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
@@ -77,7 +78,13 @@ def word_shingles(text, n: int = 3) -> Column:
                 a.isNull() | b.isNull(), F.lit(None)
             ).otherwise(F.concat_ws(" ", a, b)),
         )
-    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
+    return F.filter(acc, lambda x: x.isNotNull())
+
+
+def word_shingles(text, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined), order-preserving with
+    duplicates removed — the MinHash/Jaccard input unit."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def stopword_ratio(text, lang: str = "en") -> Column:

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from gofaiss_spark.functions.text import tokenize
+from gofaiss_spark.functions.text import tokenize, word_ngrams, word_shingles
 
 
 def chunk_documents(
@@ -86,6 +86,131 @@ def hash_sample(
         raise ValueError(f"need 0 <= pct <= {buckets}, got {pct}")
     return df.withColumn("bucket", hash_bucket(id_col, buckets)).filter(
         F.col("bucket") < pct
+    )
+
+
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array —
+    i.e. the count of the most frequent element — as a single
+    aggregate expression. Shuffle-free: the per-document mode never
+    leaves the row, so repetition scoring over 100 TB is a pure map
+    (vs. the explode → groupBy(doc, gram) → groupBy(doc) shape,
+    which shuffles ~one row per distinct n-gram of the corpus)."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, one row per document:
+
+    - ``n_tokens`` — whitespace token count
+    - ``dup_token_ratio`` — 1 − distinct/total tokens (high ⇒ the
+      document keeps reusing the same words)
+    - ``dup_trigram_frac`` — fraction of word-trigram occurrences
+      that are repeats of an earlier trigram
+    - ``top_bigram_frac`` — share of all bigram occurrences taken by
+      the single most frequent bigram (Rae et al., Gopher §A1.1-style
+      "top n-gram fraction")
+
+    All four are pure column expressions (whole-stage codegen, no
+    shuffle, no UDF): the mode count comes from ``_max_run_length``
+    over the sorted bigram array. Ratios round to 6dp so any SQL
+    engine reproduces them bit-for-bit. No reference analogue — the
+    reference stops at vector search (SURVEY.md §2.6); this is the
+    phase-E pipeline surface."""
+    toks = tokenize(text_col)
+    bi = word_ngrams(text_col, 2)
+    tri = word_ngrams(text_col, 3)
+
+    def ratio(expr):
+        return F.round(expr.cast("double"), 6)
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_t"),
+        bi.alias("_b"),
+        tri.alias("_g"),
+    )
+    nt, nb, ng = F.size("_t"), F.size("_b"), F.size("_g")
+    return base.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        ratio(
+            F.when(nt == 0, 0.0).otherwise(
+                1.0 - F.size(F.array_distinct("_t")) / nt
+            )
+        ).alias("dup_token_ratio"),
+        ratio(
+            F.when(ng == 0, 0.0).otherwise(
+                1.0 - F.size(F.array_distinct("_g")) / ng
+            )
+        ).alias("dup_trigram_frac"),
+        ratio(
+            F.when(nb == 0, 0.0).otherwise(
+                _max_run_length(F.array_sort("_b")) / nb
+            )
+        ).alias("top_bigram_frac"),
+    )
+
+
+def contamination_check(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination scan: which training documents share
+    word ``n``-grams with an eval/benchmark document?
+
+    Returns (train_doc_id, eval_doc_id, n_shared_ngrams,
+    containment) where containment = shared / eval-doc distinct
+    n-grams — the GPT-3-style "dirty document" signal.
+
+    Scale shape: the eval set is the small side by construction
+    (benchmarks are thousands of docs, the corpus is billions), so
+    its exploded n-gram table rides as a **broadcast**; the train
+    side is a map-side explode + broadcast-hash-join + partial-agg
+    groupBy — one shuffle of only the matching (train, eval) pairs.
+    n-grams join on xxhash64, so shingle strings never ship."""
+    t = train_df.select(
+        F.col(id_col).alias("train_doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("_g"),
+    ).select("train_doc_id", F.xxhash64("_g").alias("_h"))
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_doc_id"),
+        word_shingles(text_col, n).alias("_gs"),
+    ).select(
+        "eval_doc_id",
+        F.size("_gs").alias("_n_eval"),
+        F.explode("_gs").alias("_g"),
+    ).select("eval_doc_id", "_n_eval", F.xxhash64("_g").alias("_h"))
+    return (
+        t.join(F.broadcast(ev), "_h")
+        .groupBy("train_doc_id", "eval_doc_id", "_n_eval")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .filter(F.col("n_shared_ngrams") >= min_shared)
+        .select(
+            "train_doc_id",
+            "eval_doc_id",
+            "n_shared_ngrams",
+            F.round(F.col("n_shared_ngrams") / F.col("_n_eval"), 6).alias(
+                "containment"
+            ),
+        )
     )
 
 
