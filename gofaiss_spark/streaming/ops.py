@@ -251,6 +251,57 @@ def stream_add_to_ivf(
     )
 
 
+def stream_search_topk(
+    stream: DataFrame,
+    index_path: str,
+    results_path: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    params: dict | None = None,
+    qvec_col: str = "qvec",
+    query_id_col: str = "query_id",
+):
+    """Continuous ANN serving: a stream of query vectors is searched
+    per micro-batch against the persisted index artifact at
+    ``index_path`` via the unified search API, and (query_id, id,
+    distance, rank, batch_id) rows append to ``results_path``.
+
+    The artifact is re-loaded each batch, so vectors appended by
+    ``stream_add_to_ivf`` between batches are searchable immediately —
+    the streaming twin of the reference's concurrent
+    search-while-add test (test/integration/index_test.go:330-359);
+    there the coordination is a RWMutex, here it is the parquet
+    snapshot + streaming commit log. Returns the started
+    StreamingQuery (caller owns awaitTermination/stop)."""
+
+    def search_batch(batch: DataFrame, batch_id: int) -> None:
+        from gofaiss_spark.api import search
+        from gofaiss_spark.plans.artifacts import load_index
+
+        if batch.isEmpty():
+            return
+        idx = load_index(batch.sparkSession, index_path)
+        res = search(
+            idx,
+            batch.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(qvec_col).alias("qvec"),
+            ),
+            k=k,
+            params=params or {},
+        )
+        res.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(results_path)
+
+    return (
+        stream.writeStream.foreachBatch(search_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_near_dup_minhash(
     stream: DataFrame,
     registry_path: str,

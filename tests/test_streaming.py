@@ -213,3 +213,49 @@ def test_stream_near_dup_matches_batch(spark, documents, tmp_path):
     expect = {r.doc_id for r in near_dup_dedup_batch(docs).collect()}
     assert got == expect
     assert len(got) < docs.count()  # the corpus has planted near-dups
+
+
+def test_stream_search_matches_batch(spark, embeddings, tmp_path):
+    """Streaming query serving: results of each micro-batch must
+    equal the batch unified-API search over the same artifact, and a
+    vector added between batches must be searchable in the next."""
+    from gofaiss_spark.api import search
+    from gofaiss_spark.operators.ivf import build_ivf
+    from gofaiss_spark.plans.artifacts import load_index, save_index
+    from gofaiss_spark.streaming.ops import stream_search_topk
+
+    vectors = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    idx = build_ivf(vectors, nlist=5, seed=42)
+    path = str(tmp_path / "ivf_srv")
+    save_index(idx, path)
+
+    queries = vectors.limit(8).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    src = str(tmp_path / "q_src")
+    queries.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(queries.schema).parquet(src)
+    res_path = str(tmp_path / "results")
+    q = stream_search_topk(
+        stream,
+        path,
+        res_path,
+        checkpoint_dir=str(tmp_path / "ckpt_srv"),
+        k=3,
+        params={"nprobe": 5},
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.query_id, r.rank, r.id)
+        for r in spark.read.parquet(res_path).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.id)
+        for r in search(
+            load_index(spark, path), queries, k=3, params={"nprobe": 5}
+        ).collect()
+    )
+    assert got == want
