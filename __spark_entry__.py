@@ -1650,6 +1650,75 @@ SELECT lang, doc_id, quality, group_rank FROM j WHERE group_rank <= {TOPQ_K}
 """
 
 
+STRAT_RATES = {"en": 20, "de": 10}
+STRAT_DEFAULT = 5
+PACK_BUDGET = 128
+
+
+def _doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (corpus-mix rebalancing):
+    20% of en, 10% of de, 5% of everything else, on the same stable
+    md5 bucket as doc_hash_sample."""
+    from gofaiss_spark.operators.curation import stratified_hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_hash_sample(
+        docs, STRAT_RATES, strata_col="lang", default_pct=STRAT_DEFAULT
+    ).select("doc_id", "lang", "bucket")
+
+
+_DOC_STRATIFIED_SAMPLE_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+              AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN {STRAT_RATES['en']}
+                         WHEN 'de' THEN {STRAT_RATES['de']}
+                         ELSE {STRAT_DEFAULT} END
+"""
+
+
+def _doc_packed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → per-language token-budget packing → batch manifest
+    (lang, batch_id, n_chunks, n_tokens). The packing window runs per
+    language so no global single-reducer sort exists at scale."""
+    from gofaiss_spark.operators.curation import chunk_documents, pack_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ch = chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    packed = pack_chunks(ch, budget_tokens=PACK_BUDGET, group_col="lang")
+    return packed.groupBy("lang", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("n_tokens"),
+    )
+
+
+_DOC_PACKED_BATCHES_SQL = f"""
+WITH ch AS ({_DOC_CHUNKS_SQL}),
+j AS (
+  SELECT d.lang, ch.doc_id, ch.chunk_idx, ch.n_chunk_tokens
+  FROM ch JOIN documents d USING (doc_id)
+),
+p AS (
+  SELECT lang, n_chunk_tokens,
+         CAST(floor(COALESCE(SUM(n_chunk_tokens) OVER (
+                PARTITION BY lang ORDER BY doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {PACK_BUDGET}.0) AS INT) AS batch_id
+  FROM j
+)
+SELECT lang, batch_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens
+FROM p GROUP BY lang, batch_id
+"""
+
+
 def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (dup-token ratio,
     dup-trigram fraction, top-bigram share) — pure shuffle-free
@@ -1964,6 +2033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_near_dup_dedup": _doc_near_dup_dedup,
         "doc_repetition": _doc_repetition,
         "doc_contamination": _doc_contamination,
+        "doc_stratified_sample": _doc_stratified_sample,
+        "doc_packed_batches": _doc_packed_batches,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "multimodal_stats": _multimodal_stats,
@@ -2035,6 +2106,8 @@ GROUP BY label, g.i
         "doc_near_dup_dedup": _DOC_NEAR_DUP_DEDUP_SQL,
         "doc_repetition": _DOC_REPETITION_SQL,
         "doc_contamination": _DOC_CONTAMINATION_SQL,
+        "doc_stratified_sample": _DOC_STRATIFIED_SAMPLE_SQL,
+        "doc_packed_batches": _DOC_PACKED_BATCHES_SQL,
         "embedding_near_dup_exact": _EMB_NEAR_DUP_SQL,
         # the LSH path's banded-candidate + exact-verify output equals
         # the exact pair set at the driver SFs (hyperplanes are

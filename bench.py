@@ -154,6 +154,10 @@ def main() -> None:
         "doc_hash_sample",
         "doc_top_quality_per_lang",
         "doc_near_dup_dedup",
+        "doc_repetition",
+        "doc_contamination",
+        "doc_stratified_sample",
+        "doc_packed_batches",
         "multimodal_features",
         "multimodal_frame_sample",
     ):

@@ -89,6 +89,64 @@ def hash_sample(
     )
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    strata_col: str = "lang",
+    default_pct: int = 0,
+    id_col: str = "doc_id",
+    buckets: int = 100,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ``rates[stratum]``
+    percent of each stratum (``default_pct`` for unlisted strata),
+    using the same md5 bucket as ``hash_sample`` — so the kept set is
+    stable across runs/engines AND a document keeps its fate when
+    rates for *other* strata change. The per-language rebalancing
+    step of corpus mixing (upsample scarce langs, downsample dominant
+    ones), as a stateless codegen'd filter — no shuffle, no sort."""
+    for key, pct in rates.items():
+        if not 0 <= pct <= buckets:
+            raise ValueError(f"rate for {key!r} must be in [0, {buckets}], got {pct}")
+    pct_col = F.lit(default_pct)
+    for key, pct in sorted(rates.items()):
+        pct_col = F.when(F.col(strata_col) == key, F.lit(pct)).otherwise(pct_col)
+    return df.withColumn("bucket", hash_bucket(id_col, buckets)).filter(
+        F.col("bucket") < pct_col
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget_tokens: int = 256,
+    group_col: str | None = None,
+    token_col: str = "n_chunk_tokens",
+    order_cols: tuple = ("doc_id", "chunk_idx"),
+) -> DataFrame:
+    """Token-offset sharding of a chunk stream into training batches:
+    batch ``b`` covers token offsets [b·budget, (b+1)·budget) of the
+    concatenated (ordered) chunk stream, i.e.
+    ``batch_id = floor(tokens_before / budget)``. Deterministic and
+    window-expressible — the fixed-token-budget packing step between
+    chunking and the training loader.
+
+    Scale note: packing needs a total order, and a global window is a
+    single-reducer bottleneck — so pass ``group_col`` (a language,
+    shard, or hash bucket) and each group packs independently in
+    parallel; batches then never mix groups, which is usually what
+    the loader wants anyway. ``group_col=None`` is the bounded
+    single-stream case."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    order = [F.col(c).asc() for c in order_cols]
+    w = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ).orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return chunks.withColumn(
+        "batch_id", F.floor(before / budget_tokens).cast("int")
+    )
+
+
 def _max_run_length(sorted_arr: Column) -> Column:
     """Longest run of equal adjacent elements in a sorted array —
     i.e. the count of the most frequent element — as a single

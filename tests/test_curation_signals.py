@@ -81,3 +81,70 @@ def test_contamination_self_clean(spark):
 def test_repetition_plan_is_shuffle_free(docs):
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from gofaiss_spark.operators.curation import (
+        hash_bucket,
+        stratified_hash_sample,
+    )
+
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_hash_sample(
+        df, {"en": 50, "de": 10}, strata_col="lang", default_pct=0
+    )
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    assert "fr" not in by_lang  # default 0 drops unlisted strata
+    assert 0.4 < by_lang["en"] / 1000 < 0.6
+    assert 0.05 < by_lang["de"] / 1000 < 0.16
+    # deterministic: same rows again
+    again = stratified_hash_sample(
+        df, {"en": 50, "de": 10}, strata_col="lang", default_pct=0
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # membership consistent with hash_bucket
+    sample_ids = {r["doc_id"] for r in out.collect()}
+    buckets = {
+        r["doc_id"]: r["bucket"]
+        for r in df.select("doc_id", "lang", hash_bucket("doc_id")).collect()
+    }
+    for i, lang in rows:
+        want = (lang == "en" and buckets[i] < 50) or (
+            lang == "de" and buckets[i] < 10
+        )
+        assert (i in sample_ids) == want
+
+    with pytest.raises(ValueError, match="rate"):
+        stratified_hash_sample(df, {"en": 101})
+
+
+def test_pack_chunks_token_offsets(spark):
+    from gofaiss_spark.operators.curation import pack_chunks
+
+    # chunks of 10 tokens each: budget 25 → batches of ceil boundaries
+    rows = [(0, i, 10) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_idx", "n_chunk_tokens"])
+    got = {
+        r["chunk_idx"]: r["batch_id"]
+        for r in pack_chunks(df, budget_tokens=25).collect()
+    }
+    # tokens_before: 0,10,20,30,40,50 → floor(/25): 0,0,0,1,1,2
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+
+    # per-group packing restarts offsets
+    rows2 = [("a", 0, i, 10) for i in range(3)] + [("b", 1, i, 10) for i in range(3)]
+    df2 = spark.createDataFrame(
+        rows2, ["lang", "doc_id", "chunk_idx", "n_chunk_tokens"]
+    )
+    per = pack_chunks(df2, budget_tokens=15, group_col="lang").collect()
+    for r in per:
+        want = (r["chunk_idx"] * 10) // 15
+        assert r["batch_id"] == want
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_chunks(df, budget_tokens=0)
