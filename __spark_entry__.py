@@ -1234,6 +1234,62 @@ def _ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_invariants(res, v, queries=q, truth=search_flat(v, q, k=TOPK_K))
 
 
+PCA_K = 32  # project 64-dim embeddings to half width
+PCA_HITS_FLOOR = 1  # recall@10 ≥ 0.1 per query (measured min 0.2 both SFs)
+
+
+def _pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA(64→32) + flat top-k in the projected space, as
+    hard-checked invariants: (a) reported projected distance never
+    exceeds the exact full-space distance (orthonormal projection is
+    a contraction — operators/pca.py), (b) distances are monotone in
+    rank, (c) per-query recall vs the full-space oracle clears a wide
+    floor. The pre-PQ transform FAISS pairs with IVFPQ; no reference
+    analogue."""
+    from pyspark.sql import Window
+
+    from gofaiss_spark.functions.distance import l2_distance
+    from gofaiss_spark.operators.pca import apply_pca, train_pca
+    from gofaiss_spark.operators.topk import search_flat
+
+    v = _vectors(spark, sf_dir)
+    q = _queries_df(spark, sf_dir, N_ANN_QUERIES)
+    model = train_pca(v, k=PCA_K)
+    pv = apply_pca(v, model)
+    pq = apply_pca(q, model, vec_col="qvec")
+    res = search_flat(pv, pq, k=TOPK_K)
+
+    vv = v.select("id", F.col("vec").alias("_bvec"))
+    qq = q.select("query_id", F.col("qvec").alias("_qvec"))
+    truth = search_flat(v, q, k=TOPK_K).select("query_id", "id")
+    hits = (
+        res.join(truth, ["query_id", "id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    df = (
+        res.join(vv, "id")
+        .join(F.broadcast(qq), "query_id")
+        .join(F.broadcast(hits), "query_id", "left")
+        .withColumn("_prev", F.lag("distance").over(w))
+    )
+    d_full = l2_distance(
+        F.col("_bvec").cast("array<double>"), F.col("_qvec").cast("array<double>")
+    )
+    ok = (
+        (F.col("distance") <= d_full + F.lit(1e-4))
+        & (
+            F.col("_prev").isNull()
+            | (F.col("distance") >= F.col("_prev") - F.lit(1e-9))
+        )
+        & (F.coalesce(F.col("_hits"), F.lit(0)) >= F.lit(PCA_HITS_FLOOR))
+    )
+    return df.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), ok.alias("ok")
+    )
+
+
 def _hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-side HNSW graph search as hard-checked invariants
     (exact distances → lower bound + honesty apply; recall ≥0.95 is
@@ -2018,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _ivfpq_topk,
         "pq_refine_topk": _pq_refine_topk,
         "ivfpq_refine_topk": _ivfpq_refine_topk,
+        "pca_topk": _pca_topk,
         "lsh_topk": _lsh_topk,
         "hnsw_topk": _hnsw_topk,
         "ann_recall_report": _ann_recall_report,
@@ -2125,6 +2182,7 @@ GROUP BY label, g.i
         "ivfpq_topk": _ANN_OK_SQL,
         "pq_refine_topk": _ANN_OK_SQL,
         "ivfpq_refine_topk": _ANN_OK_SQL,
+        "pca_topk": _ANN_OK_SQL,
         "lsh_topk": _ANN_OK_SQL,
         "hnsw_topk": _ANN_OK_SQL,
         "ann_recall_report": _ANN_RECALL_REPORT_SQL,

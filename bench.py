@@ -160,6 +160,7 @@ def main() -> None:
         "doc_packed_batches",
         "multimodal_features",
         "multimodal_frame_sample",
+        "pca_topk",
     ):
         timed(name, lambda name=name: qmap[name](spark, SF_DIR).count())
 
