@@ -175,6 +175,12 @@ def export_index_json(index, path: str) -> None:
     save_index(index, path, fmt="json")
 
 
+def _is_pca(index) -> bool:
+    from gofaiss_spark.operators.pca import PcaModel
+
+    return isinstance(index, PcaModel)
+
+
 def save_index(index, path: str, fmt: str = "parquet") -> None:
     """Persist any index artifact (Save parity: flat.go:123-147,
     ivfpq.go:367-470 — but Parquet, not gob; ``fmt="json"`` gives the
@@ -255,6 +261,25 @@ def save_index(index, path: str, fmt: str = "parquet") -> None:
         # is the artifact-size killer at scale)
         _write_df(index.buckets, f"{path}/buckets", fmt, "t")
         _write_df(index.vectors, f"{path}/vectors", fmt)
+    elif _is_pca(index):
+        # components are k×dim floats (a few KB) — they ride in the
+        # meta like the LSH projections; no table to write
+        wm(
+            {
+                "index_type": "pca",
+                "dim": index.dim,
+                "metric": "l2",
+                "params": {
+                    "k": index.k,
+                    "components": [
+                        [float(x) for x in r] for r in index.components
+                    ],
+                    "explained_variance": [
+                        float(x) for x in index.explained_variance
+                    ],
+                },
+            }
+        )
     else:
         from gofaiss_spark.operators.hnsw import HnswIndex
 
@@ -372,6 +397,18 @@ def load_index(spark: SparkSession, path: str):
             offsets=np.asarray(p["offsets"], dtype=np.float64),
             buckets=rd("buckets"),
             vectors=rd("vectors"),
+        )
+    if itype == "pca":
+        from gofaiss_spark.operators.pca import PcaModel
+
+        p = meta["params"]
+        return PcaModel(
+            dim=dim,
+            k=int(p["k"]),
+            components=np.asarray(p["components"], dtype=np.float64),
+            explained_variance=np.asarray(
+                p["explained_variance"], dtype=np.float64
+            ),
         )
     if itype == "hnsw":
         from gofaiss_spark.operators.hnsw import (

@@ -104,3 +104,22 @@ def test_pca_half_dim_recall(vectors, spark):
     # uniformly) — measured 0.45 here; real embedding spectra decay
     # and land far higher. The floor guards the plumbing, not the data.
     assert recall_at_k(got, truth, K) >= 0.3
+
+
+def test_pca_save_load_roundtrip(vectors, tmp_path, spark):
+    from gofaiss_spark.plans.artifacts import load_index, save_index
+
+    model = train_pca(vectors, k=16)
+    path = str(tmp_path / "pca_art")
+    save_index(model, path)
+    loaded = load_index(spark, path)
+    assert (loaded.dim, loaded.k) == (model.dim, model.k)
+    np.testing.assert_allclose(loaded.components, model.components, atol=1e-12)
+    np.testing.assert_allclose(
+        loaded.explained_variance, model.explained_variance, atol=1e-12
+    )
+    a = apply_pca(vectors, model, out_col="p").select("id", "p").collect()
+    b = apply_pca(vectors, loaded, out_col="p").select("id", "p").collect()
+    assert sorted((r["id"], tuple(r["p"])) for r in a) == sorted(
+        (r["id"], tuple(r["p"])) for r in b
+    )
