@@ -87,8 +87,18 @@ def cmd_search(args, spark: SparkSession) -> int:
         queries = queries.withColumnRenamed(args.qvec_col, "qvec")
     if args.query_id_col != "query_id":
         queries = queries.withColumnRenamed(args.query_id_col, "query_id")
+    params = _parse_params(args.param)
+    if args.base:
+        # original vectors for --param refine=N exact re-ranking
+        # (PQ/IVFPQ artifacts store codes; the originals live in the lake)
+        base = spark.read.parquet(args.base)
+        if args.vec_col != "vec":
+            base = base.withColumnRenamed(args.vec_col, "vec")
+        if args.id_col != "id":
+            base = base.withColumnRenamed(args.id_col, "id")
+        params["base"] = base
     t0 = time.monotonic()
-    res = search(idx, queries, k=args.k, params=_parse_params(args.param))
+    res = search(idx, queries, k=args.k, params=params)
     if args.output:
         res.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
@@ -199,6 +209,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--output", default=None)
     s.add_argument("--show", type=int, default=10)
     s.add_argument("--param", action="append", default=[], metavar="K=V")
+    s.add_argument(
+        "--base",
+        default=None,
+        help="parquet of original vectors; enables --param refine=N",
+    )
+    s.add_argument("--vec-col", default="vec")
+    s.add_argument("--id-col", default="id")
 
     be = sub.add_parser("bench", help="generate-build-query benchmark")
     be.add_argument("--n", type=int, default=10000)

@@ -63,6 +63,9 @@ def test_build_then_search_cli(spark, embeddings, tmp_path, capsys, monkeypatch)
             output=out_path,
             show=0,
             param=["nprobe=5"],
+            base=None,
+            vec_col="vec",
+            id_col="id",
         ),
         spark,
     )
@@ -73,6 +76,54 @@ def test_build_then_search_cli(spark, embeddings, tmp_path, capsys, monkeypatch)
     assert {r.query_id for r in res.collect()} == {
         r.query_id for r in spark.read.parquet(q_path).collect()
     }
+
+    # refine via the CLI: build a PQ artifact, re-rank against --base
+    pq_path = str(tmp_path / "idx_pq")
+    rc = cmd_build(
+        ns(
+            input=vec_path,
+            output=pq_path,
+            index_type="pq",
+            metric="l2",
+            vec_col="vec",
+            id_col="id",
+            param=["m=8", "nbits=6", "seed=42"],
+        ),
+        spark,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    ref_path = str(tmp_path / "results_refined")
+    rc = cmd_search(
+        ns(
+            index=pq_path,
+            queries=q_path,
+            k=3,
+            qvec_col="qvec",
+            query_id_col="query_id",
+            output=ref_path,
+            show=0,
+            param=["refine=10"],
+            base=vec_path,
+            vec_col="vec",
+            id_col="id",
+        ),
+        spark,
+    )
+    assert rc == 0
+    refined = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert refined["n_results"] == 15
+    # refined distances are exact: spot-check against the flat truth
+    from gofaiss_spark.operators.topk import search_flat
+
+    vecs = spark.read.parquet(vec_path)
+    qs = spark.read.parquet(q_path)
+    exact = {
+        (r.query_id, r.id): r.distance
+        for r in search_flat(vecs, qs, k=0).collect()
+    }
+    for r in spark.read.parquet(ref_path).collect():
+        assert abs(exact[(r.query_id, r.id)] - r.distance) < 1e-5
 
 
 def test_bench_cli_json_contract(spark, capsys):
