@@ -83,6 +83,12 @@ def main() -> None:
     pq.codes.cache().count()
     timed("pq_search", lambda: search_pq(pq, queries, k=K).count())
 
+    from gofaiss_spark.operators.sq import build_sq, search_sq
+
+    sq = timed("sq_build", lambda: build_sq(vectors))
+    sq.codes.cache().count()
+    timed("sq_search", lambda: search_sq(sq, queries, k=K).count())
+
     ivfpq = timed(
         "ivfpq_build", lambda: build_ivfpq(vectors, nlist=nlist, m=8, nbits=8)
     )

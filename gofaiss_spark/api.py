@@ -22,9 +22,10 @@ from gofaiss_spark.operators.ivf import IvfIndex, build_ivf, search_ivf
 from gofaiss_spark.operators.ivfpq import IvfPqIndex, build_ivfpq, search_ivfpq
 from gofaiss_spark.operators.lsh import LshIndex, build_lsh, search_lsh
 from gofaiss_spark.operators.pq import PqIndex, build_pq, search_pq
+from gofaiss_spark.operators.sq import SqIndex, build_sq, search_sq
 from gofaiss_spark.operators.topk import range_search as _range_search
 
-INDEX_TYPES = ("flat", "ivf", "pq", "ivfpq", "lsh", "hnsw", "hnsw_local")
+INDEX_TYPES = ("flat", "ivf", "pq", "sq", "ivfpq", "lsh", "hnsw", "hnsw_local")
 
 DEFAULT_K = 10
 DEFAULT_NPROBE = 10
@@ -63,6 +64,8 @@ def build_index(
             vec_col=vec_col,
             id_col=id_col,
         )
+    if index_type == "sq":
+        return build_sq(vectors, metric=metric, vec_col=vec_col, id_col=id_col)
     if index_type == "ivfpq":
         return build_ivfpq(
             vectors,
@@ -124,6 +127,14 @@ def search(index, queries: DataFrame, k: int = DEFAULT_K, params: dict | None = 
         return search_ivf(index, queries, k=k, nprobe=params.get("nprobe", DEFAULT_NPROBE))
     if isinstance(index, PqIndex):
         return search_pq(
+            index,
+            queries,
+            k=k,
+            refine=params.get("refine"),
+            base=params.get("base"),
+        )
+    if isinstance(index, SqIndex):
+        return search_sq(
             index,
             queries,
             k=k,

@@ -228,12 +228,12 @@ def main(argv: list[str] | None = None) -> int:
         "--index-type",
         action="append",
         default=None,
-        help="repeatable; defaults to flat,ivf,pq,ivfpq,lsh",
+        help="repeatable; defaults to flat,ivf,pq,sq,ivfpq,lsh",
     )
 
     args = p.parse_args(argv)
     if args.cmd == "bench" and args.index_type is None:
-        args.index_type = ["flat", "ivf", "pq", "ivfpq", "lsh"]
+        args.index_type = ["flat", "ivf", "pq", "sq", "ivfpq", "lsh"]
 
     from gofaiss_spark.session import get_spark
 

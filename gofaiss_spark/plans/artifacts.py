@@ -181,6 +181,12 @@ def _is_pca(index) -> bool:
     return isinstance(index, PcaModel)
 
 
+def _is_sq(index) -> bool:
+    from gofaiss_spark.operators.sq import SqIndex
+
+    return isinstance(index, SqIndex)
+
+
 def save_index(index, path: str, fmt: str = "parquet") -> None:
     """Persist any index artifact (Save parity: flat.go:123-147,
     ivfpq.go:367-470 — but Parquet, not gob; ``fmt="json"`` gives the
@@ -261,6 +267,19 @@ def save_index(index, path: str, fmt: str = "parquet") -> None:
         # is the artifact-size killer at scale)
         _write_df(index.buckets, f"{path}/buckets", fmt, "t")
         _write_df(index.vectors, f"{path}/vectors", fmt)
+    elif _is_sq(index):
+        wm(
+            {
+                "index_type": "sq",
+                "dim": index.dim,
+                "metric": index.metric,
+                "params": {
+                    "vmin": [float(x) for x in index.vmin],
+                    "vmax": [float(x) for x in index.vmax],
+                },
+            }
+        )
+        _write_df(index.codes, f"{path}/codes", fmt)
     elif _is_pca(index):
         # components are k×dim floats (a few KB) — they ride in the
         # meta like the LSH projections; no table to write
@@ -397,6 +416,17 @@ def load_index(spark: SparkSession, path: str):
             offsets=np.asarray(p["offsets"], dtype=np.float64),
             buckets=rd("buckets"),
             vectors=rd("vectors"),
+        )
+    if itype == "sq":
+        from gofaiss_spark.operators.sq import SqIndex
+
+        p = meta["params"]
+        return SqIndex(
+            dim=dim,
+            metric=meta["metric"],
+            vmin=np.asarray(p["vmin"], dtype=np.float64),
+            vmax=np.asarray(p["vmax"], dtype=np.float64),
+            codes=rd("codes"),
         )
     if itype == "pca":
         from gofaiss_spark.operators.pca import PcaModel
