@@ -1056,6 +1056,38 @@ FROM documents
 """
 
 
+def _doc_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact token-count percentiles (p50/p90/p99) +
+    mean — the corpus length profile every mixing/packing decision
+    starts from. Spark ``percentile`` and DuckDB ``quantile_cont``
+    share linear-interpolation semantics, so the oracle hash-checks
+    exact values. One shuffle (groupBy lang), partial aggregation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nt = F.size(F.split("text", " "))
+    return (
+        docs.select("lang", nt.alias("_nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_nt"), 6).alias("mean_tokens"),
+            F.round(F.expr("percentile(_nt, 0.5)"), 6).alias("p50_tokens"),
+            F.round(F.expr("percentile(_nt, 0.9)"), 6).alias("p90_tokens"),
+            F.round(F.expr("percentile(_nt, 0.99)"), 6).alias("p99_tokens"),
+        )
+    )
+
+
+_DOC_TOKEN_PCTL_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(len(string_split(text, ' '))), 6) AS mean_tokens,
+       round(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS p50_tokens,
+       round(quantile_cont(len(string_split(text, ' ')), 0.9), 6) AS p90_tokens,
+       round(quantile_cont(len(string_split(text, ' ')), 0.99), 6) AS p99_tokens
+FROM documents GROUP BY lang
+"""
+
+
 N_ANN_QUERIES = 20
 
 
@@ -2121,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _event_sessions,
         "doc_lang_dist": _doc_lang_dist,
         "doc_token_stats": _doc_token_stats,
+        "doc_token_percentiles": _doc_token_percentiles,
         "ivf_fullprobe_topk": _ivf_fullprobe_topk,
         "ivf_topk_nprobe": _ivf_topk_nprobe,
         "pq_topk": _pq_topk,
@@ -2205,6 +2238,7 @@ GROUP BY label, g.i
         "event_sessions": _EVENT_SESSIONS_SQL,
         "doc_lang_dist": _DOC_LANG_DIST_SQL,
         "doc_token_stats": _DOC_TOKEN_STATS_SQL,
+        "doc_token_percentiles": _DOC_TOKEN_PCTL_SQL,
         "ivf_fullprobe_topk": _IVF_FULLPROBE_SQL,
         "doc_exact_dedup": _DOC_EXACT_DEDUP_SQL,
         "doc_minhash_near_dup": _JACCARD_PAIRS_SQL,
