@@ -1945,6 +1945,36 @@ GROUP BY train_doc_id, eval_doc_id, n_eval
 """
 
 
+def _doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs → connected components: (doc_id, cluster_id =
+    min id of the component). Transitively-closed dedup clusters —
+    the oracle recomputes them from the exact-Jaccard pair graph with
+    a recursive CTE (same pair-set-equality property the pair queries
+    rely on at the driver SFs)."""
+    from gofaiss_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dup_clusters(
+        docs, shingle_n=MINHASH_SHINGLE_N, threshold=MINHASH_THRESHOLD
+    )
+
+
+_DOC_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
+e AS (
+  SELECT doc_a AS s, doc_b AS d FROM p
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM p
+),
+reach(node, lab) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.s, r.lab FROM e JOIN reach r ON e.d = r.node
+)
+SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def _embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofaiss_spark.operators.dedup import embedding_near_dup_pairs
 
@@ -2179,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": _doc_contamination,
         "doc_stratified_sample": _doc_stratified_sample,
         "doc_packed_batches": _doc_packed_batches,
+        "doc_dedup_clusters": _doc_dedup_clusters,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "multimodal_stats": _multimodal_stats,
@@ -2253,6 +2284,7 @@ GROUP BY label, g.i
         "doc_contamination": _DOC_CONTAMINATION_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SAMPLE_SQL,
         "doc_packed_batches": _DOC_PACKED_BATCHES_SQL,
+        "doc_dedup_clusters": _DOC_DEDUP_CLUSTERS_SQL,
         "embedding_near_dup_exact": _EMB_NEAR_DUP_SQL,
         # the LSH path's banded-candidate + exact-verify output equals
         # the exact pair set at the driver SFs (hyperplanes are

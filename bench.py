@@ -164,6 +164,8 @@ def main() -> None:
         "doc_contamination",
         "doc_stratified_sample",
         "doc_packed_batches",
+        "doc_dedup_clusters",
+        "doc_token_percentiles",
         "multimodal_features",
         "multimodal_frame_sample",
         "pca_topk",

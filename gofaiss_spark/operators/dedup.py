@@ -429,3 +429,96 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components (duplicate clusters)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Label every node of the near-dup pair graph with the smallest
+    id in its connected component — the canonical cluster id the
+    dedup decision keys on (pairs say "these two are dups"; clusters
+    say "these seventeen are one document").
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(diameter)
+    rounds, and near-dup components are shallow (diameter is tiny even
+    for large clusters, since most members collide with the same
+    representative bands). Each round is one shuffle of the narrow
+    (src, label) edge join; ``localCheckpoint`` truncates the plan
+    lineage so round N's plan does not embed rounds 1..N-1 — without
+    it the iterative join is exponential-planning at scale. Same
+    algorithm GraphFrames/GraphX use for their connectedComponents.
+
+    Returns (doc_id, cluster_id) for every node that appears in
+    ``pairs``."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min.withColumnRenamed("src", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash pair mining → connected components: (doc_id,
+    cluster_id) for every document that has at least one verified
+    near-duplicate. Keep-one-per-cluster is then
+    ``filter(doc_id == cluster_id)`` — the principled dedup decision
+    (transitively closed), vs. near_dup_dedup_batch's cheaper
+    band-collision first-seen-wins."""
+    pairs = minhash_near_dup_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n, threshold
+    )
+    return connected_components(pairs, "doc_a", "doc_b")

@@ -148,3 +148,50 @@ def test_pack_chunks_token_offsets(spark):
 
     with pytest.raises(ValueError, match="budget"):
         pack_chunks(df, budget_tokens=0)
+
+
+def test_connected_components_min_label(spark):
+    from gofaiss_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (7, 5)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 5: 5, 7: 5}
+
+
+def test_connected_components_long_chain(spark):
+    """A 30-node path graph needs label propagation over many hops —
+    the convergence loop, not a single join, must produce the fix
+    point."""
+    from gofaiss_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["doc_a", "doc_b"]
+    )
+    rows = connected_components(pairs).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == 31
+
+
+def test_near_dup_clusters_planted(spark):
+    from gofaiss_spark.operators.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base + " extra"),          # near-dup of 0
+        (2, base + " extra words"),    # near-dup of 1 (and likely 0)
+        (3, "completely different content about spark shuffles and parquet files"),
+        (4, "completely different content about spark shuffles and parquet rows"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(docs, threshold=0.5).collect()
+    }
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == got[4] == 3
