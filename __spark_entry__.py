@@ -76,6 +76,46 @@ SELECT query_id, id, round(d, 6) AS distance FROM ranked WHERE rnk <= {TOPK_K}
 """
 
 
+def _filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ("hybrid") vector search: top-k restricted to a
+    metadata predicate (label < 5). The predicate is a DataFrame
+    filter ahead of the distance kernel, so Catalyst pushes it into
+    the parquet scan (PushedFilters / partition pruning on a
+    partitioned lake) — candidate generation never touches excluded
+    rows. The serving pattern the reference cannot express (its index
+    holds vectors only)."""
+    from gofaiss_spark.operators.topk import search_flat
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = emb.filter(F.col("label") < 5).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    q = _queries_df(spark, sf_dir, N_ANN_QUERIES)
+    res = search_flat(v, q, k=TOPK_K)
+    return res.select(
+        "query_id", "id", F.round("distance", 6).alias("distance")
+    )
+
+
+_FILTERED_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {{n_ann}}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS id,
+         list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS d
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label < 5
+),
+ranked AS (
+  SELECT query_id, id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, id, round(d, 6) AS distance FROM ranked WHERE rnk <= {TOPK_K}
+"""
+
+
 def _range_search_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofaiss_spark.operators.topk import range_search
 
@@ -2185,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": _doc_token_stats,
         "doc_token_percentiles": _doc_token_percentiles,
         "ivf_fullprobe_topk": _ivf_fullprobe_topk,
+        "filtered_topk": _filtered_topk,
         "ivf_topk_nprobe": _ivf_topk_nprobe,
         "pq_topk": _pq_topk,
         "ivfpq_topk": _ivfpq_topk,
@@ -2221,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "flat_topk_l2": _flat_topk_sql("l2"),
+        "filtered_topk": _FILTERED_TOPK_SQL.format(n_ann=N_ANN_QUERIES),
         "flat_topk_cosine": _flat_topk_sql("cosine"),
         "flat_topk_dot": _flat_topk_sql("dot"),
         "range_search_l2": f"""

@@ -169,6 +169,7 @@ def main() -> None:
         "multimodal_features",
         "multimodal_frame_sample",
         "pca_topk",
+        "filtered_topk",
     ):
         timed(name, lambda name=name: qmap[name](spark, SF_DIR).count())
 
