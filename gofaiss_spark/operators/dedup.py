@@ -459,11 +459,25 @@ def connected_components(
 
     Returns (doc_id, cluster_id) for every node that appears in
     ``pairs``."""
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    edges = edges.localCheckpoint(eager=True)
+    # both directions via ONE explode — a self-union would evaluate
+    # the (possibly expensive) pair-mining plan twice
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select("src")
         .distinct()
@@ -487,7 +501,9 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count below is the materializing
+            # action, so each round costs ONE job, not two
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
