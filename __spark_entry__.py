@@ -1359,6 +1359,58 @@ def _sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFSQ_HITS_FLOOR = 2  # nprobe=4 pruning dominates (ivf_nprobe4 ≈ 0.77+)
+
+
+def _ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFSQ (coarse quantizer + SQ8 residuals) nprobe-pruned search
+    as hard-checked invariants: bounded reconstruction error on every
+    reported distance, rank-monotone distances, wide per-query recall
+    floor. No reference analogue — the FAISS `IVF,SQ8` config
+    (operators/ivfsq.py)."""
+    from pyspark.sql import Window
+
+    from gofaiss_spark.functions.distance import l2_distance
+    from gofaiss_spark.operators.ivfsq import build_ivfsq, search_ivfsq
+    from gofaiss_spark.operators.topk import search_flat
+
+    v = _vectors(spark, sf_dir)
+    q = _queries_df(spark, sf_dir, N_ANN_QUERIES)
+    idx = build_ivfsq(v, nlist=10, seed=42)
+    res = search_ivfsq(idx, q, k=TOPK_K, nprobe=4)
+    bound = idx.distance_error_bound() + 1e-6
+
+    vv = v.select("id", F.col("vec").alias("_bvec"))
+    qq = q.select("query_id", F.col("qvec").alias("_qvec"))
+    truth = search_flat(v, q, k=TOPK_K).select("query_id", "id")
+    hits = (
+        res.join(truth, ["query_id", "id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    df = (
+        res.join(vv, "id")
+        .join(F.broadcast(qq), "query_id")
+        .join(F.broadcast(hits), "query_id", "left")
+        .withColumn("_prev", F.lag("distance").over(w))
+    )
+    d_full = l2_distance(
+        F.col("_bvec").cast("array<double>"), F.col("_qvec").cast("array<double>")
+    )
+    ok = (
+        (F.abs(F.col("distance") - d_full) <= F.lit(bound))
+        & (
+            F.col("_prev").isNull()
+            | (F.col("distance") >= F.col("_prev") - F.lit(1e-9))
+        )
+        & (F.coalesce(F.col("_hits"), F.lit(0)) >= F.lit(IVFSQ_HITS_FLOOR))
+    )
+    return df.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), ok.alias("ok")
+    )
+
+
 PCA_K = 32  # project 64-dim embeddings to half width
 PCA_HITS_FLOOR = 1  # recall@10 ≥ 0.1 per query (measured min 0.2 both SFs)
 
@@ -2233,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_refine_topk": _ivfpq_refine_topk,
         "pca_topk": _pca_topk,
         "sq_topk": _sq_topk,
+        "ivfsq_topk": _ivfsq_topk,
         "lsh_topk": _lsh_topk,
         "hnsw_topk": _hnsw_topk,
         "ann_recall_report": _ann_recall_report,
@@ -2346,6 +2399,7 @@ GROUP BY label, g.i
         "ivfpq_refine_topk": _ANN_OK_SQL,
         "pca_topk": _ANN_OK_SQL,
         "sq_topk": _ANN_OK_SQL,
+        "ivfsq_topk": _ANN_OK_SQL,
         "lsh_topk": _ANN_OK_SQL,
         "hnsw_topk": _ANN_OK_SQL,
         "ann_recall_report": _ANN_RECALL_REPORT_SQL,

@@ -109,6 +109,19 @@ def main() -> None:
         ).count(),
     )
 
+    from gofaiss_spark.operators.ivfsq import build_ivfsq, search_ivfsq
+
+    ivfsq = timed("ivfsq_build", lambda: build_ivfsq(vectors, nlist=nlist))
+    ivfsq.codes.cache().count()
+    timed("ivfsq_save", lambda: save_index(ivfsq, f"{art_root}/ivfsq"))
+    ivfsq_l = timed("ivfsq_load", lambda: load_index(spark, f"{art_root}/ivfsq"))
+    timed(
+        "ivfsq_search",
+        lambda: search_ivfsq(
+            ivfsq_l, queries, k=K, nprobe=max(1, nlist // 10)
+        ).count(),
+    )
+
     lsh = timed("lsh_build", lambda: build_lsh(vectors))
     lsh.buckets.cache().count()
     timed("lsh_search", lambda: search_lsh(lsh, queries, k=K).count())

@@ -22,10 +22,13 @@ from gofaiss_spark.operators.ivf import IvfIndex, build_ivf, search_ivf
 from gofaiss_spark.operators.ivfpq import IvfPqIndex, build_ivfpq, search_ivfpq
 from gofaiss_spark.operators.lsh import LshIndex, build_lsh, search_lsh
 from gofaiss_spark.operators.pq import PqIndex, build_pq, search_pq
+from gofaiss_spark.operators.ivfsq import IvfSqIndex, build_ivfsq, search_ivfsq
 from gofaiss_spark.operators.sq import SqIndex, build_sq, search_sq
 from gofaiss_spark.operators.topk import range_search as _range_search
 
-INDEX_TYPES = ("flat", "ivf", "pq", "sq", "ivfpq", "lsh", "hnsw", "hnsw_local")
+INDEX_TYPES = (
+    "flat", "ivf", "pq", "sq", "ivfpq", "ivfsq", "lsh", "hnsw", "hnsw_local"
+)
 
 DEFAULT_K = 10
 DEFAULT_NPROBE = 10
@@ -66,6 +69,16 @@ def build_index(
         )
     if index_type == "sq":
         return build_sq(vectors, metric=metric, vec_col=vec_col, id_col=id_col)
+    if index_type == "ivfsq":
+        return build_ivfsq(
+            vectors,
+            nlist=params.get("nlist"),
+            metric=metric,
+            seed=params.get("seed", 42),
+            train_fraction=params.get("train_fraction"),
+            vec_col=vec_col,
+            id_col=id_col,
+        )
     if index_type == "ivfpq":
         return build_ivfpq(
             vectors,
@@ -138,6 +151,15 @@ def search(index, queries: DataFrame, k: int = DEFAULT_K, params: dict | None = 
             index,
             queries,
             k=k,
+            refine=params.get("refine"),
+            base=params.get("base"),
+        )
+    if isinstance(index, IvfSqIndex):
+        return search_ivfsq(
+            index,
+            queries,
+            k=k,
+            nprobe=params.get("nprobe", DEFAULT_NPROBE),
             refine=params.get("refine"),
             base=params.get("base"),
         )

@@ -187,6 +187,12 @@ def _is_sq(index) -> bool:
     return isinstance(index, SqIndex)
 
 
+def _is_ivfsq(index) -> bool:
+    from gofaiss_spark.operators.ivfsq import IvfSqIndex
+
+    return isinstance(index, IvfSqIndex)
+
+
 def save_index(index, path: str, fmt: str = "parquet") -> None:
     """Persist any index artifact (Save parity: flat.go:123-147,
     ivfpq.go:367-470 — but Parquet, not gob; ``fmt="json"`` gives the
@@ -267,6 +273,22 @@ def save_index(index, path: str, fmt: str = "parquet") -> None:
         # is the artifact-size killer at scale)
         _write_df(index.buckets, f"{path}/buckets", fmt, "t")
         _write_df(index.vectors, f"{path}/vectors", fmt)
+    elif _is_ivfsq(index):
+        wm(
+            {
+                "index_type": "ivfsq",
+                "dim": index.dim,
+                "metric": index.metric,
+                "params": {
+                    "nlist": index.nlist,
+                    "vmin": [float(x) for x in index.vmin],
+                    "vmax": [float(x) for x in index.vmax],
+                },
+            }
+        )
+        spark = index.codes.sparkSession
+        _write_df(_centroids_to_df(spark, index.centroids), f"{path}/centroids", fmt)
+        _write_df(index.codes, f"{path}/codes", fmt, "list_id")
     elif _is_sq(index):
         wm(
             {
@@ -416,6 +438,22 @@ def load_index(spark: SparkSession, path: str):
             offsets=np.asarray(p["offsets"], dtype=np.float64),
             buckets=rd("buckets"),
             vectors=rd("vectors"),
+        )
+    if itype == "ivfsq":
+        from gofaiss_spark.operators.ivfsq import IvfSqIndex
+
+        p = meta["params"]
+        nlist = int(p["nlist"])
+        cents = _df_to_centroids(rd("centroids"), nlist, dim)
+        return IvfSqIndex(
+            metric=meta["metric"],
+            nlist=nlist,
+            dim=dim,
+            centroids=cents,
+            vmin=np.asarray(p["vmin"], dtype=np.float64),
+            vmax=np.asarray(p["vmax"], dtype=np.float64),
+            codes=rd("codes"),
+            colocated=True,  # partitionBy("list_id") artifact
         )
     if itype == "sq":
         from gofaiss_spark.operators.sq import SqIndex
