@@ -116,6 +116,53 @@ SELECT query_id, id, round(d, 6) AS distance FROM ranked WHERE rnk <= {TOPK_K}
 """
 
 
+def _binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (Hamming) top-k: sign-binarized embeddings packed into
+    32-bit words, popcount(XOR) distance — FAISS IndexBinaryFlat
+    analogue (operators/binary.py). Entirely JVM-side (codegen fold +
+    bit_count), exact and deterministic, so a full DuckDB oracle
+    applies despite being a quantized index."""
+    from gofaiss_spark.operators.binary import binarize, search_binary
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    packed = binarize(emb, dim=64)
+    queries = packed.filter(F.col("id") < N_ANN_QUERIES)
+    res = search_binary(packed, queries, dim=64, k=TOPK_K)
+    return res.select("query_id", "id", "hamming")
+
+
+_BINARY_WORD_SQL = (
+    "CAST(list_sum(list_transform(range(0,32), i -> CASE WHEN "
+    "embedding[{off} + i + 1] > 0 THEN (CAST(1 AS BIGINT) << i) "
+    "ELSE 0 END)) AS BIGINT)"
+)
+
+_BINARY_TOPK_SQL = f"""
+WITH b AS (
+  SELECT vec_id AS id,
+         {_BINARY_WORD_SQL.format(off=0)} AS w0,
+         {_BINARY_WORD_SQL.format(off=32)} AS w1
+  FROM embeddings
+),
+q AS (
+  SELECT id AS query_id, w0 AS qw0, w1 AS qw1 FROM b WHERE id < {{n_ann}}
+),
+scored AS (
+  SELECT q.query_id, b.id,
+         CAST(bit_count(xor(b.w0, q.qw0)) + bit_count(xor(b.w1, q.qw1)) AS BIGINT) AS hamming
+  FROM b CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, id, hamming,
+         row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, id, hamming FROM ranked WHERE rnk <= {TOPK_K}
+"""  # {{n_ann}} bound at registration — N_ANN_QUERIES is defined later
+
+
 def _range_search_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofaiss_spark.operators.topk import range_search
 
@@ -1773,6 +1820,68 @@ FROM m
 """
 
 
+def _pii_injected_expr():
+    """Deterministic synthetic PII appended to each doc (the corpus
+    text itself contains none): an email, a phone and an IPv4 derived
+    from doc_id, built with identical arithmetic in the DuckDB oracle
+    so redaction is exercised on real matches."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@example"), (d % 10).cast("string"), F.lit(".com or +1 555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (d % 256).cast("string"), F.lit(".0.1"),
+    )
+
+
+def _doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (pre-training redaction pass): per-doc match counts
+    + md5 of the redacted text. Pure JVM regexp chain
+    (functions/text.py:redact_pii) — one codegen stage, no shuffle at
+    all; at 100 TB this is a map-only pass bounded by scan bandwidth."""
+    from gofaiss_spark.functions.text import pii_count, redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inj = docs.select("doc_id", _pii_injected_expr().alias("t"))
+    return inj.select(
+        "doc_id",
+        pii_count("t", "email").cast("long").alias("n_email"),
+        pii_count("t", "phone").cast("long").alias("n_phone"),
+        pii_count("t", "ipv4").cast("long").alias("n_ip"),
+        F.md5(redact_pii("t")).alias("redacted_md5"),
+    )
+
+
+def _pii_sql() -> str:
+    from gofaiss_spark.functions.text import PII_PATTERNS
+
+    pats = {k: p for k, p, _ in PII_PATTERNS}
+    red = "t"
+    # same application order as redact_pii; DuckDB needs the 'g' flag
+    # to match Spark's global-replace default
+    for _, pat, tag in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example' || CAST(doc_id % 10 AS VARCHAR)
+              || '.com or +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{pats["email"]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{pats["phone"]}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '{pats["ipv4"]}')) AS BIGINT) AS n_ip,
+       md5({red}) AS redacted_md5
+FROM inj
+"""
+
+
 def _doc_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-seen-wins near-dup FILTER (the dedup decision the
     training pipeline actually applies; pair mining is
@@ -2278,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_percentiles": _doc_token_percentiles,
         "ivf_fullprobe_topk": _ivf_fullprobe_topk,
         "filtered_topk": _filtered_topk,
+        "binary_topk": _binary_topk,
         "ivf_topk_nprobe": _ivf_topk_nprobe,
         "pq_topk": _pq_topk,
         "ivfpq_topk": _ivfpq_topk,
@@ -2295,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": _doc_simhash,
         "doc_lang_id": _doc_lang_id,
         "doc_quality": _doc_quality,
+        "doc_pii_redaction": _doc_pii_redaction,
         "doc_chunks": _doc_chunks,
         "doc_hash_sample": _doc_hash_sample,
         "doc_top_quality_per_lang": _doc_top_quality_per_lang,
@@ -2316,6 +2427,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "flat_topk_l2": _flat_topk_sql("l2"),
         "filtered_topk": _FILTERED_TOPK_SQL.format(n_ann=N_ANN_QUERIES),
+        "binary_topk": _BINARY_TOPK_SQL.format(n_ann=N_ANN_QUERIES),
         "flat_topk_cosine": _flat_topk_sql("cosine"),
         "flat_topk_dot": _flat_topk_sql("dot"),
         "range_search_l2": f"""
@@ -2371,6 +2483,7 @@ GROUP BY label, g.i
         "doc_ngram_jaccard": _JACCARD_PAIRS_SQL,
         "doc_lang_id": _lang_id_sql(),
         "doc_quality": _DOC_QUALITY_SQL,
+        "doc_pii_redaction": _pii_sql(),
         "doc_chunks": _DOC_CHUNKS_SQL,
         "doc_hash_sample": _DOC_HASH_SAMPLE_SQL,
         "doc_top_quality_per_lang": _DOC_TOP_QUALITY_SQL,

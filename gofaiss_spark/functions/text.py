@@ -168,3 +168,34 @@ def doc_fingerprint_md5(text) -> Column:
     (DuckDB md5() matches), used where an SQL oracle must agree."""
     norm = F.lower(F.trim(F.regexp_replace(_as_col(text), r"\s+", " ")))
     return F.md5(norm)
+
+
+# PII scrubbing: the standard pre-training redaction pass. Patterns
+# deliberately stay inside the Java-regex ∩ RE2 common subset
+# (character classes, bounded repeats, non-capturing groups, \b) so
+# the DuckDB oracle evaluates them identically. Order matters:
+# longer/structured patterns first so e.g. an email is not half-eaten
+# by the phone pattern.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d{1,3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("hexkey", r"\b[0-9a-f]{32,}\b", "<KEY>"),
+]
+
+
+def pii_count(text, kind: str) -> Column:
+    """Match count for one PII pattern (JVM regexp_extract_all)."""
+    pat = {k: p for k, p, _ in PII_PATTERNS}[kind]
+    return F.size(F.regexp_extract_all(_as_col(text), F.lit(pat), F.lit(0)))
+
+
+def redact_pii(text) -> Column:
+    """All PII patterns replaced by their placeholder tags, applied
+    in PII_PATTERNS order as a chain of JVM regexp_replace — one
+    codegen stage, no Python."""
+    out = _as_col(text)
+    for _, pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
