@@ -2248,6 +2248,136 @@ FROM sess GROUP BY user_id, session_idx
 """
 
 
+def _events_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→click attribution: each purchase picks the latest
+    same-user click at-or-before it (backward as-of join, the ANSI
+    ``ASOF JOIN`` the oracle runs verbatim). Spark-side this is the
+    union-and-window formulation — one shuffle on user_id, no
+    time-inequality join (operators/temporal.py:asof_join)."""
+    from gofaiss_spark.operators.temporal import asof_join
+    from gofaiss_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_cols=["click_event_id", "click_value"],
+        tie_break="click_event_id",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.date_format("ts_r", fmt).alias("click_ts"),
+        F.col("click_event_id_r").alias("click_event_id"),
+        F.col("click_value_r").alias("click_value"),
+        (F.unix_micros("ts") - F.unix_micros("ts_r")).alias("gap_us"),
+    )
+
+
+_EVENTS_ASOF_CLICKS_SQL = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, event_id AS click_event_id,
+                  value AS click_value
+           FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       p.value AS purchase_value,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       c.click_event_id, c.click_value,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def _events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup (hypertable-style): per (event_type,
+    day) → per event_type → grand total in ONE pass. Spark's
+    ``rollup`` plans a single Expand + hash-aggregate — partial
+    (map-side) aggregation applies, so the shuffle carries one row
+    per (grouping-set, group), not per event."""
+    from gofaiss_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return ev.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+_EVENTS_ROLLUP_SQL = """
+SELECT event_type, day, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       CAST(grouping(event_type, day) AS INT) AS gid
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+      FROM events)
+GROUP BY ROLLUP (event_type, day)
+"""
+
+
+def _events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-error activity window: for each error event, count and
+    value-sum of the same user's events in the 5 minutes strictly
+    before it. The interval predicate runs as a bucketized EQUI-join
+    (operators/temporal.py:range_join_buckets) — constant 2×
+    replication, never a nested-loop join."""
+    from gofaiss_spark.operators.temporal import range_join_buckets
+    from gofaiss_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pairs = range_join_buckets(
+        errors,
+        ev.select("user_id", "ts", "value"),
+        on="user_id",
+        window_sec=300,
+    )
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_prior"),
+        F.round(F.sum("value_r"), 2).alias("sum_prior_value"),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return errors.join(agg, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        F.coalesce("n_prior", F.lit(0).cast("long")).alias("n_prior"),
+        F.coalesce("sum_prior_value", F.lit(0.0)).alias("sum_prior_value"),
+    )
+
+
+_EVENTS_RANGE_JOIN_SQL = """
+WITH err AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'error')
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       count(b.ts) AS n_prior,
+       round(coalesce(sum(b.value), 0), 2) AS sum_prior_value
+FROM err e LEFT JOIN events b
+  ON b.user_id = e.user_id
+ AND b.ts >= e.ts - INTERVAL 5 MINUTE
+ AND b.ts < e.ts
+GROUP BY e.event_id, e.user_id, e.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal corpus surface
 # ---------------------------------------------------------------------------
@@ -2382,6 +2512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _revenue_by_nation,
         "events_hourly": _events_hourly,
         "event_sessions": _event_sessions,
+        "events_asof_clicks": _events_asof_clicks,
+        "events_rollup": _events_rollup,
+        "events_range_join": _events_range_join,
         "doc_lang_dist": _doc_lang_dist,
         "doc_token_stats": _doc_token_stats,
         "doc_token_percentiles": _doc_token_percentiles,
@@ -2474,6 +2607,9 @@ GROUP BY label, g.i
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
+        "events_asof_clicks": _EVENTS_ASOF_CLICKS_SQL,
+        "events_rollup": _EVENTS_ROLLUP_SQL,
+        "events_range_join": _EVENTS_RANGE_JOIN_SQL,
         "doc_lang_dist": _DOC_LANG_DIST_SQL,
         "doc_token_stats": _DOC_TOKEN_STATS_SQL,
         "doc_token_percentiles": _DOC_TOKEN_PCTL_SQL,

@@ -164,6 +164,9 @@ def main() -> None:
         "revenue_by_nation",
         "events_hourly",
         "event_sessions",
+        "events_asof_clicks",
+        "events_rollup",
+        "events_range_join",
         "doc_token_stats",
         "doc_exact_dedup",
         "doc_minhash_near_dup",
