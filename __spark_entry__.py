@@ -76,6 +76,40 @@ SELECT query_id, id, round(d, 6) AS distance FROM ranked WHERE rnk <= {TOPK_K}
 """
 
 
+def _sql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat top-k expressed as ONE ``spark.sql`` statement over the
+    registered SQL function surface (functions/sql_registry.py) —
+    the engine drivable from SQL text alone. The CREATE FUNCTION
+    bodies are Catalyst-inlined declarative expressions, so this
+    plans identically to the DataFrame formulation (no Python
+    boundary; same whole-stage-codegen loop)."""
+    from gofaiss_spark.functions.sql_registry import register_sql_functions
+
+    register_sql_functions(spark)
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "gfs_sql_emb"
+    )
+    return spark.sql(f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM gfs_sql_emb WHERE vec_id < {N_TOPK_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS id,
+         l2_distance(CAST(e.embedding AS ARRAY<DOUBLE>),
+                     CAST(q.qvec AS ARRAY<DOUBLE>)) AS d
+  FROM gfs_sql_emb e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, id ASC)
+           AS rnk
+  FROM scored
+)
+SELECT query_id, id, round(d, 6) AS distance FROM ranked WHERE rnk <= {TOPK_K}
+""")
+
+
 def _filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ("hybrid") vector search: top-k restricted to a
     metadata predicate (label < 5). The predicate is a DataFrame
@@ -2520,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_percentiles": _doc_token_percentiles,
         "ivf_fullprobe_topk": _ivf_fullprobe_topk,
         "filtered_topk": _filtered_topk,
+        "sql_topk": _sql_topk,
         "binary_topk": _binary_topk,
         "ivf_topk_nprobe": _ivf_topk_nprobe,
         "pq_topk": _pq_topk,
@@ -2560,6 +2595,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "flat_topk_l2": _flat_topk_sql("l2"),
         "filtered_topk": _FILTERED_TOPK_SQL.format(n_ann=N_ANN_QUERIES),
+        "sql_topk": _flat_topk_sql("l2"),
         "binary_topk": _BINARY_TOPK_SQL.format(n_ann=N_ANN_QUERIES),
         "flat_topk_cosine": _flat_topk_sql("cosine"),
         "flat_topk_dot": _flat_topk_sql("dot"),

@@ -186,6 +186,7 @@ def main() -> None:
         "multimodal_frame_sample",
         "pca_topk",
         "filtered_topk",
+        "sql_topk",
     ):
         timed(name, lambda name=name: qmap[name](spark, SF_DIR).count())
 
