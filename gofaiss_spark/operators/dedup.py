@@ -436,40 +436,94 @@ def embedding_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _components_single_task(pairs: DataFrame) -> DataFrame:
+    """Exact connected components in ONE executor task: union-find
+    with path compression over the (already materialized, known-small)
+    pair list, streamed in as Arrow batches. Union-by-min keeps the
+    component root at the smallest id, so ``find`` returns the
+    cluster id directly. Emits after the last batch (union-find needs
+    the full edge set before any component is final)."""
+
+    def uf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict = {}
+        nodes: set = set()
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(
+                pdf["src"].to_numpy().tolist(), pdf["dst"].to_numpy().tolist()
+            ):
+                nodes.add(a)
+                nodes.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        out = sorted(nodes)
+        yield pd.DataFrame(
+            {"doc_id": out, "cluster_id": [find(n) for n in out]}
+        )
+
+    return pairs.repartition(1).mapInPandas(uf, "doc_id long, cluster_id long")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iterations: int = 50,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Label every node of the near-dup pair graph with the smallest
     id in its connected component — the canonical cluster id the
     dedup decision keys on (pairs say "these two are dups"; clusters
     say "these seventeen are one document").
 
-    Min-label propagation: each round every node takes the min of its
-    own label and its neighbors' labels; converges in O(diameter)
-    rounds, and near-dup components are shallow (diameter is tiny even
-    for large clusters, since most members collide with the same
-    representative bands). Each round is one shuffle of the narrow
-    (src, label) edge join; ``localCheckpoint`` truncates the plan
-    lineage so round N's plan does not embed rounds 1..N-1 — without
-    it the iterative join is exponential-planning at scale. Same
-    algorithm GraphFrames/GraphX use for their connectedComponents.
+    Two physical strategies, picked from the MATERIALIZED pair count
+    (the AQE philosophy — runtime stats, not guesses):
+
+    - **small graph** (≤ ``local_threshold`` pairs): exact union-find
+      in one executor task (``mapInPandas`` over ``repartition(1)``).
+      The pair list is post-verify output, orders of magnitude
+      smaller than the corpus; a few million pairs resolve in one
+      pass with zero shuffle rounds, where the iterative path would
+      pay several whole-cluster barriers to converge.
+    - **large graph**: min-label propagation — each round every node
+      takes the min of its own label and its neighbors' labels;
+      converges in O(diameter) rounds, and near-dup components are
+      shallow (most members collide with the same representative
+      bands). Each round is one shuffle of the narrow (src, label)
+      edge join; ``localCheckpoint`` truncates the plan lineage so
+      round N's plan does not embed rounds 1..N-1. Same algorithm
+      GraphFrames/GraphX use for their connectedComponents.
 
     Returns (doc_id, cluster_id) for every node that appears in
     ``pairs``."""
-    # both directions via ONE explode — a self-union would evaluate
-    # the (possibly expensive) pair-mining plan twice
+    base = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if base.count() <= local_threshold:
+        return _components_single_task(base)
+
+    # both directions via ONE explode over the checkpointed base — a
+    # self-union would re-evaluate the pair-mining plan twice
     edges = (
-        pairs.select(
+        base.select(
             F.explode(
                 F.array(
+                    F.struct(F.col("src"), F.col("dst")),
                     F.struct(
-                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-                    ),
-                    F.struct(
-                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
                     ),
                 )
             ).alias("_e")

@@ -166,15 +166,39 @@ def test_connected_components_min_label(spark):
 def test_connected_components_long_chain(spark):
     """A 30-node path graph needs label propagation over many hops —
     the convergence loop, not a single join, must produce the fix
-    point."""
+    point. local_threshold=0 pins the iterative (large-graph) path."""
     from gofaiss_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], ["doc_a", "doc_b"]
     )
-    rows = connected_components(pairs).collect()
+    rows = connected_components(pairs, local_threshold=0).collect()
     assert {r["cluster_id"] for r in rows} == {0}
     assert len(rows) == 31
+
+
+def test_connected_components_strategies_agree(spark):
+    """The single-task union-find and the iterative min-label loop
+    must produce identical labelings on a random graph (threshold 0
+    forces the iterative path; the default takes the union-find)."""
+    import random
+
+    from gofaiss_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    small = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    large = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert small == large
 
 
 def test_near_dup_clusters_planted(spark):
