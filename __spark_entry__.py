@@ -1152,6 +1152,60 @@ GROUP BY event_type, strftime(ts, '%Y-%m-%d %H')
 """
 
 
+def _doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, collapse
+    non-alphanumeric runs, trim) + normalized fingerprint — the
+    pre-dedup pass that stops punctuation/casing from defeating
+    exact dedup. One JVM regexp chain, codegen'd."""
+    from gofaiss_spark.functions.text import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_fingerprint"),
+        F.size(F.split(norm, " ")).alias("n_norm_tokens"),
+    )
+
+
+_DOC_NORMALIZE_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+           AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text, md5(norm_text) AS norm_fingerprint,
+       CAST(len(string_split(norm_text, ' ')) AS INT) AS n_norm_tokens
+FROM n
+"""
+
+
+def _doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    cheap perplexity proxy for quality filtering. Shuffle-free fold
+    over the sorted char array (functions/text.py:char_entropy); the
+    oracle is DuckDB's entropy() aggregate over unnested chars."""
+    from gofaiss_spark.functions.text import char_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        F.round(char_entropy(F.col("text")), 6).alias("char_entropy_bits"),
+    )
+
+
+_DOC_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, round(entropy(c), 6) AS char_entropy_bits
+FROM chars GROUP BY doc_id
+"""
+
+
 def _doc_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -2550,6 +2604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _events_rollup,
         "events_range_join": _events_range_join,
         "doc_lang_dist": _doc_lang_dist,
+        "doc_normalize": _doc_normalize,
+        "doc_char_entropy": _doc_char_entropy,
         "doc_token_stats": _doc_token_stats,
         "doc_token_percentiles": _doc_token_percentiles,
         "ivf_fullprobe_topk": _ivf_fullprobe_topk,
@@ -2647,6 +2703,8 @@ GROUP BY label, g.i
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "events_range_join": _EVENTS_RANGE_JOIN_SQL,
         "doc_lang_dist": _DOC_LANG_DIST_SQL,
+        "doc_normalize": _DOC_NORMALIZE_SQL,
+        "doc_char_entropy": _DOC_CHAR_ENTROPY_SQL,
         "doc_token_stats": _DOC_TOKEN_STATS_SQL,
         "doc_token_percentiles": _DOC_TOKEN_PCTL_SQL,
         "ivf_fullprobe_topk": _IVF_FULLPROBE_SQL,

@@ -168,6 +168,8 @@ def main() -> None:
         "events_rollup",
         "events_range_join",
         "doc_token_stats",
+        "doc_normalize",
+        "doc_char_entropy",
         "doc_exact_dedup",
         "doc_minhash_near_dup",
         "doc_lang_id",

@@ -156,6 +156,63 @@ def lang_id(text) -> Column:
     )
 
 
+def normalize_text(text) -> Column:
+    """Canonical dedup-time text normalization: lowercase, collapse
+    every non-alphanumeric run to a single space, trim. Pure JVM
+    regexp chain (one codegen stage); the pattern stays inside the
+    Java-regex ∩ RE2 subset so the DuckDB oracle evaluates it
+    identically. The standard pre-MinHash/pre-fingerprint pass —
+    punctuation and casing differences stop defeating dedup."""
+    return F.trim(
+        F.regexp_replace(F.lower(_as_col(text)), "[^a-z0-9]+", " ")
+    )
+
+
+def char_entropy(text) -> Column:
+    """Shannon entropy (bits) of the character distribution — the
+    cheap perplexity proxy: near-0 for degenerate/repetitive text,
+    ~4.2 for natural English. Shuffle-free: a single higher-order
+    fold over the SORTED char array accumulates run lengths and
+    Σ c·log₂c, then finishes with H = log₂n − (Σ c·log₂c)/n — no
+    explode, no per-char groupBy (which would shuffle one row per
+    character of the corpus). Matches DuckDB's ``entropy()``
+    aggregate bit-for-bit at 6 dp."""
+    arr = F.array_sort(F.split(_as_col(text), ""))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("sum"),
+    )
+
+    def closed(acc):
+        run_d = acc["run"].cast("double")
+        return F.when(acc["run"] > 0, run_d * F.log2(run_d)).otherwise(
+            F.lit(0.0)
+        )
+
+    def merge(acc, x):
+        same = acc["prev"] == x
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(same, acc["sum"])
+            .otherwise(acc["sum"] + closed(acc))
+            .alias("sum"),
+        )
+
+    n = F.size(arr).cast("double")
+    return F.aggregate(
+        arr,
+        init,
+        merge,
+        lambda acc: F.when(
+            F.size(arr) > 0, F.log2(n) - (acc["sum"] + closed(acc)) / n
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 def doc_fingerprint(text) -> Column:
     """64-bit content fingerprint of whitespace-normalized lowercased
     text (xxhash64) — the exact-dedup key."""

@@ -156,3 +156,41 @@ def test_embedding_near_dup_exact_vs_lsh(spark):
     lsh_pairs = {(r.id_a, r.id_b) for r in lsh}
     assert {(i, 80 + i) for i in range(5)} <= lsh_pairs
     assert lsh_pairs <= exact_pairs  # LSH never invents pairs (verify step)
+
+
+def test_normalize_text(spark):
+    from gofaiss_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("  Hello, WORLD!!  42\tfoo  ",), ("...",)], "t string"
+    )
+    got = [r["n"] for r in df.select(normalize_text("t").alias("n")).collect()]
+    assert got == ["hello world 42 foo", ""]
+
+
+def test_char_entropy_values(spark):
+    import math
+
+    from gofaiss_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("aabc",), ("ab",), ("",)], "t string"
+    )
+    got = [
+        r["h"] for r in df.select(char_entropy("t").alias("h")).collect()
+    ]
+    assert got[0] == 0.0
+    assert got[1] == pytest.approx(1.5)
+    assert got[2] == pytest.approx(1.0)
+    # empty string: Spark split('') yields [''] (one run) -> H = 0
+    assert got[3] == 0.0
+    # natural-ish text lands in a plausible band
+    txt = "the quick brown fox jumps over the lazy dog"
+    df2 = spark.createDataFrame([(txt,)], "t string")
+    h = df2.select(char_entropy("t").alias("h")).collect()[0]["h"]
+    counts = {}
+    for c in txt:
+        counts[c] = counts.get(c, 0) + 1
+    n = len(txt)
+    expect = -sum(c / n * math.log2(c / n) for c in counts.values())
+    assert h == pytest.approx(expect)
