@@ -515,3 +515,153 @@ def load_index(spark: SparkSession, path: str):
             graph=g, ef_search=int(p["ef_search"]), seed=int(p["seed"]), spark=spark
         )
     raise ValueError(f"unknown index_type {itype!r} in {path}/_meta.json")
+
+
+# ---------------------------------------------------------------------------
+# artifact maintenance: compaction + persisted remove
+# ---------------------------------------------------------------------------
+
+#: index_type -> (data tables, partitioned-by-list_id tables)
+_DATA_TABLES: dict[str, tuple[list[str], list[str]]] = {
+    "flat": (["vectors"], []),
+    "ivf": (["assignments"], ["assignments"]),
+    "pq": (["codes"], []),
+    "sq": (["codes"], []),
+    "ivfpq": (["codes"], ["codes"]),
+    "ivfsq": (["codes"], ["codes"]),
+    "lsh": (["vectors", "buckets"], []),
+}
+
+
+def _parquet_files(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        )
+    return out
+
+
+def _swap_dir(tmp: str, dst: str) -> None:
+    """Replace ``dst`` with ``tmp`` (local-FS artifact layout; on a
+    real lake this is the table format's commit — Iceberg/Delta
+    rewrite-files, or a HDFS rename)."""
+    import shutil
+
+    old = dst + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(dst, old)
+    os.rename(tmp, dst)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def compact_index(
+    spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
+) -> dict:
+    """Compact a saved artifact's data tables: rewrite many small
+    files (the inevitable residue of streaming micro-batch appends —
+    one file per list per batch) into few balanced ones, preserving
+    the ``partitionBy(list_id)`` layout that nprobe pruning needs.
+
+    Partitioned tables are rewritten with ``repartition("list_id")``
+    — hash-clustered so each inverted list lands contiguous in one
+    task → one file per list (the ``colocated`` fast path that skips
+    the per-partition ADC rebuild at search time). Unpartitioned
+    tables coalesce to ``ceil(rows / target_rows_per_file)`` files.
+    Readers are unaffected semantically: same rows, same schema, same
+    partition directories; search results are byte-identical (gated
+    in tests). Returns {table: {files_before, files_after, rows}}.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    meta = _read_meta(path)
+    tables, partitioned = _DATA_TABLES.get(meta["index_type"], ([], []))
+    report: dict = {}
+    for name in tables:
+        tdir = f"{path}/{name}"
+        before = len(_parquet_files(tdir))
+        df = spark.read.parquet(tdir)
+        rows = df.count()
+        tmp = f"{path}/.{name}.compact"
+        if name in partitioned:
+            (
+                df.repartition("list_id")
+                .write.mode("overwrite")
+                .partitionBy("list_id")
+                .parquet(tmp)
+            )
+        else:
+            n_files = max(1, -(-rows // target_rows_per_file))
+            df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+        _swap_dir(tmp, tdir)
+        report[name] = {
+            "files_before": before,
+            "files_after": len(_parquet_files(tdir)),
+            "rows": rows,
+        }
+    return report
+
+
+def remove_from_index(spark: SparkSession, path: str, ids) -> int:
+    """Row-level delete on a SAVED artifact (the reference errors
+    "remove not supported" for IVF, ivf.go:176-178; our in-memory
+    ``api.remove`` anti-joins — this is the persisted twin).
+
+    For list-partitioned tables the rewrite is PARTITION-PRUNED: the
+    ids are first located (one pruned-column scan of (id, list_id)),
+    then ONLY the affected list directories are rewritten and
+    atomically swapped; untouched lists keep their files — at
+    nlist=65k and a handful of deletes, that is a few directories,
+    not a table rewrite. Emptied lists have their directories
+    removed outright (the case dynamic partition overwrite silently
+    skips). Unpartitioned tables rewrite wholesale. Returns the
+    number of rows removed from the primary data table.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if not isinstance(ids, (list, tuple)):
+        ids = [r[0] for r in ids.collect()]
+    ids = [int(i) for i in ids]
+    meta = _read_meta(path)
+    tables, partitioned = _DATA_TABLES.get(meta["index_type"], ([], []))
+    removed = 0
+    for name in tables:
+        primary = name == tables[0]
+        tdir = f"{path}/{name}"
+        df = spark.read.parquet(tdir)
+        id_col = "id" if "id" in df.columns else df.columns[0]
+        hit = F.col(id_col).isin(ids)
+        if name in partitioned:
+            affected = [
+                r["list_id"]
+                for r in df.filter(hit).select("list_id").distinct().collect()
+            ]
+            if not affected:
+                continue
+            sub = df.filter(F.col("list_id").isin(affected))
+            if primary:
+                removed = sub.filter(hit).count()
+            keep = sub.filter(~hit)
+            tmp = f"{path}/.{name}.remove"
+            keep.repartition("list_id").write.mode("overwrite").partitionBy(
+                "list_id"
+            ).parquet(tmp)
+            for lid in affected:
+                old = f"{tdir}/list_id={lid}"
+                new = f"{tmp}/list_id={lid}"
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.isdir(new):
+                    os.rename(new, old)
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            n = df.filter(hit).count()
+            if not n:
+                continue
+            if primary:
+                removed = n
+            tmp = f"{path}/.{name}.remove"
+            df.filter(~hit).write.mode("overwrite").parquet(tmp)
+            _swap_dir(tmp, tdir)
+    return removed
