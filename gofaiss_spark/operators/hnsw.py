@@ -30,6 +30,7 @@ exportable as a ``(level, src, dst)`` DataFrame for persistence.
 from __future__ import annotations
 
 import heapq
+import pickle
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -292,8 +293,22 @@ def build_hnsw(
     rows = df.toPandas()
     ids = rows["id"].to_numpy(dtype=np.int64)
     vecs = _prep(np.stack(rows["vec"].to_numpy()), metric)
-    dim = vecs.shape[1]
+    g = _build_graph(ids, vecs, m, ef_construction, metric, seed)
+    return HnswIndex(graph=g, spark=vectors.sparkSession)
 
+
+def _build_graph(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    m: int,
+    ef_construction: int,
+    metric: str,
+    seed: int,
+) -> HnswGraph:
+    """The sequential insert loop (hnsw.go:97-139/291-341) over an
+    already-prepped (n, dim) matrix. Shared by the driver-side build
+    and the per-shard executor build (`build_hnsw_sharded`)."""
+    n, dim = vecs.shape
     rng = np.random.default_rng(seed)
     mult = 1.0 / np.log(m)
     # geometric level draw, capped (hnsw.go:282-289)
@@ -341,7 +356,7 @@ def build_hnsw(
             eps = [nb for _, nb in sorted(w)] or eps
         if lvl > g.max_level:
             g.entry_point, g.max_level = i, lvl
-    return HnswIndex(graph=g, spark=vectors.sparkSession)
+    return g
 
 
 def _search_graph_batch(
@@ -425,3 +440,162 @@ def remove_hnsw(index: HnswIndex, vector_id: int) -> None:
                 g.entry_point = next(iter(g.edges[lvl]))
                 g.max_level = lvl
                 break
+
+
+# ---------------------------------------------------------------------------
+# Sharded HNSW — the distributed build/serve path
+# ---------------------------------------------------------------------------
+#
+# The reference's HNSW (hnsw.go:291-341) is a single sequential graph;
+# the driver-side `build_hnsw` above preserves those semantics but is
+# bounded by `max_vectors` and builds serially. The sharded variant is
+# the scale answer (the FAISS `IndexShards` pattern): hash-partition the
+# corpus into S independent shards, build one small HNSW graph PER SHARD
+# inside `applyInPandas` (S builds run in parallel on executors, the
+# driver never sees a vector), and serve a query batch by searching
+# every shard with the same ef-bounded descent and taking a global
+# top-k window over the S×q×k candidate rows.
+#
+# Why this scales where the single graph cannot:
+# - build is embarrassingly parallel: wall-clock ≈ serial_time / S, and
+#   insert cost per shard is O((n/S) log(n/S)) — the total work DROPS.
+# - each shard blob is bounded (`rows_per_shard` knob), so executor
+#   memory is bounded regardless of corpus size.
+# - search fan-out is S independent tasks over a broadcast query batch;
+#   only S×q×k 24-byte rows enter the final shuffle.
+# Recall is ≥ the single graph at equal ef: every shard's subgraph is
+# searched, so a true neighbor can only be missed by its own shard's
+# descent, never by inter-shard edges that were never built.
+
+SHARD_BLOB_SCHEMA = "shard_id int, n_vectors long, dim int, blob binary"
+
+
+@dataclass
+class HnswShardedIndex:
+    """S independent per-shard graphs held as a DataFrame of pickled
+    blobs — (shard_id, n_vectors, dim, blob). Blobs live in executor
+    memory / parquet; the driver only ever aggregates their sizes."""
+
+    blobs: DataFrame
+    metric: str
+    m: int
+    ef_construction: int
+    num_shards: int
+    ef_search: int = DEFAULT_EF_SEARCH
+    spark: SparkSession | None = field(default=None, repr=False)
+
+    def set_ef_search(self, ef: int) -> None:
+        self.ef_search = int(ef)
+
+    def stats(self) -> dict:
+        row = self.blobs.agg(
+            F.sum("n_vectors").alias("n"),
+            F.max("dim").alias("dim"),
+            F.sum(F.length("blob")).alias("bytes"),
+            F.count("*").alias("shards"),
+        ).collect()[0]
+        return {
+            "index_type": "hnsw_sharded",
+            "total_vectors": int(row["n"] or 0),
+            "dimension": int(row["dim"] or 0),
+            "memory_mb": round((row["bytes"] or 0) / 1e6, 3),
+            "extra": {
+                "metric": self.metric,
+                "m": self.m,
+                "ef_construction": self.ef_construction,
+                "ef_search": self.ef_search,
+                "num_shards": int(row["shards"]),
+            },
+        }
+
+
+def build_hnsw_sharded(
+    vectors: DataFrame,
+    num_shards: int | None = None,
+    m: int = DEFAULT_M,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    metric: str = "l2",
+    seed: int = 42,
+    vec_col: str = "vec",
+    id_col: str = "id",
+) -> HnswShardedIndex:
+    """Distributed build: one independent graph per hash shard, built
+    in parallel inside ``applyInPandas``. ``num_shards`` defaults to
+    the session's shuffle parallelism; size it so n/num_shards rows of
+    float32[dim] fit one task's memory (the 100 TB knob)."""
+    validate_metric(metric)
+    spark = vectors.sparkSession
+    if num_shards is None:
+        num_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    s = int(num_shards)
+    df = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)).cast("int").alias("shard_id"),
+    )
+
+    cfg = (m, ef_construction, metric, seed)
+
+    def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (shard,) = key
+        mm, efc, met, sd = cfg
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        vecs = _prep(np.stack(pdf["vec"].to_numpy()), met)
+        g = _build_graph(ids, vecs, mm, efc, met, sd + shard)
+        return pd.DataFrame(
+            {
+                "shard_id": [shard],
+                "n_vectors": [len(ids)],
+                "dim": [int(vecs.shape[1])],
+                "blob": [pickle.dumps(g, protocol=5)],
+            }
+        )
+
+    blobs = (
+        df.groupBy("shard_id").applyInPandas(build_shard, SHARD_BLOB_SCHEMA).cache()
+    )
+    blobs.count()  # materialize the build
+    return HnswShardedIndex(
+        blobs=blobs,
+        metric=metric,
+        m=m,
+        ef_construction=ef_construction,
+        num_shards=s,
+        spark=spark,
+    )
+
+
+def search_hnsw_sharded(
+    index: HnswShardedIndex,
+    queries: DataFrame,
+    k: int = 10,
+    ef_search: int | None = None,
+    qvec_col: str = "qvec",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Fan-out serve: broadcast the query batch (bounded by the batch
+    contract, same as the IVF/PQ probe kernels), run the ef-bounded
+    layer-0 descent of every shard's graph against all queries in one
+    task per shard, then global top-k over S×q×k narrow rows."""
+    ef = int(ef_search if ef_search is not None else index.ef_search)
+    spark = index.spark or queries.sparkSession
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(qvec_col).alias("qvec")
+    ).collect()
+    if not qrows:
+        return spark.createDataFrame([], RESULT_SCHEMA + ", rank int")
+    qids = np.asarray([r["query_id"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["qvec"], dtype=np.float32) for r in qrows])
+    bc = spark.sparkContext.broadcast((qids, qmat))
+    metric = index.metric
+
+    def part(batches):
+        b_qids, b_qmat = bc.value
+        pq = _prep(b_qmat, metric)
+        for pdf in batches:
+            for blob in pdf["blob"]:
+                g: HnswGraph = pickle.loads(blob)
+                yield _search_graph_batch(g, pq, b_qids, k, ef)
+
+    res = index.blobs.mapInPandas(part, schema=RESULT_SCHEMA)
+    return topk(res, k)
