@@ -1617,6 +1617,25 @@ def _hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_invariants(res, v, queries=q, truth=search_flat(v, q, k=TOPK_K))
 
 
+def _hnsw_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sharded HNSW (FAISS IndexShards pattern: one
+    independent graph per hash shard, built in parallel executor-side,
+    every shard searched per query batch) as hard-checked invariants —
+    distances are exact L2, so the flat lower bound + distance-honesty
+    checks apply; recall ≥0.95 gated in tests/test_hnsw.py."""
+    from gofaiss_spark.operators.hnsw import (
+        build_hnsw_sharded,
+        search_hnsw_sharded,
+    )
+    from gofaiss_spark.operators.topk import search_flat
+
+    v = _vectors(spark, sf_dir)
+    q = _queries_df(spark, sf_dir, N_ANN_QUERIES)
+    idx = build_hnsw_sharded(v, num_shards=4, m=16, ef_construction=100, seed=42)
+    res = search_hnsw_sharded(idx, q, k=TOPK_K, ef_search=100)
+    return _ann_invariants(res, v, queries=q, truth=search_flat(v, q, k=TOPK_K))
+
+
 def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN (the HNSW role-player) as hard-checked invariants
     (exact re-ranked distances → lower bound + honesty apply)."""
@@ -1643,6 +1662,7 @@ _RECALL_FLOORS = {
     "pq_m8": 0.3,
     "ivfpq_fullprobe": 0.3,
     "hnsw_ef100": 0.9,
+    "hnsw_sharded": 0.9,
 }
 
 
@@ -1651,7 +1671,12 @@ def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     into engine-independent booleans the DuckDB oracle emits as
     constants (benchmark_comparison.go:459-487 analogue)."""
     from gofaiss_spark.bench_util import recall_at_k
-    from gofaiss_spark.operators.hnsw import build_hnsw, search_hnsw
+    from gofaiss_spark.operators.hnsw import (
+        build_hnsw,
+        build_hnsw_sharded,
+        search_hnsw,
+        search_hnsw_sharded,
+    )
     from gofaiss_spark.operators.ivf import build_ivf, search_ivf
     from gofaiss_spark.operators.ivfpq import build_ivfpq, search_ivfpq
     from gofaiss_spark.operators.lsh import build_lsh, search_lsh
@@ -1674,6 +1699,19 @@ def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pq_m8", recall_at_k(search_pq(pq, q, k=TOPK_K), truth, TOPK_K)),
         ("ivfpq_fullprobe", recall_at_k(search_ivfpq(ivfpq, q, k=TOPK_K, nprobe=10), truth, TOPK_K)),
         ("hnsw_ef100", recall_at_k(search_hnsw(hnsw, q, k=TOPK_K), truth, TOPK_K)),
+        (
+            "hnsw_sharded",
+            recall_at_k(
+                search_hnsw_sharded(
+                    build_hnsw_sharded(v, num_shards=4, m=16, ef_construction=100),
+                    q,
+                    k=TOPK_K,
+                    ef_search=100,
+                ),
+                truth,
+                TOPK_K,
+            ),
+        ),
     ]
     return spark.createDataFrame(
         [
@@ -2622,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfsq_topk": _ivfsq_topk,
         "lsh_topk": _lsh_topk,
         "hnsw_topk": _hnsw_topk,
+        "hnsw_sharded_topk": _hnsw_sharded_topk,
         "ann_recall_report": _ann_recall_report,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_minhash_near_dup": _doc_minhash_near_dup,
@@ -2745,6 +2784,7 @@ GROUP BY label, g.i
         "ivfsq_topk": _ANN_OK_SQL,
         "lsh_topk": _ANN_OK_SQL,
         "hnsw_topk": _ANN_OK_SQL,
+        "hnsw_sharded_topk": _ANN_OK_SQL,
         "ann_recall_report": _ANN_RECALL_REPORT_SQL,
         "doc_simhash": _DOC_SIMHASH_SQL,
     }

@@ -27,7 +27,8 @@ from gofaiss_spark.operators.sq import SqIndex, build_sq, search_sq
 from gofaiss_spark.operators.topk import range_search as _range_search
 
 INDEX_TYPES = (
-    "flat", "ivf", "pq", "sq", "ivfpq", "ivfsq", "lsh", "hnsw", "hnsw_local"
+    "flat", "ivf", "pq", "sq", "ivfpq", "ivfsq", "lsh", "hnsw",
+    "hnsw_local", "hnsw_sharded",
 )
 
 DEFAULT_K = 10
@@ -106,6 +107,21 @@ def build_index(
             vec_col=vec_col,
             id_col=id_col,
         )
+    if index_type == "hnsw_sharded":
+        # the distributed HNSW (FAISS IndexShards pattern): S
+        # independent graphs built in parallel executor-side
+        from gofaiss_spark.operators.hnsw import build_hnsw_sharded
+
+        return build_hnsw_sharded(
+            vectors,
+            num_shards=params.get("num_shards"),
+            m=params.get("m", 16),
+            ef_construction=params.get("ef_construction", 200),
+            metric=metric,
+            seed=params.get("seed", 42),
+            vec_col=vec_col,
+            id_col=id_col,
+        )
     if index_type in ("lsh", "hnsw"):
         return build_lsh(
             vectors,
@@ -174,10 +190,19 @@ def search(index, queries: DataFrame, k: int = DEFAULT_K, params: dict | None = 
         )
     if isinstance(index, LshIndex):
         return search_lsh(index, queries, k=k)
-    from gofaiss_spark.operators.hnsw import HnswIndex, search_hnsw
+    from gofaiss_spark.operators.hnsw import (
+        HnswIndex,
+        HnswShardedIndex,
+        search_hnsw,
+        search_hnsw_sharded,
+    )
 
     if isinstance(index, HnswIndex):
         return search_hnsw(index, queries, k=k, ef_search=params.get("ef_search"))
+    if isinstance(index, HnswShardedIndex):
+        return search_hnsw_sharded(
+            index, queries, k=k, ef_search=params.get("ef_search")
+        )
     raise TypeError(f"cannot search index of type {type(index).__name__}")
 
 
@@ -210,12 +235,19 @@ def remove_ids(index, ids: list[int]):
     deviation, SURVEY.md §2.2). HNSW routes to its graph-aware remove
     (hnsw.go:203-242 parity). Returns the updated index (same object;
     DataFrame fields replaced)."""
-    from gofaiss_spark.operators.hnsw import HnswIndex, remove_hnsw
+    from gofaiss_spark.operators.hnsw import (
+        HnswIndex,
+        HnswShardedIndex,
+        remove_hnsw,
+        remove_hnsw_sharded,
+    )
 
     if isinstance(index, HnswIndex):
         for vid in ids:
             remove_hnsw(index, vid)
         return index
+    if isinstance(index, HnswShardedIndex):
+        return remove_hnsw_sharded(index, ids)
     from pyspark.sql import functions as F
 
     id_set = [int(i) for i in ids]

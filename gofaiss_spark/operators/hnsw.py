@@ -421,10 +421,16 @@ def search_hnsw(
 def remove_hnsw(index: HnswIndex, vector_id: int) -> None:
     """Remove parity (hnsw.go:203-242): delete the node, filter every
     edge list, re-pick the entry point from the remaining top level."""
-    g = index.graph
-    pos = np.nonzero(g.ids == vector_id)[0]
-    if pos.size == 0:
+    if not _graph_remove(index.graph, vector_id):
         raise KeyError(f"vector id {vector_id} not found")
+
+
+def _graph_remove(g: HnswGraph, vector_id: int) -> bool:
+    """Delete one node from a graph in place; False if absent. Shared
+    by the driver-side remove and the per-shard executor remove."""
+    pos = np.nonzero(g.ids == vector_id)[0]
+    if pos.size == 0 or g.levels[int(pos[0])] < 0:
+        return False
     node = int(pos[0])
     for lvl, layer in enumerate(g.edges):
         layer.pop(node, None)
@@ -440,6 +446,7 @@ def remove_hnsw(index: HnswIndex, vector_id: int) -> None:
                 g.entry_point = next(iter(g.edges[lvl]))
                 g.max_level = lvl
                 break
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -599,3 +606,37 @@ def search_hnsw_sharded(
 
     res = index.blobs.mapInPandas(part, schema=RESULT_SCHEMA)
     return topk(res, k)
+
+
+def remove_hnsw_sharded(
+    index: HnswShardedIndex, ids: list[int]
+) -> HnswShardedIndex:
+    """Distributed remove: each shard deletes its own members of
+    ``ids`` executor-side (same node-delete as hnsw.go:203-242, run
+    inside mapInPandas) and re-pickles. Shards that contain none of
+    the ids rewrite their blob unchanged — one narrow pass over S
+    blobs, no driver materialization."""
+    id_list = [int(i) for i in ids]
+
+    def part(batches):
+        for pdf in batches:
+            out_rows = []
+            for shard, blob in zip(pdf["shard_id"], pdf["blob"]):
+                g: HnswGraph = pickle.loads(blob)
+                for vid in id_list:
+                    _graph_remove(g, vid)
+                out_rows.append(
+                    {
+                        "shard_id": int(shard),
+                        "n_vectors": int((g.levels >= 0).sum()),
+                        "dim": int(g.dim),
+                        "blob": pickle.dumps(g, protocol=5),
+                    }
+                )
+            yield pd.DataFrame(out_rows)
+
+    blobs = index.blobs.mapInPandas(part, schema=SHARD_BLOB_SCHEMA).cache()
+    blobs.count()
+    index.blobs.unpersist()
+    index.blobs = blobs
+    return index

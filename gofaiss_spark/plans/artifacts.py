@@ -27,6 +27,7 @@ import os
 
 import numpy as np
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 FORMAT_VERSION = "1.0.0"
 
@@ -193,6 +194,12 @@ def _is_ivfsq(index) -> bool:
     return isinstance(index, IvfSqIndex)
 
 
+def _is_hnsw_sharded(index) -> bool:
+    from gofaiss_spark.operators.hnsw import HnswShardedIndex
+
+    return isinstance(index, HnswShardedIndex)
+
+
 def save_index(index, path: str, fmt: str = "parquet") -> None:
     """Persist any index artifact (Save parity: flat.go:123-147,
     ivfpq.go:367-470 — but Parquet, not gob; ``fmt="json"`` gives the
@@ -321,6 +328,27 @@ def save_index(index, path: str, fmt: str = "parquet") -> None:
                 },
             }
         )
+    elif _is_hnsw_sharded(index):
+        # per-shard graph blobs: the table IS the index (one pickled
+        # graph per shard row, bounded by rows_per_shard at build);
+        # partitionBy("shard_id") so a future selective-shard serve
+        # can prune. JSON export is skipped for the binary blob
+        # payload — meta + shard manifest only.
+        dims = index.blobs.agg(F.max("dim").alias("d")).collect()[0]["d"]
+        wm(
+            {
+                "index_type": "hnsw_sharded",
+                "dim": int(dims or 0),
+                "metric": index.metric,
+                "params": {
+                    "m": index.m,
+                    "ef_construction": index.ef_construction,
+                    "ef_search": index.ef_search,
+                    "num_shards": index.num_shards,
+                },
+            }
+        )
+        _write_df(index.blobs, f"{path}/shards", "parquet", "shard_id")
     else:
         from gofaiss_spark.operators.hnsw import HnswIndex
 
@@ -513,6 +541,19 @@ def load_index(spark: SparkSession, path: str):
                 )
         return HnswIndex(
             graph=g, ef_search=int(p["ef_search"]), seed=int(p["seed"]), spark=spark
+        )
+    if itype == "hnsw_sharded":
+        from gofaiss_spark.operators.hnsw import HnswShardedIndex
+
+        p = meta["params"]
+        return HnswShardedIndex(
+            blobs=spark.read.parquet(f"{path}/shards"),
+            metric=meta["metric"],
+            m=int(p["m"]),
+            ef_construction=int(p["ef_construction"]),
+            num_shards=int(p["num_shards"]),
+            ef_search=int(p["ef_search"]),
+            spark=spark,
         )
     raise ValueError(f"unknown index_type {itype!r} in {path}/_meta.json")
 

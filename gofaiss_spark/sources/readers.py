@@ -35,17 +35,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet with a usable ``ts`` timestamp column.
 
-    The table's ``ts`` is parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as a nanos-since-epoch long
-    (legacy conf, runtime-settable) and truncate to microseconds —
-    exactly what DuckDB's microsecond TIMESTAMP does with the same
-    file, so oracle comparisons agree.
+    The table's ``ts`` is parquet TIMESTAMP(NANOS). Depending on the
+    Spark build this arrives either as TIMESTAMP_NTZ (native nanos
+    support, truncated to micros) or — with the legacy conf on older
+    readers — as a nanos-since-epoch long. Normalize both to a
+    microsecond TIMESTAMP — the same values DuckDB's microsecond
+    TIMESTAMP yields on this file (session tz is UTC), so oracle
+    comparisons agree.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_embeddings_as_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -135,3 +135,109 @@ def test_stats(index):
     assert s["total_vectors"] == index.graph.n()
     assert s["extra"]["m"] == 16
     assert s["extra"]["max_level"] == index.graph.max_level
+
+
+# ---------------------------------------------------------------------------
+# sharded HNSW — the distributed build/serve path (FAISS IndexShards
+# pattern; hnsw.go:291-341 semantics per shard)
+# ---------------------------------------------------------------------------
+
+from gofaiss_spark.operators.hnsw import (  # noqa: E402
+    build_hnsw_sharded,
+    remove_hnsw_sharded,
+    search_hnsw_sharded,
+)
+
+
+@pytest.fixture(scope="module")
+def sharded(vectors):
+    return build_hnsw_sharded(
+        vectors, num_shards=4, m=16, ef_construction=100, metric="l2", seed=42
+    )
+
+
+def test_sharded_recall_vs_flat(vectors, queries, sharded):
+    truth = search_flat(vectors, queries, k=10)
+    res = search_hnsw_sharded(sharded, queries, k=10, ef_search=100)
+    assert recall_at_k(res, truth, 10) >= 0.95
+
+
+def test_sharded_results_sorted_and_exact_distances(
+    vectors, queries, sharded
+):
+    """Distances are exact L2 (graph only picks candidates), sorted,
+    deduplicated — shards partition the id space so no id can appear
+    twice."""
+    rows = search_hnsw_sharded(sharded, queries, k=5).collect()
+    base = {
+        r.id: np.asarray(r.vec, dtype=np.float64) for r in vectors.collect()
+    }
+    qmap = {
+        r.query_id: np.asarray(r.qvec, dtype=np.float64)
+        for r in queries.collect()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, items in by_q.items():
+        items.sort(key=lambda r: r.rank)
+        assert len(items) <= 5
+        assert len({r.id for r in items}) == len(items)
+        dists = [r.distance for r in items]
+        assert dists == sorted(dists)
+        for r in items:
+            exact = float(np.linalg.norm(base[r.id] - qmap[r.query_id]))
+            assert abs(r.distance - exact) < 1e-3
+
+
+def test_sharded_covers_all_shards(vectors, sharded):
+    s = sharded.stats()
+    assert s["index_type"] == "hnsw_sharded"
+    assert s["total_vectors"] == vectors.count()
+    assert s["extra"]["num_shards"] == 4
+    assert s["memory_mb"] > 0
+
+
+def test_sharded_remove(vectors, queries, sharded):
+    idx = build_hnsw_sharded(vectors, num_shards=4, m=8, ef_construction=64)
+    n0 = idx.stats()["total_vectors"]
+    victims = [
+        int(r.id)
+        for r in search_hnsw_sharded(idx, queries.limit(1), k=3).collect()
+    ]
+    remove_hnsw_sharded(idx, victims)
+    assert idx.stats()["total_vectors"] == n0 - len(victims)
+    ids_after = {
+        r.id for r in search_hnsw_sharded(idx, queries, k=10).collect()
+    }
+    assert not (set(victims) & ids_after)
+
+
+def test_sharded_save_load_roundtrip(sharded, queries, spark, tmp_path):
+    from gofaiss_spark.api import load, save
+
+    path = str(tmp_path / "hnsw_sharded_idx")
+    save(sharded, path)
+    loaded = load(spark, path)
+    assert loaded.ef_construction == 100 and loaded.num_shards == 4
+    orig = sorted(
+        (r.query_id, r.id, round(r.distance, 6))
+        for r in search_hnsw_sharded(sharded, queries, k=10).collect()
+    )
+    redo = sorted(
+        (r.query_id, r.id, round(r.distance, 6))
+        for r in search_hnsw_sharded(loaded, queries, k=10).collect()
+    )
+    assert orig == redo
+
+
+def test_sharded_api_dispatch(vectors, queries):
+    from gofaiss_spark.api import build_index, search
+
+    idx = build_index(
+        vectors,
+        index_type="hnsw_sharded",
+        params={"num_shards": 3, "ef_construction": 64},
+    )
+    res = search(idx, queries, k=5, params={"ef_search": 64})
+    assert res.count() == queries.count() * 5
