@@ -1029,6 +1029,87 @@ GROUP BY n_name
 """
 
 
+def _tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock analogue (TPC-H Q11, adapted: no partsupp, so a
+    part's 'stock value' from one nation's suppliers is the revenue it
+    shipped through them). The Q11 plan shape survives intact: group
+    per part, HAVING against a scalar subquery (a fraction of the
+    global total) — the scalar rides a 1-row broadcast join, so the
+    fact table is scanned once per side and never shuffled for the
+    comparison. Revenue in exact DECIMAL (engine-independent sum)."""
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
+    dec = "decimal(18,4)"
+    rev = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1).cast(dec) - F.col("l_discount").cast(dec)
+    )
+    german = li.join(supp, li.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    )
+    per_part = german.groupBy("l_partkey").agg(F.sum(rev).alias("_val"))
+    threshold = per_part.agg(
+        (F.sum("_val") * F.lit(0.001).cast(dec)).alias("_thresh")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("_val") > F.col("_thresh"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("_val"), 2).cast("double").alias("stock_value"),
+        )
+    )
+
+
+_TPCH_Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'GERMANY'
+  GROUP BY l_partkey
+)
+SELECT partkey, CAST(round(val, 2) AS DOUBLE) AS stock_value
+FROM per_part
+WHERE val > (SELECT sum(val) * CAST(0.001 AS DECIMAL(18,4)) FROM per_part)
+"""
+
+
+def _tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority-class analogue (TPC-H Q12, adapted: no
+    l_shipmode, so l_linestatus plays the ship-mode role). Per status,
+    count lines from high-priority vs other orders shipped in 1996 —
+    the Q12 conditional CASE-sum over an orders⋈lineitem join. The
+    date filter reaches the lineitem scan; the join shuffles on
+    orderkey once and the 2-row aggregate is map-side partial."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _read(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_TPCH_Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
 def _tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-cost-supplier analogue (TPC-H Q2, adapted: no partsupp,
     so a supplier's 'offer' for a part is the minimum extended price
@@ -2600,6 +2681,98 @@ FROM f
 """
 
 
+# --- full-text retrieval (BM25 / TF-IDF, operators/retrieval.py) ----
+
+# Deterministic lexical query batch over the synthetic corpus
+# vocabulary. (query_id, term) pairs — set semantics, matching
+# search_bm25's array_distinct.
+_BM25_QUERY_TEXTS = [
+    (0, "spark window agg"),
+    (1, "customer join query"),
+    (2, "vector scan fast"),
+    (3, "stream batch order"),
+    (4, "hash merge sort table"),
+]
+
+
+def _bm25_query_values() -> str:
+    pairs = []
+    for qid, text in _BM25_QUERY_TEXTS:
+        for term in dict.fromkeys(text.split()):
+            pairs.append(f"({qid}, '{term}')")
+    return ", ".join(pairs)
+
+
+def _doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofaiss_spark.operators.retrieval import build_text_index, search_bm25
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = build_text_index(docs)
+    q = spark.createDataFrame(
+        _BM25_QUERY_TEXTS, "query_id long, query_text string"
+    )
+    return search_bm25(idx, q, k=TOPK_K)
+
+
+_DOC_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ), 6) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, score, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+def _doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofaiss_spark.operators.retrieval import build_text_index, tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(build_text_index(docs), top_n=3)
+
+
+_DOC_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY doc_id, term),
+stats AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM toks),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+weighted AS (
+  SELECT doc_id, tf.term, round(tf.tf * ln(s.n_docs / d.df), 6) AS weight
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, term, weight, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rank
+      FROM weighted)
+WHERE rank <= 3
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: exact top-10 L2
     neighbors for a 100-query batch (the flat-index oracle plan)."""
@@ -2626,6 +2799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": _tpch_q7,
         "tpch_q8": _tpch_q8,
         "tpch_q9": _tpch_q9,
+        "tpch_q11": _tpch_q11,
+        "tpch_q12": _tpch_q12,
         "tpch_q13": _tpch_q13,
         "tpch_q15": _tpch_q15,
         "tpch_q16": _tpch_q16,
@@ -2678,6 +2853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": _doc_stratified_sample,
         "doc_packed_batches": _doc_packed_batches,
         "doc_dedup_clusters": _doc_dedup_clusters,
+        "doc_bm25_topk": _doc_bm25_topk,
+        "doc_tfidf_terms": _doc_tfidf_terms,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "multimodal_stats": _multimodal_stats,
@@ -2726,6 +2903,8 @@ GROUP BY label, g.i
         "tpch_q7": _TPCH_Q7_SQL,
         "tpch_q8": _TPCH_Q8_SQL,
         "tpch_q9": _TPCH_Q9_SQL,
+        "tpch_q11": _TPCH_Q11_SQL,
+        "tpch_q12": _TPCH_Q12_SQL,
         "tpch_q13": _TPCH_Q13_SQL,
         "tpch_q15": _TPCH_Q15_SQL,
         "tpch_q16": _TPCH_Q16_SQL,
@@ -2762,6 +2941,10 @@ GROUP BY label, g.i
         "doc_stratified_sample": _DOC_STRATIFIED_SAMPLE_SQL,
         "doc_packed_batches": _DOC_PACKED_BATCHES_SQL,
         "doc_dedup_clusters": _DOC_DEDUP_CLUSTERS_SQL,
+        "doc_bm25_topk": _DOC_BM25_SQL.format(
+            values=_bm25_query_values(), k=TOPK_K
+        ),
+        "doc_tfidf_terms": _DOC_TFIDF_SQL,
         "embedding_near_dup_exact": _EMB_NEAR_DUP_SQL,
         # the LSH path's banded-candidate + exact-verify output equals
         # the exact pair set at the driver SFs (hyperplanes are

@@ -165,6 +165,8 @@ def main() -> None:
         "tpch_q8",
         "tpch_q9",
         "tpch_q10",
+        "tpch_q11",
+        "tpch_q12",
         "tpch_q13",
         "tpch_q14",
         "tpch_q15",
@@ -197,6 +199,8 @@ def main() -> None:
         "doc_stratified_sample",
         "doc_packed_batches",
         "doc_dedup_clusters",
+        "doc_bm25_topk",
+        "doc_tfidf_terms",
         "doc_token_percentiles",
         "multimodal_features",
         "multimodal_frame_sample",

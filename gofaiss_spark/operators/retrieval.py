@@ -1,0 +1,174 @@
+"""Full-text retrieval over a document corpus: BM25 top-k search and
+TF-IDF term weighting, built as inverted-index-shaped DataFrame plans.
+
+The reference engine (tahcohcat/gofaiss) retrieves by dense-vector
+distance only; BM25 is the lexical complement every training-data /
+RAG pipeline pairs with it (hybrid retrieval). Re-expressed
+Spark-first:
+
+- postings = one explode + groupBy((doc_id, term)) — the classic
+  inverted index as a DataFrame, one shuffle, map-side combined;
+- document frequencies / lengths are aggregations of the postings,
+  not extra corpus scans;
+- a query batch is a tiny broadcast side: joining it to postings on
+  `term` keeps only postings of query terms (the "probe the inverted
+  lists" step — at 100 TB, persist postings bucketed by term to turn
+  this into a pruned scan);
+- scores rank on values rounded to 6dp BEFORE the top-k window, with
+  doc_id tiebreak, so ordering is engine-independent (the DuckDB
+  oracle ranks the same rounded values).
+
+BM25 uses the Lucene-style IDF `ln((N - df + .5)/(df + .5) + 1)` and
+set-semantics query terms (duplicate terms in a query count once).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from gofaiss_spark.functions.text import tokenize
+
+__all__ = [
+    "TextIndex",
+    "build_text_index",
+    "search_bm25",
+    "tfidf_top_terms",
+]
+
+
+@dataclass
+class TextIndex:
+    """Inverted-index artifact: postings + per-doc lengths + corpus
+    constants. All DataFrames; nothing lives on the driver."""
+
+    postings: DataFrame  # (term, doc_id, tf)
+    doc_lens: DataFrame  # (doc_id, dl)
+    n_docs: int
+    avgdl: float
+
+    def stats(self) -> dict:
+        return {
+            "index_type": "text_bm25",
+            "total_docs": self.n_docs,
+            "avgdl": self.avgdl,
+        }
+
+
+def build_text_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> TextIndex:
+    """Tokenize once, derive postings and doc lengths from the same
+    exploded pass. Two aggregations, each a single shuffle with
+    partial aggregation; corpus constants reduce to one driver row."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    postings = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doc_lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    row = doc_lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return TextIndex(
+        postings=postings,
+        doc_lens=doc_lens,
+        n_docs=int(row["n"]),
+        avgdl=float(row["avgdl"]),
+    )
+
+
+def _bm25_term_score(
+    tf: Column, df: Column, dl: Column, n_docs: int, avgdl: float,
+    k1: float, b: float,
+) -> Column:
+    idf = F.log(
+        (F.lit(float(n_docs)) - df + F.lit(0.5)) / (df + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_d = tf.cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * dl.cast("double") / F.lit(avgdl)
+    )
+    return idf * tf_d * F.lit(k1 + 1.0) / denom
+
+
+def search_bm25(
+    index: TextIndex,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 per query. `queries` = (query_id, query_text).
+
+    Plan: query terms (distinct per query) broadcast-join the postings
+    on `term` — only inverted lists of query terms are scored; the
+    per-(query, doc) sum is one narrow shuffle keyed on the hits, and
+    the final window ranks rounded scores (≤ queries × matched-docs
+    rows, independent of corpus size past the postings probe)."""
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(tokenize(F.col("query_text")))
+        ).alias("term"),
+    )
+    dfreq = index.postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    hits = (
+        index.postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(index.doc_lens, "doc_id")
+    )
+    scored = hits.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(
+                _bm25_term_score(
+                    F.col("tf"), F.col("df"), F.col("dl"),
+                    index.n_docs, index.avgdl, k1, b,
+                )
+            ),
+            6,
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def tfidf_top_terms(index: TextIndex, top_n: int = 3) -> DataFrame:
+    """Top-n characteristic terms per document by smoothed TF-IDF
+    (`tf · ln(N/df)`), ranked on 6dp-rounded weights with a term
+    tiebreak. One postings⋈df broadcast join + one window — the
+    keyword-extraction pass of a curation pipeline."""
+    dfreq = index.postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    weighted = index.postings.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(index.n_docs)) / F.col("df")),
+            6,
+        ).alias("weight"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("term").asc()
+    )
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "term", "weight", "rank")
+    )
