@@ -2773,6 +2773,149 @@ WHERE rank <= 3
 """
 
 
+def _hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: dense exact top-k (flat L2 over embeddings
+    restricted to the document id space) fused with BM25 lexical
+    top-k via reciprocal-rank fusion (operators/retrieval.py
+    rrf_fuse). The fusion step only ever touches the two top-k lists
+    — corpus scale lives entirely inside the two rankers."""
+    from gofaiss_spark.operators.retrieval import (
+        build_text_index,
+        rrf_fuse,
+        search_bm25,
+    )
+    from gofaiss_spark.operators.topk import search_flat
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = _vectors(spark, sf_dir).join(
+        docs.select(F.col("doc_id").alias("id")), "id", "semi"
+    )
+    n_q = len(_BM25_QUERY_TEXTS)
+    dense = search_flat(corpus, _queries_df(spark, sf_dir, n_q), k=TOPK_K)
+    lex = search_bm25(
+        build_text_index(docs),
+        spark.createDataFrame(
+            _BM25_QUERY_TEXTS, "query_id long, query_text string"
+        ),
+        k=TOPK_K,
+    ).select("query_id", F.col("doc_id").alias("id"), "rank")
+    return rrf_fuse(dense, lex, k=TOPK_K)
+
+
+_HYBRID_TOPK_SQL = """
+WITH dq AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {n_q}
+),
+corpus AS (
+  SELECT e.vec_id AS id, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+dense_scored AS (
+  SELECT dq.query_id, c.id,
+         list_distance(CAST(c.embedding AS DOUBLE[]), CAST(dq.qvec AS DOUBLE[])) AS dd
+  FROM corpus c CROSS JOIN dq
+),
+dense AS (
+  SELECT query_id, id, rnk AS rank FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dd ASC, id ASC) AS rnk
+    FROM dense_scored) WHERE rnk <= {k}
+),
+toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+lex_scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ), 6) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+lex AS (
+  SELECT query_id, doc_id AS id, rnk AS rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM lex_scored) WHERE rnk <= {k}
+),
+contrib AS (
+  SELECT query_id, id, 1.0 / (60.0 + rank) AS c FROM dense
+  UNION ALL
+  SELECT query_id, id, 1.0 / (60.0 + rank) FROM lex
+),
+fused AS (
+  SELECT query_id, id, round(sum(c), 6) AS score
+  FROM contrib GROUP BY query_id, id
+)
+SELECT query_id, id, score, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+      FROM fused)
+WHERE rank <= {k}
+"""
+
+
+# --- sketch profiling (functions/sketch.py) -------------------------
+
+
+def _profile_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-count profile over the fact tables. Emits the
+    exact count (hash-matched vs DuckDB) plus a boolean that the
+    mergeable sketch landed within 5% — the engine-independent gate
+    for the single-pass path a 100 TB profile would actually run."""
+    from gofaiss_spark.functions.sketch import distinct_sketch
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    li_rows = distinct_sketch(li, ["l_partkey", "l_suppkey", "l_orderkey"])
+    o_rows = distinct_sketch(orders, ["o_custkey"])
+    return li_rows.unionByName(o_rows)
+
+
+_PROFILE_DISTINCT_SQL = """
+SELECT 'l_partkey' AS column_name, count(DISTINCT l_partkey) AS exact_distinct, true AS approx_ok FROM lineitem
+UNION ALL
+SELECT 'l_suppkey', count(DISTINCT l_suppkey), true FROM lineitem
+UNION ALL
+SELECT 'l_orderkey', count(DISTINCT l_orderkey), true FROM lineitem
+UNION ALL
+SELECT 'o_custkey', count(DISTINCT o_custkey), true FROM orders
+"""
+
+
+def _events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles of events.value next to the exact
+    interpolated percentiles (DuckDB quantile_cont uses the same
+    interpolation, so exact values hash-match; the sketch is gated by
+    a range-relative error bound)."""
+    from gofaiss_spark.functions.sketch import quantile_sketch
+    from gofaiss_spark.sources.readers import load_events
+
+    events = load_events(spark, sf_dir)
+    return quantile_sketch(events, "value", probs=(0.5, 0.9, 0.99))
+
+
+_EVENTS_QUANTILE_SQL = """
+SELECT CAST(0.5 AS DOUBLE) AS prob, round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS exact_value, true AS approx_ok FROM events
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE), round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6), true FROM events
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE), round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6), true FROM events
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: exact top-10 L2
     neighbors for a 100-query batch (the flat-index oracle plan)."""
@@ -2855,6 +2998,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_clusters": _doc_dedup_clusters,
         "doc_bm25_topk": _doc_bm25_topk,
         "doc_tfidf_terms": _doc_tfidf_terms,
+        "profile_distinct_sketch": _profile_distinct_sketch,
+        "events_quantile_sketch": _events_quantile_sketch,
+        "hybrid_topk": _hybrid_topk,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "multimodal_stats": _multimodal_stats,
@@ -2945,6 +3091,13 @@ GROUP BY label, g.i
             values=_bm25_query_values(), k=TOPK_K
         ),
         "doc_tfidf_terms": _DOC_TFIDF_SQL,
+        "profile_distinct_sketch": _PROFILE_DISTINCT_SQL,
+        "events_quantile_sketch": _EVENTS_QUANTILE_SQL,
+        "hybrid_topk": _HYBRID_TOPK_SQL.format(
+            values=_bm25_query_values(),
+            k=TOPK_K,
+            n_q=len(_BM25_QUERY_TEXTS),
+        ),
         "embedding_near_dup_exact": _EMB_NEAR_DUP_SQL,
         # the LSH path's banded-candidate + exact-verify output equals
         # the exact pair set at the driver SFs (hyperplanes are

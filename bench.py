@@ -202,6 +202,9 @@ def main() -> None:
         "doc_bm25_topk",
         "doc_tfidf_terms",
         "doc_token_percentiles",
+        "profile_distinct_sketch",
+        "events_quantile_sketch",
+        "hybrid_topk",
         "multimodal_features",
         "multimodal_frame_sample",
         "pca_topk",

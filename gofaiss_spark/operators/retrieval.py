@@ -37,6 +37,7 @@ __all__ = [
     "build_text_index",
     "search_bm25",
     "tfidf_top_terms",
+    "rrf_fuse",
 ]
 
 
@@ -171,4 +172,44 @@ def tfidf_top_terms(index: TextIndex, top_n: int = 3) -> DataFrame:
         weighted.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
         .select("doc_id", "term", "weight", "rank")
+    )
+
+
+def rrf_fuse(
+    results_a: DataFrame,
+    results_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked result sets — the standard
+    hybrid-retrieval combiner (dense ANN ranks ⊕ BM25 lexical ranks):
+    `score(d) = Σ_lists 1/(c + rank_list(d))`, missing-list docs
+    contribute nothing. Inputs are (query_id, id, rank) DataFrames
+    (any extra columns ignored).
+
+    Plan: rank contributions union (narrow 3-column rows, each input
+    already ≤ queries × k), one groupBy((query_id, id)) sum, one
+    window over ≤ 2k rows per query. Fusion cost is independent of
+    corpus size — it only ever sees the two top-k lists. Scores rank
+    on 6dp-rounded values with an id tiebreak (engine-independent)."""
+    contrib = lambda df: df.select(  # noqa: E731
+        "query_id",
+        "id",
+        (F.lit(1.0) / (F.lit(float(c)) + F.col("rank").cast("double"))).alias(
+            "_c"
+        ),
+    )
+    fused = (
+        contrib(results_a)
+        .unionByName(contrib(results_b))
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("_c"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
     )
