@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 N_TOPK_QUERIES = 100
@@ -2867,6 +2867,84 @@ WHERE rank <= {k}
 """
 
 
+def _events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily-volume anomaly detection: z-score of each
+    (user, day) event count against that user's own distribution,
+    flagging |z| ≥ 2. One groupBy + one window shuffle, both keyed on
+    user_id — at 100 TB the per-user partitions are bounded by the
+    event-time horizon, and the same key reuses one exchange."""
+    from gofaiss_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("user_id")
+    st = daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.avg("n_events").over(w).alias("_mu"),
+        F.stddev_samp("n_events").over(w).alias("_sd"),
+    )
+    z = (F.col("n_events") - F.col("_mu")) / F.col("_sd")
+    return st.filter((F.col("_sd") > 0) & (F.abs(z) >= 2)).select(
+        "user_id", "day", "n_events", F.round(z, 6).alias("zscore")
+    )
+
+
+_EVENTS_ZSCORE_SQL = """
+WITH daily AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+  FROM events GROUP BY user_id, day
+),
+st AS (
+  SELECT user_id, day, n_events,
+         avg(n_events) OVER (PARTITION BY user_id) AS mu,
+         stddev_samp(n_events) OVER (PARTITION BY user_id) AS sd
+  FROM daily
+)
+SELECT user_id, day, n_events, round((n_events - mu) / sd, 6) AS zscore
+FROM st WHERE sd > 0 AND abs((n_events - mu) / sd) >= 2
+"""
+
+
+def _doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass (operators/curation.py
+    curate_corpus): exact dedup → token counts → per-language length
+    percentile band [0.1, 0.9]."""
+    from gofaiss_spark.operators.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate_corpus(docs, lo=0.1, hi=0.9)
+
+
+_DOC_CURATION_SQL = """
+WITH fp AS (
+  SELECT doc_id, lang, text,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+  FROM documents
+),
+keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+dedup AS (
+  SELECT fp.doc_id, fp.lang, fp.text
+  FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.doc_id
+),
+tok AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS INT) AS n_tokens
+  FROM dedup
+),
+pr AS (
+  SELECT doc_id, lang, n_tokens,
+         round(percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens), 6) AS length_pctile
+  FROM tok
+)
+SELECT doc_id, lang, n_tokens, length_pctile
+FROM pr WHERE length_pctile >= 0.1 AND length_pctile <= 0.9
+"""
+
+
 # --- sketch profiling (functions/sketch.py) -------------------------
 
 
@@ -3001,6 +3079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_distinct_sketch": _profile_distinct_sketch,
         "events_quantile_sketch": _events_quantile_sketch,
         "hybrid_topk": _hybrid_topk,
+        "events_user_zscore": _events_user_zscore,
+        "doc_curation_pipeline": _doc_curation_pipeline,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "multimodal_stats": _multimodal_stats,
@@ -3098,6 +3178,8 @@ GROUP BY label, g.i
             k=TOPK_K,
             n_q=len(_BM25_QUERY_TEXTS),
         ),
+        "events_user_zscore": _EVENTS_ZSCORE_SQL,
+        "doc_curation_pipeline": _DOC_CURATION_SQL,
         "embedding_near_dup_exact": _EMB_NEAR_DUP_SQL,
         # the LSH path's banded-candidate + exact-verify output equals
         # the exact pair set at the driver SFs (hyperplanes are

@@ -205,6 +205,8 @@ def main() -> None:
         "profile_distinct_sketch",
         "events_quantile_sketch",
         "hybrid_topk",
+        "events_user_zscore",
+        "doc_curation_pipeline",
         "multimodal_features",
         "multimodal_frame_sample",
         "pca_topk",

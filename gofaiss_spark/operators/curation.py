@@ -29,6 +29,42 @@ from pyspark.sql import functions as F
 from gofaiss_spark.functions.text import tokenize, word_ngrams, word_shingles
 
 
+def curate_corpus(
+    docs: DataFrame,
+    lo: float = 0.1,
+    hi: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """End-to-end curation pass composing the pipeline's stages:
+    exact dedup (md5 fingerprint, min-id keep) → token counting →
+    per-language length-percentile band filter (keep docs whose
+    token count sits in [lo, hi] of their language's distribution).
+
+    Shuffle budget: one groupBy on the 16-byte fingerprint (dedup) +
+    one window shuffle on the language key (percentile) — no joins
+    against the corpus other than the dedup self-join on the narrow
+    (fingerprint, id) keep-list. percent_rank is rounded to 6dp
+    BEFORE the band comparison so the cut is engine-independent."""
+    from gofaiss_spark.operators.dedup import exact_dedup
+
+    kept = exact_dedup(docs, text_col=text_col, id_col=id_col,
+                       fingerprint="md5")
+    toks = kept.select(
+        id_col,
+        lang_col,
+        F.size(tokenize(F.col(text_col))).alias("n_tokens"),
+    )
+    w = Window.partitionBy(lang_col).orderBy("n_tokens")
+    banded = toks.withColumn(
+        "length_pctile", F.round(F.percent_rank().over(w), 6)
+    )
+    return banded.filter(
+        (F.col("length_pctile") >= lo) & (F.col("length_pctile") <= hi)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,
