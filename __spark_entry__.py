@@ -1717,6 +1717,26 @@ def _hnsw_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_invariants(res, v, queries=q, truth=search_flat(v, q, k=TOPK_K))
 
 
+def _hnsw_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-routed sharded HNSW (IVF coarse quantizer over
+    per-cell graphs — FAISS IVF+HNSW composition): queries probe only
+    nprobe of nlist cells. Exact L2 distances → the full invariant
+    set (lower bound + distance honesty) applies. Routing recall is
+    data-dependent (uniform corpora route poorly — SCALE.md §7);
+    gates live in tests/test_hnsw_routed.py."""
+    from gofaiss_spark.operators.hnsw import (
+        build_hnsw_routed,
+        search_hnsw_routed,
+    )
+    from gofaiss_spark.operators.topk import search_flat
+
+    v = _vectors(spark, sf_dir)
+    q = _queries_df(spark, sf_dir, N_ANN_QUERIES)
+    idx = build_hnsw_routed(v, nlist=4, m=16, ef_construction=100, seed=42)
+    res = search_hnsw_routed(idx, q, k=TOPK_K, nprobe=2, ef_search=100)
+    return _ann_invariants(res, v, queries=q, truth=search_flat(v, q, k=TOPK_K))
+
+
 def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN (the HNSW role-player) as hard-checked invariants
     (exact re-ranked distances → lower bound + honesty apply)."""
@@ -3057,6 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _lsh_topk,
         "hnsw_topk": _hnsw_topk,
         "hnsw_sharded_topk": _hnsw_sharded_topk,
+        "hnsw_routed_topk": _hnsw_routed_topk,
         "ann_recall_report": _ann_recall_report,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_minhash_near_dup": _doc_minhash_near_dup,
@@ -3203,6 +3224,7 @@ GROUP BY label, g.i
         "lsh_topk": _ANN_OK_SQL,
         "hnsw_topk": _ANN_OK_SQL,
         "hnsw_sharded_topk": _ANN_OK_SQL,
+        "hnsw_routed_topk": _ANN_OK_SQL,
         "ann_recall_report": _ANN_RECALL_REPORT_SQL,
         "doc_simhash": _DOC_SIMHASH_SQL,
     }

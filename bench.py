@@ -128,8 +128,10 @@ def main() -> None:
 
     from gofaiss_spark.operators.hnsw import (
         build_hnsw,
+        build_hnsw_routed,
         build_hnsw_sharded,
         search_hnsw,
+        search_hnsw_routed,
         search_hnsw_sharded,
     )
 
@@ -148,6 +150,18 @@ def main() -> None:
     timed(
         "hnsw_sharded_search",
         lambda: search_hnsw_sharded(hnsw_sh, queries, k=K, ef_search=100).count(),
+    )
+
+    hnsw_rt = timed(
+        "hnsw_routed_build",
+        lambda: build_hnsw_routed(vectors, m=16, ef_construction=100),
+    )
+    timed(
+        "hnsw_routed_search",
+        lambda: search_hnsw_routed(
+            hnsw_rt, queries, k=K,
+            nprobe=max(1, hnsw_rt.nlist // 4), ef_search=100,
+        ).count(),
     )
 
     # --- relational / pipeline ----------------------------------------

@@ -28,7 +28,7 @@ from gofaiss_spark.operators.topk import range_search as _range_search
 
 INDEX_TYPES = (
     "flat", "ivf", "pq", "sq", "ivfpq", "ivfsq", "lsh", "hnsw",
-    "hnsw_local", "hnsw_sharded",
+    "hnsw_local", "hnsw_sharded", "hnsw_routed",
 )
 
 DEFAULT_K = 10
@@ -122,6 +122,23 @@ def build_index(
             vec_col=vec_col,
             id_col=id_col,
         )
+    if index_type == "hnsw_routed":
+        # cluster-routed shards (FAISS IVF+HNSW composition): queries
+        # probe only nprobe of nlist k-means cells
+        from gofaiss_spark.operators.hnsw import build_hnsw_routed
+
+        return build_hnsw_routed(
+            vectors,
+            nlist=params.get("nlist"),
+            nprobe_default=params.get("nprobe", 10),
+            m=params.get("m", 16),
+            ef_construction=params.get("ef_construction", 200),
+            metric=metric,
+            seed=params.get("seed", 42),
+            train_fraction=params.get("train_fraction"),
+            vec_col=vec_col,
+            id_col=id_col,
+        )
     if index_type in ("lsh", "hnsw"):
         return build_lsh(
             vectors,
@@ -192,8 +209,10 @@ def search(index, queries: DataFrame, k: int = DEFAULT_K, params: dict | None = 
         return search_lsh(index, queries, k=k)
     from gofaiss_spark.operators.hnsw import (
         HnswIndex,
+        HnswRoutedIndex,
         HnswShardedIndex,
         search_hnsw,
+        search_hnsw_routed,
         search_hnsw_sharded,
     )
 
@@ -202,6 +221,14 @@ def search(index, queries: DataFrame, k: int = DEFAULT_K, params: dict | None = 
     if isinstance(index, HnswShardedIndex):
         return search_hnsw_sharded(
             index, queries, k=k, ef_search=params.get("ef_search")
+        )
+    if isinstance(index, HnswRoutedIndex):
+        return search_hnsw_routed(
+            index,
+            queries,
+            k=k,
+            nprobe=params.get("nprobe"),
+            ef_search=params.get("ef_search"),
         )
     raise TypeError(f"cannot search index of type {type(index).__name__}")
 

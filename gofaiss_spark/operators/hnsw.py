@@ -640,3 +640,195 @@ def remove_hnsw_sharded(
     index.blobs.unpersist()
     index.blobs = blobs
     return index
+
+
+@dataclass
+class HnswRoutedIndex:
+    """Cluster-routed sharded HNSW (IVF coarse quantizer over HNSW
+    shards — the FAISS IVF+HNSW composition): shards are k-means
+    cells, so a query probes only its ``nprobe`` nearest cells
+    instead of every shard. Cuts serve work by ~nlist/nprobe vs the
+    exhaustive hash-sharded fan-out while keeping the same per-shard
+    graph algorithm; the routing table (centroids) is tiny and rides
+    the driver/broadcast like IVF's."""
+
+    blobs: DataFrame  # (shard_id, n_vectors, dim, blob)
+    centroids: np.ndarray  # (nlist, dim) float64
+    metric: str
+    m: int
+    ef_construction: int
+    nlist: int
+    ef_search: int = DEFAULT_EF_SEARCH
+    default_nprobe: int = 10
+    spark: SparkSession | None = field(default=None, repr=False)
+
+    def set_ef_search(self, ef: int) -> None:
+        self.ef_search = int(ef)
+
+    def stats(self) -> dict:
+        row = self.blobs.agg(
+            F.sum("n_vectors").alias("n"),
+            F.max("dim").alias("dim"),
+            F.sum(F.length("blob")).alias("bytes"),
+            F.count("*").alias("shards"),
+        ).collect()[0]
+        cent_mb = self.centroids.size * 8 / 1e6
+        return {
+            "index_type": "hnsw_routed",
+            "total_vectors": int(row["n"] or 0),
+            "dimension": int(row["dim"] or 0),
+            "memory_mb": round((row["bytes"] or 0) / 1e6 + cent_mb, 3),
+            "extra": {
+                "metric": self.metric,
+                "m": self.m,
+                "ef_construction": self.ef_construction,
+                "ef_search": self.ef_search,
+                "nlist": self.nlist,
+                "built_shards": int(row["shards"]),
+            },
+        }
+
+
+def default_routed_nlist(n: int) -> int:
+    """Cells of ~1.5k vectors: big enough that per-shard graphs beat
+    brute force, small enough that nprobe pruning bites. Clamped like
+    ivf.go:32-45."""
+    return max(8, min(4096, int(round(n / 1500)) or 8))
+
+
+def build_hnsw_routed(
+    vectors: DataFrame,
+    nlist: int | None = None,
+    nprobe_default: int = 10,
+    m: int = DEFAULT_M,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    metric: str = "l2",
+    seed: int = 42,
+    train_fraction: float | None = None,
+    vec_col: str = "vec",
+    id_col: str = "id",
+) -> HnswRoutedIndex:
+    """Coarse k-means → assign (argmin Arrow kernel, no shuffle) →
+    one independent HNSW graph per cell, built in parallel inside
+    ``applyInPandas`` (one shuffle keyed on the cell id). Total
+    insert work is O(Σ nᵢ log nᵢ) ≤ O(n log(n/nlist)) — strictly
+    less than one global graph — and cells build concurrently.
+    k-means skew shows up as uneven task sizes; AQE's skew handling
+    and the nlist knob bound it (SCALE.md §5)."""
+    from gofaiss_spark.operators.ivf import (
+        assign_to_centroids,
+        train_kmeans_centroids,
+    )
+
+    validate_metric(metric)
+    spark = vectors.sparkSession
+    n = vectors.count()
+    if nlist is None:
+        nlist = default_routed_nlist(n)
+    nlist = int(min(nlist, max(1, n)))
+    train_df = vectors
+    if train_fraction is not None and train_fraction < 1.0:
+        train_df = vectors.sample(fraction=train_fraction, seed=seed)
+    cents = train_kmeans_centroids(train_df, nlist, seed=seed, vec_col=vec_col)
+    assigned = assign_to_centroids(vectors, cents, metric, vec_col, id_col)
+    df = assigned.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col("list_id").alias("shard_id"),
+    )
+
+    cfg = (m, ef_construction, metric, seed)
+
+    def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (shard,) = key
+        mm, efc, met, sd = cfg
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        vecs = _prep(np.stack(pdf["vec"].to_numpy()), met)
+        g = _build_graph(ids, vecs, mm, efc, met, sd + shard)
+        return pd.DataFrame(
+            {
+                "shard_id": [shard],
+                "n_vectors": [len(ids)],
+                "dim": [int(vecs.shape[1])],
+                "blob": [pickle.dumps(g, protocol=5)],
+            }
+        )
+
+    blobs = (
+        df.groupBy("shard_id").applyInPandas(build_shard, SHARD_BLOB_SCHEMA).cache()
+    )
+    blobs.count()
+    return HnswRoutedIndex(
+        blobs=blobs,
+        centroids=cents,
+        metric=metric,
+        m=m,
+        ef_construction=ef_construction,
+        nlist=nlist,
+        default_nprobe=int(nprobe_default),
+        spark=spark,
+    )
+
+
+def search_hnsw_routed(
+    index: HnswRoutedIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    ef_search: int | None = None,
+    qvec_col: str = "qvec",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Routed serve: the driver ranks cells per query on the tiny
+    centroid table (same stage as ivf.probe_lists), the broadcast
+    carries (queries, per-shard probe lists), and each shard's task
+    searches ONLY the queries routed to it. Result rows entering the
+    global top-k: ≤ nprobe × q × k — nlist-independent."""
+    from gofaiss_spark.functions.distance import np_distance_matrix
+
+    ef = int(ef_search if ef_search is not None else index.ef_search)
+    spark = index.spark or queries.sparkSession
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(qvec_col).alias("qvec")
+    ).collect()
+    if not qrows:
+        return spark.createDataFrame([], RESULT_SCHEMA + ", rank int")
+    qids = np.asarray([r["query_id"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["qvec"], dtype=np.float32) for r in qrows])
+    nlist = index.centroids.shape[0]
+    np_ = int(nprobe if nprobe is not None else index.default_nprobe)
+    if np_ <= 0 or np_ > nlist:
+        np_ = nlist
+    dmat = np_distance_matrix(index.centroids, qmat, index.metric)  # (nlist, q)
+    if np_ < nlist:
+        sel = np.argpartition(dmat, np_ - 1, axis=0)[:np_, :]  # (nprobe, q)
+    else:
+        sel = np.broadcast_to(np.arange(nlist)[:, None], (nlist, qmat.shape[0]))
+    probe_map: dict[int, np.ndarray] = {}
+    qcols = np.broadcast_to(
+        np.arange(qmat.shape[0])[None, :], sel.shape
+    ).ravel()
+    order = np.argsort(sel.ravel(), kind="stable")
+    flat_shards = sel.ravel()[order]
+    flat_qidx = qcols[order]
+    bounds = np.searchsorted(
+        flat_shards, np.arange(nlist + 1), side="left"
+    )
+    for s in np.unique(flat_shards):
+        probe_map[int(s)] = flat_qidx[bounds[s] : bounds[s + 1]]
+    bc = spark.sparkContext.broadcast((qids, qmat, probe_map))
+    metric = index.metric
+
+    def part(batches):
+        b_qids, b_qmat, b_probe = bc.value
+        pq = _prep(b_qmat, metric)
+        for pdf in batches:
+            for shard, blob in zip(pdf["shard_id"], pdf["blob"]):
+                idx = b_probe.get(int(shard))
+                if idx is None or len(idx) == 0:
+                    continue
+                g: HnswGraph = pickle.loads(blob)
+                yield _search_graph_batch(g, pq[idx], b_qids[idx], k, ef)
+
+    res = index.blobs.mapInPandas(part, schema=RESULT_SCHEMA)
+    return topk(res, k)

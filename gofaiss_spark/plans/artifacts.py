@@ -200,6 +200,12 @@ def _is_hnsw_sharded(index) -> bool:
     return isinstance(index, HnswShardedIndex)
 
 
+def _is_hnsw_routed(index) -> bool:
+    from gofaiss_spark.operators.hnsw import HnswRoutedIndex
+
+    return isinstance(index, HnswRoutedIndex)
+
+
 def save_index(index, path: str, fmt: str = "parquet") -> None:
     """Persist any index artifact (Save parity: flat.go:123-147,
     ivfpq.go:367-470 — but Parquet, not gob; ``fmt="json"`` gives the
@@ -347,6 +353,31 @@ def save_index(index, path: str, fmt: str = "parquet") -> None:
                     "num_shards": index.num_shards,
                 },
             }
+        )
+        _write_df(index.blobs, f"{path}/shards", "parquet", "shard_id")
+    elif _is_hnsw_routed(index):
+        # routed variant: hnsw_sharded's blob table plus the coarse
+        # centroid routing table (IVF-style); shards partitioned by
+        # shard_id so a routed serve over the persisted artifact can
+        # partition-prune to the probed cells.
+        dims = index.blobs.agg(F.max("dim").alias("d")).collect()[0]["d"]
+        wm(
+            {
+                "index_type": "hnsw_routed",
+                "dim": int(dims or 0),
+                "metric": index.metric,
+                "params": {
+                    "m": index.m,
+                    "ef_construction": index.ef_construction,
+                    "ef_search": index.ef_search,
+                    "nlist": index.nlist,
+                    "default_nprobe": index.default_nprobe,
+                },
+            }
+        )
+        spark = index.blobs.sparkSession
+        _write_df(
+            _centroids_to_df(spark, index.centroids), f"{path}/centroids", "parquet"
         )
         _write_df(index.blobs, f"{path}/shards", "parquet", "shard_id")
     else:
@@ -553,6 +584,25 @@ def load_index(spark: SparkSession, path: str):
             ef_construction=int(p["ef_construction"]),
             num_shards=int(p["num_shards"]),
             ef_search=int(p["ef_search"]),
+            spark=spark,
+        )
+    if itype == "hnsw_routed":
+        from gofaiss_spark.operators.hnsw import HnswRoutedIndex
+
+        p = meta["params"]
+        nlist = int(p["nlist"])
+        cents = _df_to_centroids(
+            spark.read.parquet(f"{path}/centroids"), nlist, dim
+        )
+        return HnswRoutedIndex(
+            blobs=spark.read.parquet(f"{path}/shards"),
+            centroids=cents,
+            metric=meta["metric"],
+            m=int(p["m"]),
+            ef_construction=int(p["ef_construction"]),
+            nlist=nlist,
+            ef_search=int(p["ef_search"]),
+            default_nprobe=int(p["default_nprobe"]),
             spark=spark,
         )
     raise ValueError(f"unknown index_type {itype!r} in {path}/_meta.json")
