@@ -2965,6 +2965,54 @@ FROM pr WHERE length_pctile >= 0.1 AND length_pctile <= 0.9
 """
 
 
+def _maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction multi-vector retrieval (ColBERT MaxSim,
+    operators/retrieval.py search_maxsim): embedding rows grouped by
+    `label` play multi-vector documents; queries are the 8 lowest-id
+    member vectors of labels 0-2. Top-5 documents per query by
+    Σ-max-dot."""
+    from gofaiss_spark.operators.retrieval import search_maxsim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    doc_tokens = emb.select(
+        F.col("label").cast("long").alias("doc_id"),
+        F.col("vec_id").alias("token_id"),
+        F.col("embedding").alias("vec"),
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    qt = (
+        emb.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") <= 8) & (F.col("label") < 3))
+        .select(
+            F.col("label").cast("long").alias("query_id"),
+            F.col("vec_id").alias("token_id"),
+            F.col("embedding").alias("qvec"),
+        )
+    )
+    return search_maxsim(doc_tokens, qt, k=5)
+
+
+_MAXSIM_SQL = """
+WITH qt AS (
+  SELECT label AS query_id, vec_id AS token_id, embedding AS qvec,
+         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+  FROM embeddings
+),
+q AS (SELECT query_id, token_id, qvec FROM qt WHERE rn <= 8 AND query_id < 3),
+dots AS (
+  SELECT q.query_id, e.label AS doc_id, q.token_id AS qtok,
+         list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS dot
+  FROM embeddings e CROSS JOIN q
+),
+best AS (SELECT query_id, doc_id, qtok, max(dot) AS b FROM dots GROUP BY query_id, doc_id, qtok),
+scored AS (SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, round(sum(b), 6) AS score FROM best GROUP BY query_id, doc_id)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
 # --- sketch profiling (functions/sketch.py) -------------------------
 
 
@@ -3100,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_distinct_sketch": _profile_distinct_sketch,
         "events_quantile_sketch": _events_quantile_sketch,
         "hybrid_topk": _hybrid_topk,
+        "maxsim_topk": _maxsim_topk,
         "events_user_zscore": _events_user_zscore,
         "doc_curation_pipeline": _doc_curation_pipeline,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
@@ -3199,6 +3248,7 @@ GROUP BY label, g.i
             k=TOPK_K,
             n_q=len(_BM25_QUERY_TEXTS),
         ),
+        "maxsim_topk": _MAXSIM_SQL,
         "events_user_zscore": _EVENTS_ZSCORE_SQL,
         "doc_curation_pipeline": _DOC_CURATION_SQL,
         "embedding_near_dup_exact": _EMB_NEAR_DUP_SQL,

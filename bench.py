@@ -219,6 +219,7 @@ def main() -> None:
         "profile_distinct_sketch",
         "events_quantile_sketch",
         "hybrid_topk",
+        "maxsim_topk",
         "events_user_zscore",
         "doc_curation_pipeline",
         "multimodal_features",

@@ -38,6 +38,7 @@ __all__ = [
     "search_bm25",
     "tfidf_top_terms",
     "rrf_fuse",
+    "search_maxsim",
 ]
 
 
@@ -172,6 +173,61 @@ def tfidf_top_terms(index: TextIndex, top_n: int = 3) -> DataFrame:
         weighted.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
         .select("doc_id", "term", "weight", "rank")
+    )
+
+
+def search_maxsim(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Late-interaction multi-vector retrieval (the ColBERT MaxSim
+    scoring rule): documents and queries are BAGS of token embeddings,
+    `score(q, d) = Σ_{t∈q} max_{u∈d} ⟨t, u⟩`.
+
+    Inputs: ``doc_tokens`` = (doc_id, token_id, vec),
+    ``query_tokens`` = (query_id, token_id, qvec).
+
+    Plan: query tokens broadcast against the token corpus (map-side
+    explode, no shuffle of the corpus), dot products in the JVM
+    zip_with/aggregate kernel, then two aggregations — max per
+    (query, doc, query-token), sum per (query, doc) — the first with
+    map-side partial max, the second over ≤ queries × docs × qtokens
+    narrow rows. At 100 TB run this as a RE-RANK: restrict
+    ``doc_tokens`` to ANN candidates first (compose with
+    search_flat / IVF over pooled vectors), exactly how
+    late-interaction systems deploy it. Scores rank on 6dp-rounded
+    values with a doc_id tiebreak."""
+    from gofaiss_spark.functions.distance import dot_product
+
+    pairs = doc_tokens.alias("d").join(
+        F.broadcast(
+            query_tokens.select(
+                "query_id",
+                F.col("token_id").alias("_qtok"),
+                F.col("qvec").alias("_qv"),
+            )
+        )
+    )
+    dots = pairs.select(
+        "query_id",
+        "doc_id",
+        "_qtok",
+        dot_product(F.col("vec"), F.col("_qv")).alias("_dot"),
+    )
+    per_qtok = dots.groupBy("query_id", "doc_id", "_qtok").agg(
+        F.max("_dot").alias("_best")
+    )
+    scored = per_qtok.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("_best"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
     )
 
 
