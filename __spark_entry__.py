@@ -2965,6 +2965,51 @@ FROM pr WHERE length_pctile >= 0.1 AND length_pctile <= 0.9
 """
 
 
+def _mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (operators/diversity.py) over the flat
+    top-30 candidate set, emitted as hard-checked invariants. MMR
+    reorders by the diversity objective, so instead of the sorted-
+    distance checks the booleans assert: every pick is from the
+    candidate set, the first pick equals the exact nearest neighbor
+    (λ-independent MMR property), picks are unique, and reported
+    distances are honest (match the recomputed exact L2)."""
+    from gofaiss_spark.functions.distance import l2_distance
+    from gofaiss_spark.operators.diversity import mmr_rerank
+    from gofaiss_spark.operators.topk import search_flat
+
+    v = _vectors(spark, sf_dir)
+    q = _queries_df(spark, sf_dir, N_ANN_QUERIES)
+    cands = search_flat(v, q, k=30).cache()
+    res = mmr_rerank(cands, v, q, k=TOPK_K, lam=0.7)
+
+    wq = Window.partitionBy("query_id", "id")
+    df = res.withColumn("_ndup", F.count(F.lit(1)).over(wq))
+    df = df.join(
+        cands.select("query_id", "id", F.lit(1).alias("_cand")),
+        ["query_id", "id"],
+        "left",
+    )
+    top1 = cands.filter(F.col("rank") == 1).select(
+        "query_id", F.col("id").alias("_top1")
+    )
+    df = df.join(F.broadcast(top1), "query_id")
+    df = df.join(v.select("id", F.col("vec").alias("_bv")), "id")
+    df = df.join(
+        F.broadcast(q.select("query_id", F.col("qvec").alias("_qv"))),
+        "query_id",
+    )
+    ok = (
+        F.col("_cand").isNotNull()
+        & (F.col("_ndup") == 1)
+        & ((F.col("rank") > 1) | (F.col("id") == F.col("_top1")))
+        & (
+            F.abs(F.col("distance") - l2_distance(F.col("_bv"), F.col("_qv")))
+            < F.lit(1e-3)
+        )
+    )
+    return df.select("query_id", F.col("rank").cast("int").alias("rank"), ok.alias("ok"))
+
+
 def _maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction multi-vector retrieval (ColBERT MaxSim,
     operators/retrieval.py search_maxsim): embedding rows grouped by
@@ -3149,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantile_sketch": _events_quantile_sketch,
         "hybrid_topk": _hybrid_topk,
         "maxsim_topk": _maxsim_topk,
+        "mmr_topk": _mmr_topk,
         "events_user_zscore": _events_user_zscore,
         "doc_curation_pipeline": _doc_curation_pipeline,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
@@ -3249,6 +3295,7 @@ GROUP BY label, g.i
             n_q=len(_BM25_QUERY_TEXTS),
         ),
         "maxsim_topk": _MAXSIM_SQL,
+        "mmr_topk": _ANN_OK_SQL,
         "events_user_zscore": _EVENTS_ZSCORE_SQL,
         "doc_curation_pipeline": _DOC_CURATION_SQL,
         "embedding_near_dup_exact": _EMB_NEAR_DUP_SQL,

@@ -220,6 +220,7 @@ def main() -> None:
         "events_quantile_sketch",
         "hybrid_topk",
         "maxsim_topk",
+        "mmr_topk",
         "events_user_zscore",
         "doc_curation_pipeline",
         "multimodal_features",
