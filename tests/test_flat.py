@@ -102,3 +102,30 @@ def test_range_search_exact(vectors, queries):
     got = {(r.query_id, r.id) for r in res}
     assert got == expected
     assert len(expected) > 0
+
+
+def test_chunked_query_kernel_identical(spark, monkeypatch):
+    """Forcing the multi-chunk path (tiny distance-matrix budget)
+    returns byte-identical results to the single-chunk path."""
+    import sys
+
+    from gofaiss_spark.operators.topk import search_flat
+
+    topk_mod = sys.modules["gofaiss_spark.operators.topk"]
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    q = emb.filter(F.col("vec_id") < 300).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    base = sorted(
+        (r.query_id, r.rank, r.id, round(r.distance, 9))
+        for r in search_flat(v, q, k=7).collect()
+    )
+    monkeypatch.setattr(topk_mod, "_QUERY_CHUNK_CELLS", 1)  # chunk = 256
+    chunked = sorted(
+        (r.query_id, r.rank, r.id, round(r.distance, 9))
+        for r in search_flat(v, q, k=7).collect()
+    )
+    assert base == chunked

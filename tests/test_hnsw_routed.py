@@ -130,3 +130,29 @@ def test_save_load_search_roundtrip(spark, tmp_path, index, queries):
 def test_empty_queries(spark, index):
     q = spark.createDataFrame([], "query_id long, qvec array<float>")
     assert search_hnsw_routed(index, q, k=5).count() == 0
+
+
+def test_routing_wins_on_clustered_data(spark):
+    """The design case: a Gaussian-mixture corpus. Probing 4 of 16
+    cells keeps recall ≥0.9 because neighbors co-locate with their
+    cluster — the routing assumption uniform data lacks (SCALE.md
+    §7)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 10, size=(16, 32))
+    rows = []
+    for i in range(2000):
+        c = i % 16
+        rows.append((i, (centers[c] + rng.normal(0, 0.5, 32)).tolist()))
+    vectors = spark.createDataFrame(rows, "id long, vec array<float>")
+    queries = spark.createDataFrame(
+        [(i, rows[i * 40][1]) for i in range(20)],
+        "query_id long, qvec array<float>",
+    )
+    idx = build_hnsw_routed(
+        vectors, nlist=16, m=16, ef_construction=100, seed=42
+    )
+    truth = search_flat(vectors, queries, k=10)
+    res = search_hnsw_routed(idx, queries, k=10, nprobe=4, ef_search=100)
+    assert recall_at_k(res, truth, 10) >= 0.9
