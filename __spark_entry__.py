@@ -2929,6 +2929,111 @@ FROM st WHERE sd > 0 AND abs((n_events - mu) / sd) >= 2
 """
 
 
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion: per user, did view → click →
+    purchase occur in timestamp order? Stage timestamps reduce with
+    conditional min aggregates (one shuffle on user_id, map-side
+    partial), then the strictly-increasing chain check is a pure
+    projection — no self-joins, no window over the event stream. At
+    100 TB this is the shape that survives: |users| rows out of
+    |events| rows in, single exchange."""
+    from gofaiss_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("view").alias("_t_view"),
+        first_ts("click").alias("_t_click"),
+        first_ts("purchase").alias("_t_purchase"),
+    )
+    reached_click = (
+        F.col("_t_view").isNotNull()
+        & F.col("_t_click").isNotNull()
+        & (F.col("_t_click") > F.col("_t_view"))
+    )
+    # "first purchase after the first post-view click": min-reduced
+    # stage times make the chain check deterministic
+    reached_purchase = (
+        reached_click
+        & F.col("_t_purchase").isNotNull()
+        & (F.col("_t_purchase") > F.col("_t_click"))
+    )
+    per_user = stages.select(
+        "user_id",
+        F.col("_t_view").isNotNull().alias("s_view"),
+        reached_click.alias("s_click"),
+        reached_purchase.alias("s_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("s_view").cast("long")).alias("n_view"),
+        F.sum(F.col("s_click").cast("long")).alias("n_view_click"),
+        F.sum(F.col("s_purchase").cast("long")).alias("n_view_click_purchase"),
+    )
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH stages AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+flags AS (
+  SELECT user_id,
+         t_view IS NOT NULL AS s_view,
+         t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view AS s_click,
+         t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+           AND t_purchase IS NOT NULL AND t_purchase > t_click AS s_purchase
+  FROM stages
+)
+SELECT count(*) AS n_users,
+       sum(CAST(s_view AS BIGINT)) AS n_view,
+       sum(CAST(s_click AS BIGINT)) AS n_view_click,
+       sum(CAST(s_purchase AS BIGINT)) AS n_view_click_purchase
+FROM flags
+"""
+
+
+def _events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    counted distinct per (cohort, weeks-since-first). Two
+    aggregations on the user key (first-seen reduce, then the cohort
+    matrix) — the cohort table is |weeks|² regardless of corpus
+    size."""
+    from gofaiss_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    wk = F.date_trunc("week", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("_cohort"))
+    joined = ev.select("user_id", wk.alias("_w")).join(first, "user_id")
+    return (
+        joined.groupBy(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.col("_w"), F.col("_cohort")) / 7
+            ).cast("int").alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+_EVENTS_COHORT_SQL = """
+WITH firstw AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort FROM events GROUP BY user_id
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort, date_trunc('week', ts)) // 7 AS INT) AS weeks_since,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN firstw f ON e.user_id = f.user_id
+GROUP BY cohort, weeks_since
+"""
+
+
 def _doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pass (operators/curation.py
     curate_corpus): exact dedup → token counts → per-language length
@@ -3196,6 +3301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_topk": _maxsim_topk,
         "mmr_topk": _mmr_topk,
         "events_user_zscore": _events_user_zscore,
+        "events_funnel": _events_funnel,
+        "events_cohort_retention": _events_cohort_retention,
         "doc_curation_pipeline": _doc_curation_pipeline,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
@@ -3297,6 +3404,8 @@ GROUP BY label, g.i
         "maxsim_topk": _MAXSIM_SQL,
         "mmr_topk": _ANN_OK_SQL,
         "events_user_zscore": _EVENTS_ZSCORE_SQL,
+        "events_funnel": _EVENTS_FUNNEL_SQL,
+        "events_cohort_retention": _EVENTS_COHORT_SQL,
         "doc_curation_pipeline": _DOC_CURATION_SQL,
         "embedding_near_dup_exact": _EMB_NEAR_DUP_SQL,
         # the LSH path's banded-candidate + exact-verify output equals

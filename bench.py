@@ -222,6 +222,8 @@ def main() -> None:
         "maxsim_topk",
         "mmr_topk",
         "events_user_zscore",
+        "events_funnel",
+        "events_cohort_retention",
         "doc_curation_pipeline",
         "multimodal_features",
         "multimodal_frame_sample",
