@@ -312,3 +312,20 @@ def load(spark: SparkSession, path: str):
     from gofaiss_spark.plans.artifacts import load_index
 
     return load_index(spark, path)
+
+
+def reconstruct(index, ids: list[int] | None = None) -> DataFrame:
+    """(id, vec) for stored ids — decoded approximations for
+    quantized indexes (FAISS Index.reconstruct; the reference exposes
+    raw vectors only on Flat, flat.go:118-120)."""
+    from gofaiss_spark.operators.reconstruct import reconstruct as _r
+
+    return _r(index, ids)
+
+
+def merge(a, b):
+    """Union two compatible same-type indexes without retraining
+    (FAISS merge_from). Raises on mismatched trained state."""
+    from gofaiss_spark.operators.reconstruct import merge_index
+
+    return merge_index(a, b)
