@@ -3034,6 +3034,62 @@ GROUP BY cohort, weeks_since
 """
 
 
+def _doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked corpus vocabulary (operators/curation.py
+    build_vocab), capped at 64 entries: the tokenizer-training
+    precursor. Ids rank by (count desc, token asc) — deterministic
+    across engines."""
+    from gofaiss_spark.operators.curation import build_vocab
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_vocab(docs, max_size=64)
+
+
+_DOC_VOCAB_SQL = """
+WITH toks AS (
+  SELECT t.term AS token
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+counts AS (SELECT token, count(*) AS count FROM toks GROUP BY token)
+SELECT token, count, CAST(row_number() OVER (ORDER BY count DESC, token ASC) - 1 AS BIGINT) AS token_id
+FROM counts
+QUALIFY token_id < 64
+"""
+
+
+def _doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators/classify.py): logistic
+    regression trained on the heuristic quality signal as weak
+    labels, scored back over the corpus. The oracle can't retrain
+    MLlib, so the emitted row is the engine-checkable contract:
+    exact corpus count + booleans that the model fits its own weak
+    labels (train accuracy ≥ 0.85) and agrees with the heuristic on
+    ≥ 85% of docs — a regression in featurization, training, or
+    scoring flips them."""
+    from gofaiss_spark.operators.classify import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qm = train_quality_classifier(docs, threshold=0.6, seed=42)
+    scored = score_quality(qm, docs)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.lit(qm.train_accuracy >= 0.85).alias("train_acc_ok"),
+        (
+            F.avg(F.col("agrees_with_heuristic").cast("double")) >= 0.85
+        ).alias("agreement_ok"),
+    )
+
+
+_DOC_QUALITY_CLS_SQL = """
+SELECT count(*) AS n_docs, true AS train_acc_ok, true AS agreement_ok
+FROM documents
+"""
+
+
 def _doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pass (operators/curation.py
     curate_corpus): exact dedup → token counts → per-language length
@@ -3304,6 +3360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
         "doc_curation_pipeline": _doc_curation_pipeline,
+        "doc_vocab": _doc_vocab,
+        "doc_quality_classifier": _doc_quality_classifier,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "multimodal_stats": _multimodal_stats,
@@ -3407,6 +3465,8 @@ GROUP BY label, g.i
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_cohort_retention": _EVENTS_COHORT_SQL,
         "doc_curation_pipeline": _DOC_CURATION_SQL,
+        "doc_vocab": _DOC_VOCAB_SQL,
+        "doc_quality_classifier": _DOC_QUALITY_CLS_SQL,
         "embedding_near_dup_exact": _EMB_NEAR_DUP_SQL,
         # the LSH path's banded-candidate + exact-verify output equals
         # the exact pair set at the driver SFs (hyperplanes are

@@ -225,6 +225,8 @@ def main() -> None:
         "events_funnel",
         "events_cohort_retention",
         "doc_curation_pipeline",
+        "doc_vocab",
+        "doc_quality_classifier",
         "multimodal_features",
         "multimodal_frame_sample",
         "pca_topk",

@@ -65,6 +65,32 @@ def curate_corpus(
     )
 
 
+def build_vocab(
+    docs: DataFrame,
+    max_size: int | None = None,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: (token, count, token_id) with ids assigned
+    by frequency rank (count desc, token asc — deterministic across
+    engines). The tokenizer-training precursor every text pipeline
+    runs; one explode + one groupBy with map-side combine, then a
+    single window over the |vocab| rows (not the corpus)."""
+    counts = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    vocab = counts.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    )
+    if max_size is not None:
+        vocab = vocab.filter(F.col("token_id") < max_size)
+    return vocab
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,
