@@ -39,18 +39,34 @@ __all__ = [
     "tfidf_top_terms",
     "rrf_fuse",
     "search_maxsim",
+    "save_text_index",
+    "load_text_index",
 ]
+
+#: postings are persisted partitionBy(bucket) with bucket =
+#: pmod(xxhash64(term), N_TERM_BUCKETS) — a query's terms hash to a
+#: handful of buckets, so the probe scan partition-prunes to those
+#: directories instead of reading the whole postings table.
+N_TERM_BUCKETS = 64
+
+
+def _term_bucket(term) -> Column:
+    return F.pmod(F.xxhash64(term), F.lit(N_TERM_BUCKETS)).cast("int")
 
 
 @dataclass
 class TextIndex:
     """Inverted-index artifact: postings + per-doc lengths + corpus
-    constants. All DataFrames; nothing lives on the driver."""
+    constants. All DataFrames; nothing lives on the driver.
+    ``bucketed`` marks a loaded partitionBy(bucket) artifact — the
+    BM25 probe then pushes literal bucket/term predicates so the scan
+    partition-prunes to the query terms' buckets."""
 
-    postings: DataFrame  # (term, doc_id, tf)
+    postings: DataFrame  # (term, doc_id, tf[, bucket])
     doc_lens: DataFrame  # (doc_id, dl)
     n_docs: int
     avgdl: float
+    bucketed: bool = False
 
     def stats(self) -> dict:
         return {
@@ -110,23 +126,54 @@ def search_bm25(
     """Top-k BM25 per query. `queries` = (query_id, query_text).
 
     Plan: query terms (distinct per query) broadcast-join the postings
-    on `term` — only inverted lists of query terms are scored; the
-    per-(query, doc) sum is one narrow shuffle keyed on the hits, and
+    on `term` — only inverted lists of query terms are scored, and
+    document frequencies aggregate over that probed subset (a term's
+    postings survive the probe in full, so its df is exact). On a
+    loaded bucketed artifact the probe additionally pushes LITERAL
+    bucket + term predicates (the query batch is the small side by
+    contract, same as the ANN kernels), so the parquet scan
+    partition-prunes to the query terms' buckets — the 100 TB shape.
+    The per-(query, doc) sum is one narrow shuffle keyed on the hits;
     the final window ranks rounded scores (≤ queries × matched-docs
-    rows, independent of corpus size past the postings probe)."""
+    rows, independent of corpus size past the probe)."""
     qterms = queries.select(
         "query_id",
         F.explode(
             F.array_distinct(tokenize(F.col("query_text")))
         ).alias("term"),
     )
-    dfreq = index.postings.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
+    postings = index.postings
+    if index.bucketed:
+        terms = sorted(
+            {r["term"] for r in qterms.select("term").distinct().collect()}
+        )
+        if not terms:
+            return queries.sparkSession.createDataFrame(
+                [], "query_id long, doc_id long, score double, rank int"
+            )
+        buckets = sorted(
+            {
+                r["b"]
+                for r in queries.sparkSession.createDataFrame(
+                    [(t,) for t in terms], "term string"
+                )
+                .select(_term_bucket(F.col("term")).alias("b"))
+                .collect()
+            }
+        )
+        postings = postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+    probed = postings.join(F.broadcast(qterms), "term")
+    dfreq = (
+        postings.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
-    hits = (
-        index.postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
-        .join(index.doc_lens, "doc_id")
+    hits = probed.join(F.broadcast(dfreq), "term").join(
+        index.doc_lens, "doc_id"
     )
     scored = hits.groupBy("query_id", "doc_id").agg(
         F.round(
@@ -173,6 +220,47 @@ def tfidf_top_terms(index: TextIndex, top_n: int = 3) -> DataFrame:
         weighted.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
         .select("doc_id", "term", "weight", "rank")
+    )
+
+
+def save_text_index(index: TextIndex, path: str) -> None:
+    """Persist postings partitioned by term-hash bucket (so BM25
+    probes partition-prune — see search_bm25), doc lengths, and the
+    corpus constants as a json sidecar."""
+    import json
+    import os
+
+    postings = index.postings
+    if "bucket" not in postings.columns:
+        postings = postings.withColumn("bucket", _term_bucket(F.col("term")))
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    index.doc_lens.write.mode("overwrite").parquet(f"{path}/doc_lens")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/_meta.json", "w") as f:
+        json.dump(
+            {
+                "index_type": "text_bm25",
+                "n_docs": index.n_docs,
+                "avgdl": index.avgdl,
+                "n_term_buckets": N_TERM_BUCKETS,
+            },
+            f,
+        )
+
+
+def load_text_index(spark: SparkSession, path: str) -> TextIndex:
+    import json
+
+    with open(f"{path}/_meta.json") as f:
+        meta = json.load(f)
+    return TextIndex(
+        postings=spark.read.parquet(f"{path}/postings"),
+        doc_lens=spark.read.parquet(f"{path}/doc_lens"),
+        n_docs=int(meta["n_docs"]),
+        avgdl=float(meta["avgdl"]),
+        bucketed=True,
     )
 
 
