@@ -230,6 +230,8 @@ def save_text_index(index: TextIndex, path: str) -> None:
     import json
     import os
 
+    from gofaiss_spark.plans.artifacts import FORMAT_VERSION
+
     postings = index.postings
     if "bucket" not in postings.columns:
         postings = postings.withColumn("bucket", _term_bucket(F.col("term")))
@@ -242,6 +244,7 @@ def save_text_index(index: TextIndex, path: str) -> None:
         json.dump(
             {
                 "index_type": "text_bm25",
+                "format_version": FORMAT_VERSION,
                 "n_docs": index.n_docs,
                 "avgdl": index.avgdl,
                 "n_term_buckets": N_TERM_BUCKETS,

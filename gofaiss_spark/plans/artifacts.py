@@ -216,6 +216,14 @@ def save_index(index, path: str, fmt: str = "parquet") -> None:
     from gofaiss_spark.operators.lsh import LshIndex
     from gofaiss_spark.operators.pq import PqIndex
 
+    from gofaiss_spark.operators.retrieval import TextIndex, save_text_index
+
+    if isinstance(index, TextIndex):
+        # bucketed-postings layout + sidecar handled by the retrieval
+        # module (partition pruning contract documented there)
+        save_text_index(index, path)
+        return
+
     if fmt not in ("parquet", "json"):
         raise ValueError(f"unknown artifact format {fmt!r}")
 
@@ -428,6 +436,10 @@ def load_index(spark: SparkSession, path: str):
 
     meta = _read_meta(path)
     itype = meta["index_type"]
+    if itype == "text_bm25":
+        from gofaiss_spark.operators.retrieval import load_text_index
+
+        return load_text_index(spark, path)
     dim = int(meta["dim"])
     fmt = meta.get("format", "parquet")
 

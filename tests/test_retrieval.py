@@ -186,3 +186,18 @@ def test_text_index_load_empty_query_batch(spark, tmp_path, tiny_index):
     loaded = load_text_index(spark, path)
     q = spark.createDataFrame([], "query_id long, query_text string")
     assert search_bm25(loaded, q, k=5).count() == 0
+
+
+def test_text_index_via_unified_artifact_layer(spark, tmp_path, tiny_index):
+    """save_index/load_index dispatch the text index like any other
+    artifact type."""
+    from gofaiss_spark.plans.artifacts import load_index, save_index
+
+    path = str(tmp_path / "text_idx3")
+    save_index(tiny_index, path)
+    loaded = load_index(spark, path)
+    assert loaded.bucketed and loaded.n_docs == tiny_index.n_docs
+    q = spark.createDataFrame(
+        [(0, "cherry")], "query_id long, query_text string"
+    )
+    assert search_bm25(loaded, q, k=3).count() > 0
