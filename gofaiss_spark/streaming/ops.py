@@ -202,6 +202,71 @@ def sessionize_stream(
     )
 
 
+def funnel_stream(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Incremental ordered-funnel status (__spark_entry__
+    events_funnel's streaming twin): per-user state is just the three
+    first-stage timestamps — O(1) per user regardless of stream
+    length — merged by min on every batch. A row is emitted whenever
+    a user's state changes; the LAST row per user always equals the
+    batch funnel's flags (gated in tests/test_streaming.py), because
+    stage-min merging is order-insensitive."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s1, s2, s3 = stages
+    out_schema = (
+        f"{user_col} long, s_view boolean, s_click boolean, "
+        "s_purchase boolean"
+    )
+    state_schema = "t1 long, t2 long, t3 long"  # 0 = unset (µs epoch)
+
+    def fn(key, pdfs, state: GroupState):
+        uid = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        t1, t2, t3 = state.get if state.exists else (0, 0, 0)
+
+        def stage_min(name, cur):
+            sub = rows[rows[type_col] == name]
+            if len(sub) == 0:
+                return cur
+            m = int(sub[ts_col].astype("int64").min() // 1_000)
+            return m if cur == 0 else min(cur, m)
+
+        n1, n2, n3 = stage_min(s1, t1), stage_min(s2, t2), stage_min(s3, t3)
+        if (n1, n2, n3) != (t1, t2, t3) or not state.exists:
+            state.update((n1, n2, n3))
+            s_view = n1 > 0
+            s_click = s_view and n2 > 0 and n2 > n1
+            s_purchase = s_click and n3 > 0 and n3 > n2
+            yield pd.DataFrame(
+                {
+                    user_col: [uid],
+                    "s_view": [s_view],
+                    "s_click": [s_click],
+                    "s_purchase": [s_purchase],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_add_to_ivf(
     stream: DataFrame,
     index_path: str,

@@ -259,3 +259,41 @@ def test_stream_search_matches_batch(spark, embeddings, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_funnel_stream_matches_batch(spark, events_stream_dir, events_batch):
+    """The streaming funnel's final per-user flags equal the batch
+    conditional-min funnel (stage-min merging is order-insensitive)."""
+    from pyspark.sql import functions as F
+
+    from gofaiss_spark.streaming.ops import funnel_stream
+
+    schema = events_batch.schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = _run_to_memory(funnel_stream(stream), "funnel_mem", "append")
+    got_rows = spark.sql(
+        "SELECT * FROM funnel_mem"
+    ).collect()
+    # last emitted row per user = current status (memory sink keeps
+    # every append; with availableNow single batch there is exactly
+    # one row per user, but be robust to multi-batch replans)
+    last = {}
+    for r in got_rows:
+        last[r["user_id"]] = (r["s_view"], r["s_click"], r["s_purchase"])
+
+    def first_ts(etype):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    stages = events_batch.groupBy("user_id").agg(
+        first_ts("view").alias("t1"),
+        first_ts("click").alias("t2"),
+        first_ts("purchase").alias("t3"),
+    )
+    expect = {}
+    for r in stages.collect():
+        s_view = r["t1"] is not None
+        s_click = s_view and r["t2"] is not None and r["t2"] > r["t1"]
+        s_purchase = s_click and r["t3"] is not None and r["t3"] > r["t2"]
+        expect[r["user_id"]] = (s_view, s_click, s_purchase)
+    assert last == expect
+    q.stop()
