@@ -2887,6 +2887,63 @@ WHERE rank <= {k}
 """
 
 
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/mining.py): nearest same-label
+    candidate = positive, nearest 3 different-label = hard negatives,
+    from the exact top-20 non-self pool per query. The triplet
+    construction pass of embedding training, oracle-checked exactly."""
+    from gofaiss_spark.operators.mining import mine_hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vectors = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        "label",
+    )
+    queries = emb.filter(F.col("vec_id") < N_ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    qlabels = emb.filter(F.col("vec_id") < N_ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "label"
+    )
+    return mine_hard_negatives(
+        vectors, queries, qlabels, k_pool=20, n_negatives=3
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, label AS q_label
+  FROM embeddings WHERE vec_id < {{n_q}}
+),
+scored AS (
+  SELECT q.query_id, q.q_label, e.vec_id AS id, e.label AS c_label,
+         list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS d
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+pool AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d ASC, id ASC) AS rnk
+    FROM scored) WHERE rnk <= 20
+),
+pos AS (
+  SELECT query_id, id AS pos_id FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d ASC, id ASC) AS pr
+    FROM pool WHERE c_label = q_label) WHERE pr = 1
+),
+neg AS (
+  SELECT query_id, id AS neg_id, nr AS neg_rank FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d ASC, id ASC) AS nr
+    FROM pool WHERE c_label <> q_label) WHERE nr <= 3
+)
+SELECT p.query_id, pos_id, neg_id, CAST(neg_rank AS INT) AS neg_rank
+FROM pos p JOIN neg n ON p.query_id = n.query_id
+"""
+
+
 def _events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily-volume anomaly detection: z-score of each
     (user, day) event count against that user's own distribution,
@@ -3356,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": _hybrid_topk,
         "maxsim_topk": _maxsim_topk,
         "mmr_topk": _mmr_topk,
+        "hard_negatives": _hard_negatives,
         "events_user_zscore": _events_user_zscore,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
@@ -3461,6 +3519,7 @@ GROUP BY label, g.i
         ),
         "maxsim_topk": _MAXSIM_SQL,
         "mmr_topk": _ANN_OK_SQL,
+        "hard_negatives": _HARD_NEG_SQL.format(n_q=N_ANN_QUERIES),
         "events_user_zscore": _EVENTS_ZSCORE_SQL,
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_cohort_retention": _EVENTS_COHORT_SQL,

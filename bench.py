@@ -221,6 +221,7 @@ def main() -> None:
         "hybrid_topk",
         "maxsim_topk",
         "mmr_topk",
+        "hard_negatives",
         "events_user_zscore",
         "events_funnel",
         "events_cohort_retention",
