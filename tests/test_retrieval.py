@@ -201,3 +201,44 @@ def test_text_index_via_unified_artifact_layer(spark, tmp_path, tiny_index):
         [(0, "cherry")], "query_id long, query_text string"
     )
     assert search_bm25(loaded, q, k=3).count() > 0
+
+
+def test_bm25_plan_broadcasts_term_probes(spark, tiny_index):
+    """Scale gate: every join on `term` (the postings probe — the
+    corpus-sized side) is a broadcast, never a shuffle. The doc_lens
+    join on doc_id MAY sort-merge: both sides are corpus-keyed at
+    scale, which is the right plan there (SCALE.md §2)."""
+    q = spark.createDataFrame(
+        [(0, "apple banana")], "query_id long, query_text string"
+    )
+    plan = (
+        search_bm25(tiny_index, q, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin [term" not in plan
+    assert "BroadcastHashJoin [term" in plan
+
+
+def test_maxsim_plan_never_shuffles_corpus_join(spark, tiny_index):
+    """Scale gate: the token-pair join is the broadcast of the query
+    tokens against the corpus — no shuffled join before the first
+    aggregation."""
+    from gofaiss_spark.operators.retrieval import search_maxsim
+
+    docs = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0])],
+        "doc_id long, token_id long, vec array<float>",
+    )
+    q = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0])], "query_id long, token_id long, qvec array<float>"
+    )
+    plan = (
+        search_maxsim(docs, q, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
