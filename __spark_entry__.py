@@ -2887,6 +2887,40 @@ WHERE rank <= {k}
 """
 
 
+def _sq_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 reconstruction honesty (operators/reconstruct.py): decode
+    every stored code and assert the per-dimension error against the
+    ORIGINAL vector is within one quantization step — the analytic
+    bound that makes lossy reconstruction hard-checkable. Emits one
+    row per vector (id, within_step); the oracle states the exact id
+    set with true everywhere."""
+    from gofaiss_spark.operators.reconstruct import reconstruct
+    from gofaiss_spark.operators.sq import build_sq
+
+    v = _vectors(spark, sf_dir)
+    idx = build_sq(v)
+    dec = reconstruct(idx).select("id", F.col("vec").alias("_dec"))
+    joined = dec.join(v.select("id", F.col("vec").alias("_orig")), "id")
+    # per-dim steps differ; compare against the max step (a valid
+    # uniform bound) so the SQL stays engine-trivial
+    max_step = float(idx.step.max())
+    err_ok = F.aggregate(
+        F.zip_with(
+            F.col("_dec").cast("array<double>"),
+            F.col("_orig").cast("array<double>"),
+            lambda d, o: F.abs(d - o),
+        ),
+        F.lit(True),
+        lambda acc, e: acc & (e <= F.lit(max_step + 1e-5)),
+    )
+    return joined.select("id", err_ok.alias("within_step"))
+
+
+_SQ_RECONSTRUCT_SQL = """
+SELECT vec_id AS id, true AS within_step FROM embeddings
+"""
+
+
 def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (operators/mining.py): nearest same-label
     candidate = positive, nearest 3 different-label = hard negatives,
@@ -3414,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_topk": _maxsim_topk,
         "mmr_topk": _mmr_topk,
         "hard_negatives": _hard_negatives,
+        "sq_reconstruct": _sq_reconstruct,
         "events_user_zscore": _events_user_zscore,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
@@ -3520,6 +3555,7 @@ GROUP BY label, g.i
         "maxsim_topk": _MAXSIM_SQL,
         "mmr_topk": _ANN_OK_SQL,
         "hard_negatives": _HARD_NEG_SQL.format(n_q=N_ANN_QUERIES),
+        "sq_reconstruct": _SQ_RECONSTRUCT_SQL,
         "events_user_zscore": _EVENTS_ZSCORE_SQL,
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_cohort_retention": _EVENTS_COHORT_SQL,

@@ -222,6 +222,7 @@ def main() -> None:
         "maxsim_topk",
         "mmr_topk",
         "hard_negatives",
+        "sq_reconstruct",
         "events_user_zscore",
         "events_funnel",
         "events_cohort_retention",
