@@ -2766,6 +2766,32 @@ WHERE rank <= {k}
 """
 
 
+def _doc_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME BM25 search as doc_bm25_topk, but served from a
+    persisted hash-bucketed artifact (save_text_index →
+    load_text_index), so the driver hash-checks the partition-pruned
+    probe path (literal bucket+term pushdown) against the identical
+    oracle. A pruning bug that drops postings breaks the hash."""
+    import tempfile
+
+    from gofaiss_spark.operators.retrieval import (
+        build_text_index,
+        load_text_index,
+        save_text_index,
+        search_bm25,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = build_text_index(docs)
+    path = tempfile.mkdtemp(prefix="gfs_text_idx_")
+    save_text_index(idx, path)
+    loaded = load_text_index(spark, path)
+    q = spark.createDataFrame(
+        _BM25_QUERY_TEXTS, "query_id long, query_text string"
+    )
+    return search_bm25(loaded, q, k=TOPK_K)
+
+
 def _doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofaiss_spark.operators.retrieval import build_text_index, tfidf_top_terms
 
@@ -3441,6 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packed_batches": _doc_packed_batches,
         "doc_dedup_clusters": _doc_dedup_clusters,
         "doc_bm25_topk": _doc_bm25_topk,
+        "doc_bm25_persisted": _doc_bm25_persisted,
         "doc_tfidf_terms": _doc_tfidf_terms,
         "profile_distinct_sketch": _profile_distinct_sketch,
         "events_quantile_sketch": _events_quantile_sketch,
@@ -3542,6 +3569,9 @@ GROUP BY label, g.i
         "doc_packed_batches": _DOC_PACKED_BATCHES_SQL,
         "doc_dedup_clusters": _DOC_DEDUP_CLUSTERS_SQL,
         "doc_bm25_topk": _DOC_BM25_SQL.format(
+            values=_bm25_query_values(), k=TOPK_K
+        ),
+        "doc_bm25_persisted": _DOC_BM25_SQL.format(
             values=_bm25_query_values(), k=TOPK_K
         ),
         "doc_tfidf_terms": _DOC_TFIDF_SQL,

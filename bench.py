@@ -214,6 +214,7 @@ def main() -> None:
         "doc_packed_batches",
         "doc_dedup_clusters",
         "doc_bm25_topk",
+        "doc_bm25_persisted",
         "doc_tfidf_terms",
         "doc_token_percentiles",
         "profile_distinct_sketch",
