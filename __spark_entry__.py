@@ -3364,6 +3364,24 @@ SELECT 'o_custkey', count(DISTINCT o_custkey), true FROM orders
 """
 
 
+def _events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by event count with a count-min-sketch
+    cross-check (functions/sketch.py heavy_hitters_cms). Exact counts
+    hash-match DuckDB; cms_ge_exact is the CMS never-under-counts
+    invariant."""
+    from gofaiss_spark.functions.sketch import heavy_hitters_cms
+    from gofaiss_spark.sources.readers import load_events
+
+    return heavy_hitters_cms(load_events(spark, sf_dir), "user_id", k=10)
+
+
+_EVENTS_HEAVY_SQL = """
+SELECT user_id AS key, count(*) AS exact_count, true AS cms_ge_exact
+FROM events GROUP BY user_id
+ORDER BY exact_count DESC, key ASC LIMIT 10
+"""
+
+
 def _events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles of events.value next to the exact
     interpolated percentiles (DuckDB quantile_cont uses the same
@@ -3471,6 +3489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_terms": _doc_tfidf_terms,
         "profile_distinct_sketch": _profile_distinct_sketch,
         "events_quantile_sketch": _events_quantile_sketch,
+        "events_heavy_hitters": _events_heavy_hitters,
         "hybrid_topk": _hybrid_topk,
         "maxsim_topk": _maxsim_topk,
         "mmr_topk": _mmr_topk,
@@ -3577,6 +3596,7 @@ GROUP BY label, g.i
         "doc_tfidf_terms": _DOC_TFIDF_SQL,
         "profile_distinct_sketch": _PROFILE_DISTINCT_SQL,
         "events_quantile_sketch": _EVENTS_QUANTILE_SQL,
+        "events_heavy_hitters": _EVENTS_HEAVY_SQL,
         "hybrid_topk": _HYBRID_TOPK_SQL.format(
             values=_bm25_query_values(),
             k=TOPK_K,

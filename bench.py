@@ -219,6 +219,7 @@ def main() -> None:
         "doc_token_percentiles",
         "profile_distinct_sketch",
         "events_quantile_sketch",
+        "events_heavy_hitters",
         "hybrid_topk",
         "maxsim_topk",
         "mmr_topk",

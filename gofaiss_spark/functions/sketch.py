@@ -24,7 +24,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["distinct_sketch", "quantile_sketch"]
+__all__ = ["distinct_sketch", "quantile_sketch", "heavy_hitters_cms"]
 
 
 def distinct_sketch(
@@ -53,6 +53,57 @@ def distinct_sketch(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def heavy_hitters_cms(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Top-k heavy hitters with a count-min-sketch cross-check.
+
+    The CMS aggregates distributedly (mergeable registers, one pass);
+    the driver then reads the estimate for each of the exact top-k
+    keys from the sketch. CMS NEVER under-counts, so
+    `cms_ge_exact = estimate ≥ exact` is a deterministic invariant —
+    any serialization or merge bug shows up as an under-count. Rows:
+    (key, exact_count, cms_ge_exact), ranked by (count desc, key)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    spark = df.sparkSession
+    sk = df.agg(
+        FF.count_min_sketch(
+            FF.col(col), FF.lit(eps), FF.lit(confidence), FF.lit(seed)
+        ).alias("sk")
+    ).collect()[0]["sk"]
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk))
+    )
+    w = Window.orderBy(FF.col("exact_count").desc(), FF.col("key").asc())
+    top = (
+        df.groupBy(FF.col(col).alias("key"))
+        .agg(FF.count(FF.lit(1)).alias("exact_count"))
+        .withColumn("_r", FF.row_number().over(w))
+        .filter(FF.col("_r") <= k)
+        .drop("_r")
+        .collect()
+    )
+    rows = [
+        (
+            int(r["key"]),
+            int(r["exact_count"]),
+            bool(cms.estimateCount(int(r["key"])) >= r["exact_count"]),
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "key long, exact_count long, cms_ge_exact boolean"
+    )
 
 
 def quantile_sketch(

@@ -41,3 +41,27 @@ def test_quantile_sketch_interpolates(spark):
     df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (10.0,)], "v double")
     r = quantile_sketch(df, "v", probs=(0.5,)).collect()[0]
     assert r["exact_value"] == pytest.approx(2.5)
+
+
+def test_heavy_hitters_cms(spark):
+    from gofaiss_spark.functions.sketch import heavy_hitters_cms
+
+    df = spark.range(1000).select((F.col("id") % 10).alias("u"))
+    # key 0..9 each 100× → exact ties broken by key asc
+    rows = heavy_hitters_cms(df, "u", k=3).collect()
+    assert [(r["key"], r["exact_count"]) for r in rows] == [
+        (0, 100), (1, 100), (2, 100)
+    ]
+    assert all(r["cms_ge_exact"] for r in rows)
+
+
+def test_heavy_hitters_skewed(spark):
+    from gofaiss_spark.functions.sketch import heavy_hitters_cms
+
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id")).alias("u")
+    )
+    rows = heavy_hitters_cms(df, "u", k=1).collect()
+    # 5000 evens map to 7, plus id=7 itself (odd, unmapped)
+    assert rows[0]["key"] == 7 and rows[0]["exact_count"] == 5001
+    assert rows[0]["cms_ge_exact"]
