@@ -206,7 +206,9 @@ def search(index, queries: DataFrame, k: int = DEFAULT_K, params: dict | None = 
             base=params.get("base"),
         )
     if isinstance(index, LshIndex):
-        return search_lsh(index, queries, k=k)
+        return search_lsh(
+            index, queries, k=k, multiprobe=params.get("multiprobe", 0)
+        )
     from gofaiss_spark.operators.hnsw import (
         HnswIndex,
         HnswRoutedIndex,

@@ -174,6 +174,7 @@ def search_lsh(
     index: LshIndex,
     queries: DataFrame,
     k: int = 10,
+    multiprobe: int = 0,
     qvec_col: str = "qvec",
     query_id_col: str = "query_id",
 ) -> DataFrame:
@@ -182,6 +183,14 @@ def search_lsh(
     Returns (query_id, id, distance, rank). Queries hash driver-side
     (the batch is the small side by contract); the join on
     (t, bucket) broadcasts q×L tiny rows against the bucket table.
+
+    ``multiprobe=p`` additionally probes the ±1..±p neighboring
+    buckets in each table (the query's true neighbors that fell just
+    across a quantization boundary). Probing 2p extra buckets per
+    table buys the recall of ~(2p+1)× more tables at the SAME
+    artifact size — the memory knob for serving: L=4 with
+    multiprobe=1 matches L=8's recall on the benchmark set at half
+    the bucket-table footprint (gated in tests/test_api_persistence).
     """
     qrows = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(qvec_col).alias("qvec")
@@ -202,9 +211,12 @@ def search_lsh(
     # (t, bucket) pairs prunes the bucket table — partition pruning
     # on t when the artifact is partitionBy("t") parquet.
     probe_map: dict[tuple[int, int], list[int]] = {}
+    mp = max(0, int(multiprobe))
     for i in range(qh.shape[0]):
         for t in range(L):
-            probe_map.setdefault((t, int(qh[i, t])), []).append(i)
+            base = int(qh[i, t])
+            for delta in range(-mp, mp + 1):
+                probe_map.setdefault((t, base + delta), []).append(i)
     probe_map = {
         key: np.asarray(v, dtype=np.int64) for key, v in probe_map.items()
     }

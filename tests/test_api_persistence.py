@@ -84,6 +84,29 @@ def test_lsh_search_recall(vectors, queries):
     assert r >= 0.95, f"lsh recall {r}"
 
 
+def test_lsh_multiprobe_beats_plain_at_fewer_tables(vectors, queries):
+    """Probing ±1 neighbor buckets recovers boundary-straddling
+    neighbors: L=4 + multiprobe ≥ plain L=4 recall, and clears the
+    serving gate with HALF the tables of the plain config (measured
+    0.9999 vs 0.991 @100k, SCALE.md §7)."""
+    from gofaiss_spark.bench_util import recall_at_k
+    from gofaiss_spark.operators.lsh import build_lsh, search_lsh
+    from gofaiss_spark.operators.topk import search_flat
+
+    idx = build_lsh(vectors, num_hash_tables=4)
+    k = 10
+    truth = search_flat(vectors, queries, k=k, metric="l2")
+    plain = recall_at_k(search_lsh(idx, queries, k=k), truth, k)
+    probed = recall_at_k(
+        search_lsh(idx, queries, k=k, multiprobe=1), truth, k
+    )
+    assert probed >= plain - 1e-9
+    assert probed >= 0.95
+    # api plumb-through
+    via_api = api.search(idx, queries, k=k, params={"multiprobe": 1})
+    assert recall_at_k(via_api, truth, k) == pytest.approx(probed)
+
+
 def test_search_with_metadata(vectors, queries):
     idx = api.build_index(vectors, index_type="flat")
     rows, meta = api.search_with_metadata(idx, queries, k=3)
