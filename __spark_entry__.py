@@ -3364,6 +3364,36 @@ SELECT 'o_custkey', count(DISTINCT o_custkey), true FROM orders
 """
 
 
+def _orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality audit of the orders table
+    (functions/sketch.py profile_columns): row counts, null counts,
+    and stringified min/max per column."""
+    from gofaiss_spark.functions.sketch import profile_columns
+
+    orders = _read(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+
+
+_ORDERS_PROFILE_SQL = """
+SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*), sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       min(o_orderpriority), max(o_orderpriority) FROM orders
+"""
+
+
 def _events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by event count with a count-min-sketch
     cross-check (functions/sketch.py heavy_hitters_cms). Exact counts
@@ -3490,6 +3520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_distinct_sketch": _profile_distinct_sketch,
         "events_quantile_sketch": _events_quantile_sketch,
         "events_heavy_hitters": _events_heavy_hitters,
+        "orders_profile": _orders_profile,
         "hybrid_topk": _hybrid_topk,
         "maxsim_topk": _maxsim_topk,
         "mmr_topk": _mmr_topk,
@@ -3597,6 +3628,7 @@ GROUP BY label, g.i
         "profile_distinct_sketch": _PROFILE_DISTINCT_SQL,
         "events_quantile_sketch": _EVENTS_QUANTILE_SQL,
         "events_heavy_hitters": _EVENTS_HEAVY_SQL,
+        "orders_profile": _ORDERS_PROFILE_SQL,
         "hybrid_topk": _HYBRID_TOPK_SQL.format(
             values=_bm25_query_values(),
             k=TOPK_K,

@@ -220,6 +220,7 @@ def main() -> None:
         "profile_distinct_sketch",
         "events_quantile_sketch",
         "events_heavy_hitters",
+        "orders_profile",
         "hybrid_topk",
         "maxsim_topk",
         "mmr_topk",

@@ -24,7 +24,46 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["distinct_sketch", "quantile_sketch", "heavy_hitters_cms"]
+__all__ = [
+    "distinct_sketch",
+    "quantile_sketch",
+    "heavy_hitters_cms",
+    "profile_columns",
+]
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Data-quality audit: per column (column_name, n_rows, n_null,
+    min_value, max_value) in ONE aggregation pass over the table
+    (all columns' aggregates partial-combine together — the audit
+    never costs more than a single scan at any scale). min/max are
+    stringified so heterogeneous column types stack into one narrow
+    report."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"_n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = [
+        (
+            c,
+            int(row[f"_n_{c}"]),
+            int(row[f"_null_{c}"]),
+            row[f"_min_{c}"],
+            row[f"_max_{c}"],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "column_name string, n_rows long, n_null long, "
+        "min_value string, max_value string",
+    )
 
 
 def distinct_sketch(

@@ -65,3 +65,16 @@ def test_heavy_hitters_skewed(spark):
     # 5000 evens map to 7, plus id=7 itself (odd, unmapped)
     assert rows[0]["key"] == 7 and rows[0]["exact_count"] == 5001
     assert rows[0]["cms_ge_exact"]
+
+
+def test_profile_columns_nulls_and_ranges(spark):
+    from gofaiss_spark.functions.sketch import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0), (None, 7.5)], "a int, b double"
+    )
+    rows = {r["column_name"]: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert rows["a"]["n_rows"] == 3 and rows["a"]["n_null"] == 1
+    assert rows["a"]["min_value"] == "1" and rows["a"]["max_value"] == "2"
+    assert rows["b"]["n_null"] == 1
+    assert rows["b"]["min_value"] == "5.0" and rows["b"]["max_value"] == "7.5"
