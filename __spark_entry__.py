@@ -3046,6 +3046,65 @@ FROM st WHERE sd > 0 AND abs((n_events - mu) / sd) >= 2
 """
 
 
+def _customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer over order time (cumulative
+    window sum) for the first 50 customers — the classic running-
+    total analytic. One shuffle on the customer key; the frame is
+    rows-unbounded-preceding, computed in a single pass per
+    partition. DECIMAL accumulation keeps the cumulative sums
+    engine-exact."""
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    dec = "decimal(18,4)"
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast(dec)).over(w), 2
+        ).cast("double").alias("running_total"),
+    )
+
+
+_CUSTOMER_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS running_total
+FROM orders WHERE o_custkey < 50
+"""
+
+
+def _events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value over [0, 100) in 20 bins
+    (clamped at the edges) — single-pass profiling; the bin id is a
+    pure projection so the one shuffle is the 20-row count
+    aggregation."""
+    from gofaiss_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    bin_id = F.least(
+        F.lit(19),
+        F.greatest(F.lit(0), F.floor(F.col("value") / 5.0).cast("int")),
+    )
+    return (
+        ev.groupBy(bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bin", "n")
+    )
+
+
+_EVENTS_HIST_SQL = """
+SELECT CAST(least(19, greatest(0, CAST(floor(value / 5.0) AS INT))) AS INT) AS bin,
+       count(*) AS n
+FROM events GROUP BY bin
+"""
+
+
 def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel conversion: per user, did view → click →
     purchase occur in timestamp order? Stage timestamps reduce with
@@ -3529,6 +3588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_zscore": _events_user_zscore,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "customer_running_total": _customer_running_total,
+        "events_value_histogram": _events_value_histogram,
         "doc_curation_pipeline": _doc_curation_pipeline,
         "doc_vocab": _doc_vocab,
         "doc_quality_classifier": _doc_quality_classifier,
@@ -3641,6 +3702,8 @@ GROUP BY label, g.i
         "events_user_zscore": _EVENTS_ZSCORE_SQL,
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_cohort_retention": _EVENTS_COHORT_SQL,
+        "customer_running_total": _CUSTOMER_RUNNING_SQL,
+        "events_value_histogram": _EVENTS_HIST_SQL,
         "doc_curation_pipeline": _DOC_CURATION_SQL,
         "doc_vocab": _DOC_VOCAB_SQL,
         "doc_quality_classifier": _DOC_QUALITY_CLS_SQL,

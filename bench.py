@@ -229,6 +229,8 @@ def main() -> None:
         "events_user_zscore",
         "events_funnel",
         "events_cohort_retention",
+        "customer_running_total",
+        "events_value_histogram",
         "doc_curation_pipeline",
         "doc_vocab",
         "doc_quality_classifier",
