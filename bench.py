@@ -221,6 +221,7 @@ def main() -> None:
         "events_quantile_sketch",
         "events_heavy_hitters",
         "orders_profile",
+        "ivf_health_report",
         "hybrid_topk",
         "maxsim_topk",
         "mmr_topk",

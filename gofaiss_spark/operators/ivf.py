@@ -321,3 +321,51 @@ def search_ivf(
 
     cand = candidates.mapInPandas(part, schema=RESULT_SCHEMA)
     return topk(cand, k)
+
+
+def ivf_health(index: IvfIndex) -> DataFrame:
+    """Index-health report: per inverted list, its population and the
+    mean distance of members to their centroid (the local k-means
+    distortion). The two signals an operator watches to schedule
+    re-training — population skew (hot lists slow every probe that
+    hits them) and distortion drift (data moved away from the
+    trained centroids).
+
+    Plan: the centroid matrix rides the Arrow kernel's closure (tiny
+    by construction), distances compute batch-BLAS per partition with
+    no join, and the only shuffle is the nlist-row aggregation.
+    Returns (list_id, n_vectors, mean_dist) sorted nowhere — order
+    belongs to the caller."""
+    cents = np.ascontiguousarray(index.centroids, dtype=np.float64)
+    metric = index.metric
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            lids = pdf["list_id"].to_numpy(dtype=np.int64)
+            assigned = cents[lids]
+            if metric == "cosine":
+                from gofaiss_spark.functions.distance import np_distance_matrix
+
+                # row-wise cosine distance to the assigned centroid
+                d = np.array(
+                    [
+                        np_distance_matrix(
+                            vecs[i : i + 1], assigned[i : i + 1], "cosine"
+                        )[0, 0]
+                        for i in range(len(lids))
+                    ]
+                )
+            else:
+                d = np.linalg.norm(vecs - assigned, axis=1)
+            yield pd.DataFrame({"list_id": lids, "dist": d})
+
+    dists = index.assignments.select("list_id", "vec").mapInPandas(
+        part, schema="list_id int, dist double"
+    )
+    return dists.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("dist"), 6).alias("mean_dist"),
+    )

@@ -104,3 +104,34 @@ def test_stats(index, vectors):
     assert s["memory_mb"] == pytest.approx(
         (n + 16) * index.dim * 4 / (1024 * 1024)
     )
+
+
+def test_ivf_health_distortion_and_balance(vectors):
+    from gofaiss_spark.operators.ivf import build_ivf, ivf_health
+
+    idx = build_ivf(vectors, nlist=4, seed=42)
+    rows = ivf_health(idx).collect()
+    assert len(rows) <= 4
+    total = sum(r["n_vectors"] for r in rows)
+    assert total == vectors.count()
+    for r in rows:
+        assert r["n_vectors"] > 0
+        assert r["mean_dist"] >= 0
+    # distortion must not exceed the corpus-wide pairwise scale; for
+    # unit-ish synthetic embeddings the mean member-to-centroid
+    # distance is bounded well below the max vector norm
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    max_norm = vectors.select(
+        F.sqrt(
+            F.aggregate(
+                F.col("vec").cast("array<double>"),
+                F.lit(0.0),
+                lambda s, x: s + x * x,
+            )
+        ).alias("n")
+    ).agg(F.max("n")).collect()[0][0]
+    for r in rows:
+        assert r["mean_dist"] <= 2 * max_norm
