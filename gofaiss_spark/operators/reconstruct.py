@@ -217,4 +217,29 @@ def merge_index(a, b):
         return dataclasses.replace(
             a, codes=a.codes.unionByName(b.codes), colocated=False
         )
+
+    from gofaiss_spark.operators.hnsw import HnswRoutedIndex, HnswShardedIndex
+
+    if isinstance(a, HnswShardedIndex):
+        # serve is exhaustive over blob ROWS, so a union of shard
+        # tables is a valid merged index (b's shard ids are offset to
+        # keep rows distinct — the true FAISS IndexShards merge)
+        _check(a.metric == b.metric, "metric")
+        off = F.lit(int(a.num_shards))
+        b_blobs = b.blobs.withColumn(
+            "shard_id", (F.col("shard_id") + off).cast("int")
+        )
+        return dataclasses.replace(
+            a,
+            blobs=a.blobs.unionByName(b_blobs),
+            num_shards=a.num_shards + b.num_shards,
+        )
+    if isinstance(a, HnswRoutedIndex):
+        # routed serve probes by cell id: with identical centroids,
+        # both sides' per-cell graphs carry the same shard_id and the
+        # probe visits BOTH blob rows for a probed cell — union is
+        # exact, no re-keying needed
+        _check(a.metric == b.metric and a.nlist == b.nlist, "metric/nlist")
+        _check(np.allclose(a.centroids, b.centroids), "centroids differ")
+        return dataclasses.replace(a, blobs=a.blobs.unionByName(b.blobs))
     raise TypeError(f"cannot merge index type {type(a).__name__}")

