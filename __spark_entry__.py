@@ -3297,6 +3297,98 @@ FROM documents
 """
 
 
+def _doc_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix rebalancing planner: given uniform target shares
+    across sources, emit each source's population and the
+    deterministic keep-rate that realizes the target
+    (`rate = min(1, target_docs / n_docs)`; the rates then drive
+    stratified_hash_sample). One tiny aggregation; the plan is data,
+    not code — the 100 TB mix change is a broadcast of this table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("_total"), F.count(F.lit(1)).alias("_k")
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("_total") / F.col("_k")) / F.col("n_docs"),
+                ),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
+
+
+_DOC_MIX_PLAN_SQL = """
+WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS k FROM counts)
+SELECT source, n_docs,
+       round(least(1.0, (total / k) / n_docs), 6) AS keep_rate
+FROM counts CROSS JOIN tot
+"""
+
+
+def _doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: compare the corpus against a simulated
+    next snapshot (docs 0..N-11 kept, last 10 dropped, first 5
+    texts rewritten) by fingerprint — (added, removed, changed,
+    unchanged) counts. The incremental-pipeline planning primitive:
+    one narrow full-outer join on doc_id over (id, fingerprint)
+    projections, never the payloads."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    old = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("_fp_old")
+    ).filter(F.col("doc_id") < n - 10)
+    new = docs.select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") < 5, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("_fp_new"),
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    return j.agg(
+        F.sum(F.col("_fp_old").isNull().cast("long")).alias("n_added"),
+        F.sum(F.col("_fp_new").isNull().cast("long")).alias("n_removed"),
+        F.sum(
+            (
+                F.col("_fp_old").isNotNull()
+                & F.col("_fp_new").isNotNull()
+                & (F.col("_fp_old") != F.col("_fp_new"))
+            ).cast("long")
+        ).alias("n_changed"),
+        F.sum(
+            (F.col("_fp_old") == F.col("_fp_new")).cast("long")
+        ).alias("n_unchanged"),
+    )
+
+
+_DOC_SNAPSHOT_SQL = """
+WITH n AS (SELECT count(*) AS total FROM documents),
+old AS (
+  SELECT doc_id, md5(text) AS fp FROM documents, n WHERE doc_id < total - 10
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id < 5 THEN text || ' v2' ELSE text END) AS fp
+  FROM documents
+)
+SELECT sum(CASE WHEN old.fp IS NULL THEN 1 ELSE 0 END) AS n_added,
+       sum(CASE WHEN new.fp IS NULL THEN 1 ELSE 0 END) AS n_removed,
+       sum(CASE WHEN old.fp IS NOT NULL AND new.fp IS NOT NULL AND old.fp <> new.fp THEN 1 ELSE 0 END) AS n_changed,
+       sum(CASE WHEN old.fp = new.fp THEN 1 ELSE 0 END) AS n_unchanged
+FROM old FULL OUTER JOIN new USING (doc_id)
+"""
+
+
 def _doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pass (operators/curation.py
     curate_corpus): exact dedup → token counts → per-language length
@@ -3623,6 +3715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_running_total": _customer_running_total,
         "events_value_histogram": _events_value_histogram,
         "doc_curation_pipeline": _doc_curation_pipeline,
+        "doc_mix_plan": _doc_mix_plan,
+        "doc_snapshot_diff": _doc_snapshot_diff,
         "doc_vocab": _doc_vocab,
         "doc_quality_classifier": _doc_quality_classifier,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
@@ -3738,6 +3832,8 @@ GROUP BY label, g.i
         "customer_running_total": _CUSTOMER_RUNNING_SQL,
         "events_value_histogram": _EVENTS_HIST_SQL,
         "doc_curation_pipeline": _DOC_CURATION_SQL,
+        "doc_mix_plan": _DOC_MIX_PLAN_SQL,
+        "doc_snapshot_diff": _DOC_SNAPSHOT_SQL,
         "doc_vocab": _DOC_VOCAB_SQL,
         "doc_quality_classifier": _DOC_QUALITY_CLS_SQL,
         "embedding_near_dup_exact": _EMB_NEAR_DUP_SQL,

@@ -233,6 +233,8 @@ def main() -> None:
         "customer_running_total",
         "events_value_histogram",
         "doc_curation_pipeline",
+        "doc_mix_plan",
+        "doc_snapshot_diff",
         "doc_vocab",
         "doc_quality_classifier",
         "multimodal_features",
