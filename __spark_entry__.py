@@ -1101,8 +1101,8 @@ def _tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q12_SQL = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -3199,9 +3199,9 @@ flags AS (
   FROM stages
 )
 SELECT count(*) AS n_users,
-       sum(CAST(s_view AS BIGINT)) AS n_view,
-       sum(CAST(s_click AS BIGINT)) AS n_view_click,
-       sum(CAST(s_purchase AS BIGINT)) AS n_view_click_purchase
+       CAST(sum(CAST(s_view AS BIGINT)) AS BIGINT) AS n_view,
+       CAST(sum(CAST(s_click AS BIGINT)) AS BIGINT) AS n_view_click,
+       CAST(sum(CAST(s_purchase AS BIGINT)) AS BIGINT) AS n_view_click_purchase
 FROM flags
 """
 
@@ -3381,10 +3381,10 @@ new AS (
          md5(CASE WHEN doc_id < 5 THEN text || ' v2' ELSE text END) AS fp
   FROM documents
 )
-SELECT sum(CASE WHEN old.fp IS NULL THEN 1 ELSE 0 END) AS n_added,
-       sum(CASE WHEN new.fp IS NULL THEN 1 ELSE 0 END) AS n_removed,
-       sum(CASE WHEN old.fp IS NOT NULL AND new.fp IS NOT NULL AND old.fp <> new.fp THEN 1 ELSE 0 END) AS n_changed,
-       sum(CASE WHEN old.fp = new.fp THEN 1 ELSE 0 END) AS n_unchanged
+SELECT CAST(sum(CASE WHEN old.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN new.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN old.fp IS NOT NULL AND new.fp IS NOT NULL AND old.fp <> new.fp THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN old.fp = new.fp THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
 FROM old FULL OUTER JOIN new USING (doc_id)
 """
 
@@ -3560,18 +3560,18 @@ def _orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORDERS_PROFILE_SQL = """
 SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
-       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        CAST(min(o_orderkey) AS VARCHAR) AS min_value,
        CAST(max(o_orderkey) AS VARCHAR) AS max_value
 FROM orders
 UNION ALL
-SELECT 'o_custkey', count(*), sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+SELECT 'o_custkey', count(*), CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
 UNION ALL
-SELECT 'o_totalprice', count(*), sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+SELECT 'o_totalprice', count(*), CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM orders
 UNION ALL
-SELECT 'o_orderpriority', count(*), sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+SELECT 'o_orderpriority', count(*), CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        min(o_orderpriority), max(o_orderpriority) FROM orders
 """
 
@@ -3622,7 +3622,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Query registry. ORDER MATTERS: the correctness driver evaluates
+    only the FIRST 50 dict entries per round, so entries are rotated
+    each round to put queries without a driver-verified hash first.
+
+    Round-3 window (slots 1-50): the 45 queries that have never had a
+    driver hash check (everything added in round 2 plus the r01
+    no_oracle set), the re-fixed tpch_q12, and new round-3 queries.
+    After the window: queries hash-verified green in r01, then the 49
+    verified green in r02 (all remain regression-guarded by the local
+    sf0.001 DuckDB oracle suite, tests/test_entry_oracle.py)."""
     return {
+        # --- never driver-hash-verified (round-2 surface + r01 no_oracle) ---
+        "multimodal_stats": _multimodal_stats,
+        "sq_topk": _sq_topk,
+        "ivfsq_topk": _ivfsq_topk,
+        "lsh_topk": _lsh_topk,
+        "hnsw_topk": _hnsw_topk,
+        "hnsw_sharded_topk": _hnsw_sharded_topk,
+        "hnsw_routed_topk": _hnsw_routed_topk,
+        "ann_recall_report": _ann_recall_report,
+        "doc_dedup_clusters": _doc_dedup_clusters,
+        "doc_simhash": _doc_simhash,
+        "embedding_near_dup_lsh": _embedding_near_dup_lsh,
+        "doc_near_dup_dedup": _doc_near_dup_dedup,
+        "doc_bm25_topk": _doc_bm25_topk,
+        "doc_bm25_persisted": _doc_bm25_persisted,
+        "doc_tfidf_terms": _doc_tfidf_terms,
+        "hybrid_topk": _hybrid_topk,
+        "maxsim_topk": _maxsim_topk,
+        "mmr_topk": _mmr_topk,
+        "hard_negatives": _hard_negatives,
+        "sq_reconstruct": _sq_reconstruct,
+        "ivf_health_report": _ivf_health_report,
+        "profile_distinct_sketch": _profile_distinct_sketch,
+        "events_quantile_sketch": _events_quantile_sketch,
+        "events_heavy_hitters": _events_heavy_hitters,
+        "orders_profile": _orders_profile,
+        "events_user_zscore": _events_user_zscore,
+        "events_funnel": _events_funnel,
+        "events_cohort_retention": _events_cohort_retention,
+        "customer_running_total": _customer_running_total,
+        "events_value_histogram": _events_value_histogram,
+        "doc_pii_redaction": _doc_pii_redaction,
+        "doc_chunks": _doc_chunks,
+        "doc_hash_sample": _doc_hash_sample,
+        "doc_top_quality_per_lang": _doc_top_quality_per_lang,
+        "doc_repetition": _doc_repetition,
+        "doc_contamination": _doc_contamination,
+        "doc_stratified_sample": _doc_stratified_sample,
+        "doc_packed_batches": _doc_packed_batches,
+        "doc_curation_pipeline": _doc_curation_pipeline,
+        "doc_mix_plan": _doc_mix_plan,
+        "doc_snapshot_diff": _doc_snapshot_diff,
+        "doc_vocab": _doc_vocab,
+        "doc_quality_classifier": _doc_quality_classifier,
+        "multimodal_features": _multimodal_features,
+        "multimodal_frame_sample": _multimodal_frame_sample,
+        # --- fixed this round (CAST...AS BIGINT oracle), needs re-check ---
+        "tpch_q12": _tpch_q12,
+        # --- (slots 47-50 reserved for new round-3 queries) ---
+        # --- r01 hash-verified green ---
+        "doc_exact_dedup": _doc_exact_dedup,
+        "doc_minhash_near_dup": _doc_minhash_near_dup,
+        "doc_ngram_jaccard": _doc_ngram_jaccard,
+        "doc_lang_id": _doc_lang_id,
+        "doc_quality": _doc_quality,
+        "embedding_near_dup_exact": _embedding_near_dup_exact,
+        # --- r02 hash-verified green ---
         "flat_topk_l2": _flat_topk("l2"),
         "flat_topk_cosine": _flat_topk("cosine"),
         "flat_topk_dot": _flat_topk("dot"),
@@ -3642,7 +3709,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": _tpch_q8,
         "tpch_q9": _tpch_q9,
         "tpch_q11": _tpch_q11,
-        "tpch_q12": _tpch_q12,
         "tpch_q13": _tpch_q13,
         "tpch_q15": _tpch_q15,
         "tpch_q16": _tpch_q16,
@@ -3673,57 +3739,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_refine_topk": _pq_refine_topk,
         "ivfpq_refine_topk": _ivfpq_refine_topk,
         "pca_topk": _pca_topk,
-        "sq_topk": _sq_topk,
-        "ivfsq_topk": _ivfsq_topk,
-        "lsh_topk": _lsh_topk,
-        "hnsw_topk": _hnsw_topk,
-        "hnsw_sharded_topk": _hnsw_sharded_topk,
-        "hnsw_routed_topk": _hnsw_routed_topk,
-        "ann_recall_report": _ann_recall_report,
-        "doc_exact_dedup": _doc_exact_dedup,
-        "doc_minhash_near_dup": _doc_minhash_near_dup,
-        "doc_ngram_jaccard": _doc_ngram_jaccard,
-        "doc_simhash": _doc_simhash,
-        "doc_lang_id": _doc_lang_id,
-        "doc_quality": _doc_quality,
-        "doc_pii_redaction": _doc_pii_redaction,
-        "doc_chunks": _doc_chunks,
-        "doc_hash_sample": _doc_hash_sample,
-        "doc_top_quality_per_lang": _doc_top_quality_per_lang,
-        "doc_near_dup_dedup": _doc_near_dup_dedup,
-        "doc_repetition": _doc_repetition,
-        "doc_contamination": _doc_contamination,
-        "doc_stratified_sample": _doc_stratified_sample,
-        "doc_packed_batches": _doc_packed_batches,
-        "doc_dedup_clusters": _doc_dedup_clusters,
-        "doc_bm25_topk": _doc_bm25_topk,
-        "doc_bm25_persisted": _doc_bm25_persisted,
-        "doc_tfidf_terms": _doc_tfidf_terms,
-        "profile_distinct_sketch": _profile_distinct_sketch,
-        "events_quantile_sketch": _events_quantile_sketch,
-        "events_heavy_hitters": _events_heavy_hitters,
-        "orders_profile": _orders_profile,
-        "hybrid_topk": _hybrid_topk,
-        "maxsim_topk": _maxsim_topk,
-        "mmr_topk": _mmr_topk,
-        "hard_negatives": _hard_negatives,
-        "sq_reconstruct": _sq_reconstruct,
-        "ivf_health_report": _ivf_health_report,
-        "events_user_zscore": _events_user_zscore,
-        "events_funnel": _events_funnel,
-        "events_cohort_retention": _events_cohort_retention,
-        "customer_running_total": _customer_running_total,
-        "events_value_histogram": _events_value_histogram,
-        "doc_curation_pipeline": _doc_curation_pipeline,
-        "doc_mix_plan": _doc_mix_plan,
-        "doc_snapshot_diff": _doc_snapshot_diff,
-        "doc_vocab": _doc_vocab,
-        "doc_quality_classifier": _doc_quality_classifier,
-        "embedding_near_dup_exact": _embedding_near_dup_exact,
-        "embedding_near_dup_lsh": _embedding_near_dup_lsh,
-        "multimodal_stats": _multimodal_stats,
-        "multimodal_features": _multimodal_features,
-        "multimodal_frame_sample": _multimodal_frame_sample,
     }
 
 

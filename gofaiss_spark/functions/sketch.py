@@ -75,23 +75,30 @@ def distinct_sketch(
     """Per column: HLL++ approximate distinct count next to the exact
     count, plus `approx_ok` = relative error within `tolerance`
     (default 5% ≈ 2.5σ at rsd=0.02; HLL hashing is deterministic, so
-    a pass is stable, not flaky). One narrow row per column."""
-    out = None
+    a pass is stable, not flaky). All columns' HLL registers and
+    exact-distinct aggregates partial-combine in ONE df.agg() pass —
+    a single scan regardless of how many columns are profiled."""
+    aggs = []
     for c in cols:
-        row = df.agg(
-            F.lit(c).alias("column_name"),
-            F.count_distinct(F.col(c)).alias("exact_distinct"),
-            F.approx_count_distinct(F.col(c), rsd).alias("approx_distinct"),
-        ).select(
-            "column_name",
-            "exact_distinct",
-            (
-                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
-                <= F.lit(tolerance) * F.col("exact_distinct")
-            ).alias("approx_ok"),
+        aggs += [
+            F.count_distinct(F.col(c)).alias(f"_ex_{c}"),
+            F.approx_count_distinct(F.col(c), rsd).alias(f"_ap_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = [
+        (
+            c,
+            int(row[f"_ex_{c}"]),
+            bool(
+                abs(row[f"_ap_{c}"] - row[f"_ex_{c}"])
+                <= tolerance * row[f"_ex_{c}"]
+            ),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "column_name string, exact_distinct long, approx_ok boolean"
+    )
 
 
 def heavy_hitters_cms(
@@ -109,14 +116,23 @@ def heavy_hitters_cms(
     keys from the sketch. CMS NEVER under-counts, so
     `cms_ge_exact = estimate ≥ exact` is a deterministic invariant —
     any serialization or merge bug shows up as an under-count. Rows:
-    (key, exact_count, cms_ge_exact), ranked by (count desc, key)."""
+    (key, exact_count, cms_ge_exact), ranked by (count desc, key).
+
+    Integral columns are sketched and reported as `key long`;
+    everything else (strings, timestamps, ...) is cast to string and
+    reported as `key string` (count_min_sketch supports integral,
+    string and binary inputs, so the cast makes the sketch and the
+    exact groupBy agree on the key)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as FF
 
     spark = df.sparkSession
+    dtype = dict(df.dtypes)[col]
+    integral = dtype in ("tinyint", "smallint", "int", "bigint")
+    key_col = FF.col(col) if integral or dtype == "string" else FF.col(col).cast("string")
     sk = df.agg(
         FF.count_min_sketch(
-            FF.col(col), FF.lit(eps), FF.lit(confidence), FF.lit(seed)
+            key_col, FF.lit(eps), FF.lit(confidence), FF.lit(seed)
         ).alias("sk")
     ).collect()[0]["sk"]
     jvm = spark.sparkContext._jvm
@@ -125,23 +141,26 @@ def heavy_hitters_cms(
     )
     w = Window.orderBy(FF.col("exact_count").desc(), FF.col("key").asc())
     top = (
-        df.groupBy(FF.col(col).alias("key"))
+        df.groupBy(key_col.alias("key"))
         .agg(FF.count(FF.lit(1)).alias("exact_count"))
         .withColumn("_r", FF.row_number().over(w))
         .filter(FF.col("_r") <= k)
         .drop("_r")
         .collect()
     )
+    cast_key = int if integral else str
     rows = [
         (
-            int(r["key"]),
+            cast_key(r["key"]),
             int(r["exact_count"]),
-            bool(cms.estimateCount(int(r["key"])) >= r["exact_count"]),
+            bool(cms.estimateCount(cast_key(r["key"])) >= r["exact_count"]),
         )
         for r in top
     ]
     return spark.createDataFrame(
-        rows, "key long, exact_count long, cms_ge_exact boolean"
+        rows,
+        f"key {'long' if integral else 'string'}, "
+        "exact_count long, cms_ge_exact boolean",
     )
 
 

@@ -16,7 +16,9 @@
   The union is a metadata operation on DataFrames — no data moves
   until the merged index is searched or saved, and no retraining
   happens (the FAISS merge_from contract). Id spaces must be
-  disjoint (checked lazily by count).
+  disjoint — checked eagerly by a narrow-column count unless
+  ``check_ids=False`` (HNSW sharded/routed blobs are never checked;
+  ids live inside serialized graph payloads).
 """
 
 from __future__ import annotations
@@ -161,11 +163,31 @@ def _check(cond: bool, what: str) -> None:
         raise ValueError(f"merge_index: incompatible indexes ({what})")
 
 
-def merge_index(a, b):
+def _check_disjoint_ids(a_df: DataFrame, b_df: DataFrame) -> None:
+    """Raise if the two indexes share vector ids. One narrow-column
+    aggregation: count(a) + count(b) must equal the distinct-id count
+    of the union — overlapping ids would surface as duplicate rows in
+    every subsequent search. Skippable via merge_index(check_ids=False)
+    for huge artifacts where the caller guarantees disjointness."""
+    ids_a = a_df.select("id")
+    ids_b = b_df.select("id")
+    n_parts = ids_a.count() + ids_b.count()
+    n_distinct = ids_a.unionByName(ids_b).distinct().count()
+    _check(
+        n_parts == n_distinct,
+        f"id spaces overlap ({n_parts - n_distinct} shared ids)",
+    )
+
+
+def merge_index(a, b, check_ids: bool = True):
     """Union two compatible same-type indexes without retraining
     (FAISS merge_from). Trained state must match exactly — merging
     indexes quantized against different codebooks would silently
-    corrupt distances, so it raises instead."""
+    corrupt distances, so it raises instead. Id spaces must be
+    disjoint; checked by count unless ``check_ids=False`` (HNSW
+    sharded/routed blobs carry ids inside serialized graph payloads,
+    so those two types are never id-checked — callers must guarantee
+    disjointness there)."""
     import dataclasses
 
     from gofaiss_spark.operators.flat import FlatIndex
@@ -179,12 +201,16 @@ def merge_index(a, b):
 
     if isinstance(a, FlatIndex):
         _check(a.dim == b.dim and a.metric == b.metric, "dim/metric")
+        if check_ids:
+            _check_disjoint_ids(a.vectors, b.vectors)
         return dataclasses.replace(
             a, vectors=a.vectors.unionByName(b.vectors)
         )
     if isinstance(a, IvfIndex):
         _check(a.metric == b.metric and a.nlist == b.nlist, "metric/nlist")
         _check(np.allclose(a.centroids, b.centroids), "centroids differ")
+        if check_ids:
+            _check_disjoint_ids(a.assignments, b.assignments)
         return dataclasses.replace(
             a, assignments=a.assignments.unionByName(b.assignments)
         )
@@ -194,10 +220,14 @@ def merge_index(a, b):
             np.allclose(a.vmin, b.vmin) and np.allclose(a.vmax, b.vmax),
             "quantization range differs",
         )
+        if check_ids:
+            _check_disjoint_ids(a.codes, b.codes)
         return dataclasses.replace(a, codes=a.codes.unionByName(b.codes))
     if isinstance(a, PqIndex):
         _check(a.m == b.m and a.nbits == b.nbits, "m/nbits")
         _check(np.allclose(a.codebooks, b.codebooks), "codebooks differ")
+        if check_ids:
+            _check_disjoint_ids(a.codes, b.codes)
         return dataclasses.replace(a, codes=a.codes.unionByName(b.codes))
     if isinstance(a, IvfSqIndex):
         _check(a.nlist == b.nlist, "nlist")
@@ -206,6 +236,8 @@ def merge_index(a, b):
             np.allclose(a.vmin, b.vmin) and np.allclose(a.vmax, b.vmax),
             "quantization range differs",
         )
+        if check_ids:
+            _check_disjoint_ids(a.codes, b.codes)
         return dataclasses.replace(
             a, codes=a.codes.unionByName(b.codes), colocated=False
         )
@@ -214,6 +246,8 @@ def merge_index(a, b):
                "nlist/m/nbits")
         _check(np.allclose(a.centroids, b.centroids), "centroids differ")
         _check(np.allclose(a.codebooks, b.codebooks), "codebooks differ")
+        if check_ids:
+            _check_disjoint_ids(a.codes, b.codes)
         return dataclasses.replace(
             a, codes=a.codes.unionByName(b.codes), colocated=False
         )

@@ -218,14 +218,20 @@ def save_index(index, path: str, fmt: str = "parquet") -> None:
 
     from gofaiss_spark.operators.retrieval import TextIndex, save_text_index
 
-    if isinstance(index, TextIndex):
-        # bucketed-postings layout + sidecar handled by the retrieval
-        # module (partition pruning contract documented there)
-        save_text_index(index, path)
-        return
-
     if fmt not in ("parquet", "json"):
         raise ValueError(f"unknown artifact format {fmt!r}")
+
+    if isinstance(index, TextIndex):
+        # bucketed-postings layout + sidecar handled by the retrieval
+        # module (partition pruning contract documented there); the
+        # layout is parquet-only — honoring fmt="json" would silently
+        # drop the bucket-pruning contract, so reject it instead
+        if fmt != "parquet":
+            raise ValueError(
+                f"text indexes persist as bucketed parquet only, got fmt={fmt!r}"
+            )
+        save_text_index(index, path)
+        return
 
     def wm(meta: dict) -> None:
         _write_meta(path, {**meta, "format": fmt})

@@ -38,6 +38,10 @@ def get_spark(app_name: str = "gofaiss_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Keep stdout/stderr clean: the bench driver tail-captures the
+        # last ~2k chars of combined output to parse the result JSON,
+        # and \r progress bars would push it out of the window.
+        .config("spark.ui.showConsoleProgress", "false")
         # Vector payloads are wide; raise broadcast threshold so query
         # batches and centroid/codebook tables broadcast instead of shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -37,6 +37,57 @@ def _norm_rows(cols, rows):
     return sorted(cols), out
 
 
+def _duck_type_class(t):
+    """Collapse a DuckDB type string to a comparison class. HUGEINT is
+    deliberately its own class: DuckDB returns it for sum() over
+    integers, pandas widens it to float64, and the driver's
+    type-sensitive value hash then diverges from Spark's int64 —
+    the tpch_q12/multimodal_stats artifact class."""
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+             "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"):
+        return "int"
+    if t == "HUGEINT":
+        return "hugeint"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t == "VARCHAR":
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t.endswith("[]") or t.startswith(("LIST", "ARRAY")):
+        return "array"
+    return t.lower()
+
+
+def _spark_type_class(dt):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    return dt.simpleString()
+
+
 ORACLES = entry_mod.oracle_sql()
 QUERIES = entry_mod.queries()
 
@@ -52,12 +103,27 @@ def test_query_matches_oracle(spark, sf_dir, name):
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = _duck_con(sf_dir)
+    d_types = {
+        r[0]: _duck_type_class(r[1])
+        for r in con.execute("DESCRIBE " + ORACLES[name]).fetchall()
+    }
     cur = con.execute(ORACLES[name])
     d_cols = [d[0] for d in cur.description]
     d_rows = cur.fetchall()
     con.close()
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    s_types = {f.name: _spark_type_class(f.dataType) for f in sdf.schema.fields}
+    type_diffs = {
+        c: (s_types[c], d_types[c])
+        for c in s_types
+        if c in d_types and s_types[c] != d_types[c]
+    }
+    assert not type_diffs, (
+        f"{name}: column type classes differ (spark, duckdb): {type_diffs} "
+        "— the driver's value hash is type-sensitive (HUGEINT→float64 in "
+        "pandas), so cast the oracle SQL to the Spark-side type"
+    )
     assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
     sc, sr = _norm_rows(s_cols, s_rows)
     dc, dr = _norm_rows(d_cols, d_rows)
