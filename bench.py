@@ -379,11 +379,16 @@ def main() -> None:
                                      "nprobe": 50, "refine": 10}
 
         # tuned-recall row (IVFPQ nlist=316, M=16, nprobe=50,
-        # train ≥50k → recall ≥0.90, docs/benchmarks.md:201-211)
+        # train ≥50k → recall ≥0.90, docs/benchmarks.md:201-211).
+        # Split training samples: the coarse quantizer saturates at 5k
+        # while ADC codebooks keep improving to 50k (ksub=256 cells per
+        # subspace), so the ≥50k training lands on the codebooks only —
+        # same recall target, no 50k distributed k-means in the build.
         if big and os.environ.get("SPARK_GRAFT_BASELINE_TUNED", "1") != "0":
             t0 = time.monotonic()
             bivfpq_t = build_ivfpq(bvec, nlist=bl_nlist, m=16, nbits=8, seed=42,
-                                   train_fraction=0.5)
+                                   train_fraction=bl_tf,
+                                   codebook_train_fraction=0.5)
             bivfpq_t.codes.cache().count()
             build_s = round(time.monotonic() - t0, 4)
             sec, res = bsearch(lambda: search_ivfpq(bivfpq_t, bq, k=K, nprobe=50))
@@ -396,8 +401,9 @@ def main() -> None:
             # refine on the better (m=16) codes: the practical
             # highest-recall quantized config. On uniform random data
             # the ADC ordering itself is the recall ceiling (PQ has no
-            # structure to exploit — measured m=8 r=10 0.30, m=16
-            # r=30 0.71 vs the nprobe=50 candidate ceiling 0.97).
+            # structure to exploit), so deepening the exact re-rank
+            # (refine 30 → 100) trades QPS for recall up to the
+            # nprobe=50 candidate ceiling (~0.97).
             sec, res = bsearch(
                 lambda: search_ivfpq(bivfpq_t, bq, k=K, nprobe=50,
                                      refine=30, base=bvec)
@@ -407,6 +413,17 @@ def main() -> None:
                 "recall": brec(res, truth),
                 "nlist": bl_nlist, "m": 16, "nbits": 8,
                 "nprobe": 50, "refine": 30,
+            }
+            # the docs'-target row: recall ≥0.90 at train=50k
+            sec, res = bsearch(
+                lambda: search_ivfpq(bivfpq_t, bq, k=K, nprobe=50,
+                                     refine=100, base=bvec)
+            )
+            baseline["ivfpq_tuned_refined100"] = {
+                "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+                "recall": brec(res, truth),
+                "nlist": bl_nlist, "m": 16, "nbits": 8,
+                "nprobe": 50, "refine": 100, "target_recall": 0.90,
             }
 
         # measured @100k: L=4 + multiprobe=1 → recall 0.9999 at
@@ -427,6 +444,26 @@ def main() -> None:
                                    "(SURVEY.md §7: graph build is inherently "
                                    "sequential; LSH is the distributed ANN)"}
 
+        # ANN sustained-load row on the QPS axis: the same LSH index
+        # at a 10k-query batch (the flat_batch10k regime). Spark's
+        # per-job floor dominates the 1k-batch number; the 10k batch
+        # amortizes it, which is the honest regime for comparing
+        # against an in-memory per-query server's QPS under load.
+        if big:
+            sec10, res10 = bsearch(
+                lambda: search_lsh(blsh, bq10, k=K, multiprobe=bl_mp)
+            )
+            # recall vs the 10k-batch exact truth
+            truth10 = search_flat(bvec, bq10, k=K).cache()
+            truth10.count()
+            baseline["lsh_batch10k"] = {
+                "search_sec": sec10,
+                "qps_batch": round(10_000 / sec10, 1),
+                "recall": round(recall_at_k(res10, truth10, K), 4),
+                "num_hash_tables": bl_L, "multiprobe": bl_mp,
+                "n_queries": 10_000,
+            }
+
         # HNSW, distributed: the sharded build (FAISS IndexShards
         # pattern — one independent graph per hash shard, built in
         # parallel executor-side, every shard searched). This is the
@@ -443,6 +480,72 @@ def main() -> None:
             "m": 16, "ef_construction": 200, "ef_search": 50,
             "num_shards": bhs.num_shards, "memory_mb": mem_mb(bhs),
         }
+
+        # tuned row: efSearch raised to the ≥0.95 recall target
+        # (SURVEY §6; docs/benchmarks.md:364-399 — efSearch 20→200
+        # reaches 0.98+). Same index, serve-time knob only.
+        if big:
+            sec, res = bsearch(
+                lambda: search_hnsw_sharded(bhs, bq, k=K, ef_search=200)
+            )
+            baseline["hnsw_sharded_tuned"] = {
+                "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+                "recall": brec(res, truth),
+                "m": 16, "ef_construction": 200, "ef_search": 200,
+                "target_recall": 0.95,
+            }
+
+        # routed HNSW on CLUSTERED data: nprobe cell-routing is the
+        # scale path (probe a few cells, not every shard), and its
+        # recall ceiling is the cell-coverage of true neighbors —
+        # near 1.0 when the corpus actually clusters, much lower on
+        # uniform noise (SCALE.md §7). A mixture-of-Gaussians fixture
+        # (100 centers, sigma=0.05 vs unit cube) makes that claim a
+        # measured row instead of an assertion.
+        if big and os.environ.get("SPARK_GRAFT_BASELINE_ROUTED", "1") != "0":
+            import numpy as np
+            import pandas as pd
+
+            rng = np.random.default_rng(42)
+            n_cl = 100
+            centers = rng.random((n_cl, 128), dtype=np.float32)
+            cl = rng.integers(0, n_cl, size=baseline_n)
+            cdata = (centers[cl]
+                     + rng.normal(0, 0.05, (baseline_n, 128)).astype(np.float32))
+            cq_ids = rng.integers(0, baseline_n, size=bn_q)
+            cqdata = cdata[cq_ids] + rng.normal(0, 0.01, (bn_q, 128)).astype(np.float32)
+            cvec = spark.createDataFrame(
+                pd.DataFrame({"id": np.arange(baseline_n, dtype=np.int64),
+                              "vec": list(cdata)}),
+                schema="id long, vec array<float>",
+            ).cache()
+            cvec.count()
+            cq = spark.createDataFrame(
+                pd.DataFrame({"query_id": np.arange(bn_q, dtype=np.int64),
+                              "qvec": list(cqdata)}),
+                schema="query_id long, qvec array<float>",
+            ).cache()
+            cq.count()
+            ctruth = search_flat(cvec, cq, k=K).cache()
+            ctruth.count()
+            t0 = time.monotonic()
+            brt = build_hnsw_routed(cvec, nlist=n_cl, m=16, ef_construction=100)
+            build_s = round(time.monotonic() - t0, 4)
+            for npr in (8, 16):
+                sec, res = bsearch(
+                    lambda npr=npr: search_hnsw_routed(
+                        brt, cq, k=K, nprobe=npr, ef_search=100
+                    )
+                )
+                row = {
+                    "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+                    "recall": round(recall_at_k(res, ctruth, K), 4),
+                    "nprobe": npr, "nlist": n_cl,
+                    "workload": "mixture-of-100-Gaussians (sigma=0.05)",
+                }
+                if npr == 8:
+                    row["build_sec"] = build_s
+                baseline[f"hnsw_routed_clustered_np{npr}"] = row
 
         # HNSW, single-graph: driver-side fidelity path. The insert
         # loop is driver-bound by design (honestly capped, hnsw.py),
@@ -468,29 +571,69 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_vectors": n_vec,
-                "k": K,
-                "n_queries": min(N_QUERIES, n_vec),
-                "cpus": CPUS,
-                "baseline": {
-                    "workload": "uniform random, dim=128, l2, k=10, "
-                    f"n={baseline_n}, "
-                    f"{1000 if baseline_n >= 100_000 else 100}-query batch, "
-                    f"seed 42 (BASELINE.md "
-                    f"{'100k' if baseline_n >= 100_000 else '10k'} table config)",
-                    **baseline,
-                },
-            }
-        )
-    )
+    full = {
+        "metric": "e2e_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_vectors": n_vec,
+        "k": K,
+        "n_queries": min(N_QUERIES, n_vec),
+        "cpus": CPUS,
+        "baseline": {
+            "workload": "uniform random, dim=128, l2, k=10, "
+            f"n={baseline_n}, "
+            f"{1000 if baseline_n >= 100_000 else 100}-query batch, "
+            f"seed 42 (BASELINE.md "
+            f"{'100k' if baseline_n >= 100_000 else '10k'} table config)",
+            **baseline,
+        },
+    }
+    # Full results go to a FILE (the reference writes
+    # benchmark_results_*.json too, benchmark_comparison.go:562-573):
+    # the driver tail-captures only the last ~2k chars of output, so
+    # the printed line must be compact or it is truncated mid-JSON
+    # (that is exactly what nulled BENCH_r02's "parsed").
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_full.json")
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1)
+
+    def _compact_row(row: dict) -> dict:
+        keep = {"build_sec": "b", "search_sec": "s", "qps_batch": "q",
+                "recall": "r", "nprobe": "np", "refine": "rf",
+                "multiprobe": "mp", "n_queries": "nq",
+                "substituted_by": "sub"}
+        out = {}
+        for k, short in keep.items():
+            if k in row:
+                v = row[k]
+                out[short] = round(v, 2) if isinstance(v, float) else v
+        return out
+
+    compact = {
+        "metric": "e2e_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cpus": CPUS,
+        "queries": {
+            "n": len(timings),
+            "total_sec": total,
+            "top3_slowest": {
+                k: round(v, 1)
+                for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:3]
+            },
+            "full": "BENCH_full.json",
+        },
+        "baseline_n": baseline_n,
+        "legend": "b=build_sec s=search_sec q=qps_batch r=recall "
+                  "np=nprobe rf=refine mp=multiprobe nq=n_queries",
+        "baseline": {k: _compact_row(v) for k, v in baseline.items()},
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     sys.stdout.flush()
     shutil.rmtree(art_root, ignore_errors=True)
     spark.stop()

@@ -707,6 +707,7 @@ def build_hnsw_routed(
     train_fraction: float | None = None,
     vec_col: str = "vec",
     id_col: str = "id",
+    trainer: str = "mllib",
 ) -> HnswRoutedIndex:
     """Coarse k-means → assign (argmin Arrow kernel, no shuffle) →
     one independent HNSW graph per cell, built in parallel inside
@@ -729,7 +730,9 @@ def build_hnsw_routed(
     train_df = vectors
     if train_fraction is not None and train_fraction < 1.0:
         train_df = vectors.sample(fraction=train_fraction, seed=seed)
-    cents = train_kmeans_centroids(train_df, nlist, seed=seed, vec_col=vec_col)
+    cents = train_kmeans_centroids(
+        train_df, nlist, seed=seed, vec_col=vec_col, trainer=trainer
+    )
     assigned = assign_to_centroids(vectors, cents, metric, vec_col, id_col)
     df = assigned.select(
         F.col(id_col).alias("id"),

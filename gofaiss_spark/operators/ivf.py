@@ -71,18 +71,67 @@ class IvfIndex:
         }
 
 
+# Training sets at or below this cell count (rows × dim) are
+# collected and trained driver-side with the deterministic NumPy
+# Lloyd kernel. k-means training is ALWAYS over a bounded sample
+# (the reference trains on 5k of 100k,
+# benchmark_comparison.go:258-263; at 100 TB you set train_fraction),
+# so the collect is bounded by contract — 32M cells ≈ 256 MB f64 ≈
+# 250k rows at dim=128. MLlib's k-means‖ launches ~2·initSteps +
+# maxIter distributed jobs, a fixed multi-second floor that dwarfs
+# the arithmetic at sample scale; one BLAS Lloyd loop is ~100× faster
+# there, and bigger training sets still go distributed.
+LOCAL_TRAIN_MAX_CELLS = 32_000_000
+
+
+def collect_vector_matrix(df, vec_col: str = "vec", order_col: str | None = "id"):
+    """Collect a (bounded) vector column to a float64 matrix, Arrow
+    path first (toPandas is ~2x plain collect for array columns; falls
+    back transparently when Arrow is off in the session)."""
+    if order_col is not None and order_col in df.columns:
+        df = df.orderBy(order_col)
+    pdf = df.select(F.col(vec_col).alias("_v")).toPandas()
+    return np.array([np.asarray(v) for v in pdf["_v"]], dtype=np.float64)
+
+
 def train_kmeans_centroids(
     vectors: DataFrame,
     k: int,
     seed: int = 42,
     max_iter: int = 10,
     vec_col: str = "vec",
+    trainer: str = "mllib",
 ) -> np.ndarray:
-    """k-means via MLlib (distributed; init k-means‖) → (k, dim).
+    """k-means → (k, dim) centroids.
 
     Plays ivf.go:255-317's Lloyd loop. maxIter=10 keeps parity with
     the reference's iteration budget. Requires n ≥ k (ivf.go:75-77).
+
+    ``trainer="mllib"`` (default): MLlib KMeans — distributed, init
+    k-means‖. ``trainer="local"``: collect the training set (bounded
+    by LOCAL_TRAIN_MAX_CELLS) and run the driver-side BLAS Lloyd with
+    seeded k-means++ init — ~5-10× faster at sample scale, and its
+    centroids converge tighter (lower distortion → near-uniform list
+    sizes, no straggler partitions at scale). Tradeoff, measured at
+    100k uniform-random: balanced lists cover FEWER true neighbors
+    per probed cell than MLlib's under-converged imbalanced ones, so
+    recall at a fixed nprobe is lower (0.36 vs 0.51 at nprobe=10/316)
+    even though cost per probe is proportionally lower too. Default
+    stays "mllib" to keep the recorded recall/QPS operating points;
+    pick "local" for build-speed or balanced-partition serving.
     """
+    if trainer == "local":
+        n = vectors.count()
+        dim_row = vectors.select(F.size(vec_col).alias("d")).first()
+        dim = int(dim_row["d"]) if dim_row is not None else 0
+        if n * dim <= LOCAL_TRAIN_MAX_CELLS:
+            from gofaiss_spark.functions.kmeans_np import lloyd_kmeans
+
+            data = collect_vector_matrix(vectors, vec_col)
+            cents, _ = lloyd_kmeans(data, k, max_iter=max_iter, init="++", seed=seed)
+            return cents
+        # falls through to MLlib when the sample exceeds the bound
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -134,12 +183,14 @@ def build_ivf(
     train_fraction: float | None = None,
     vec_col: str = "vec",
     id_col: str = "id",
+    trainer: str = "mllib",
 ) -> IvfIndex:
     """Train + Add in one pass (ivf.go:70-112).
 
     ``train_fraction`` subsamples the training set (the reference
     trains on 5k of 100k, benchmark_comparison.go:258-263); full
-    assignment always covers every vector.
+    assignment always covers every vector. ``trainer`` picks the
+    coarse k-means backend (see train_kmeans_centroids).
     """
     validate_metric(metric)
     n = vectors.count()
@@ -152,7 +203,9 @@ def build_ivf(
         train_df = vectors.sample(fraction=train_fraction, seed=seed)
     sample = train_df.select(F.first(F.size(vec_col)).alias("d")).collect()
     dim = int(sample[0]["d"])
-    cents = train_kmeans_centroids(train_df, nlist, seed=seed, vec_col=vec_col)
+    cents = train_kmeans_centroids(
+        train_df, nlist, seed=seed, vec_col=vec_col, trainer=trainer
+    )
     assignments = assign_to_centroids(vectors, cents, metric, vec_col, id_col)
     return IvfIndex(
         metric=metric, nlist=nlist, dim=dim, centroids=cents, assignments=assignments

@@ -116,11 +116,22 @@ def build_ivfpq(
     min_train_factor: int = 10,
     vec_col: str = "vec",
     id_col: str = "id",
+    trainer: str = "mllib",
+    codebook_train_fraction: float | None = None,
 ) -> IvfPqIndex:
     """Train + Add (ivfpq.go:117-219).
 
     Requires n ≥ nlist·min_train_factor (ivfpq.go:121). The residual
-    pipeline is pure column expressions until the NumPy encode."""
+    pipeline is pure column expressions until the NumPy encode.
+
+    ``codebook_train_fraction`` (default: same as ``train_fraction``)
+    sizes the PQ-codebook training sample independently of the coarse
+    quantizer's. The two have different sweet spots: ADC ordering
+    quality keeps improving with more residual samples (ksub=256
+    cells per subspace want ≥~100 samples each), while the coarse
+    k-means is already saturated at a few thousand — so the docs'
+    "train ≥50k" recall target is reached by growing only the
+    codebook sample, without paying a 50k distributed k-means."""
     validate_metric(metric)
     n = vectors.count()
     if nlist is None:
@@ -138,30 +149,57 @@ def build_ivfpq(
     if train_fraction is not None and train_fraction < 1.0:
         train_df = vectors.sample(fraction=train_fraction, seed=seed)
 
-    # (1) coarse centroids
+    # (1) coarse centroids (driver-side BLAS Lloyd under
+    # LOCAL_TRAIN_MAX_CELLS, MLlib above — see operators/ivf.py)
     cents = train_kmeans_centroids(
-        train_df if train_df is not None else vectors, nlist, seed=seed, vec_col=vec_col
+        train_df if train_df is not None else vectors, nlist, seed=seed,
+        vec_col=vec_col, trainer=trainer,
     )
-    # (2)+(3)+(4): one assign→residual lineage over the full set. When
-    # training on the full set (train_fraction None) the codebook
-    # trainer and the encoder share it — persisted so the BLAS
-    # assignment pass runs once, not twice. At 100 TB you set
-    # train_fraction (the reference trains on 5k of 100k,
-    # benchmark_comparison.go:258-263), so only the small sample is
-    # double-assigned and nothing full-scale is cached.
-    assigned = assign_to_centroids(vectors, cents, metric, vec_col, id_col)
-    with_res = _with_residual(assigned, cents, vec_col)
-    if train_df is not None:
-        train_assigned = assign_to_centroids(train_df, cents, metric, vec_col, id_col)
-        train_res = _with_residual(train_assigned, cents, vec_col)
+
+    # (2)+(3) codebooks over TRAINING residuals. Training is a bounded
+    # sample by contract (the reference trains on 5k of 100k,
+    # benchmark_comparison.go:258-263; at 100 TB train_fraction bounds
+    # it), so under LOCAL_TRAIN_MAX_CELLS the sample is collected once
+    # and assign→residual→M Lloyd fits all happen driver-side — zero
+    # extra Spark jobs. Above the threshold, the distributed
+    # assign + residual-join + grouped-applyInPandas path runs.
+    from gofaiss_spark.functions.distance import np_distance_matrix
+    from gofaiss_spark.functions.kmeans_np import lloyd_kmeans
+    from gofaiss_spark.operators.ivf import LOCAL_TRAIN_MAX_CELLS
+
+    if codebook_train_fraction is not None and codebook_train_fraction < 1.0:
+        tdf = vectors.sample(fraction=codebook_train_fraction, seed=seed)
     else:
-        with_res = with_res.persist()
-        train_res = with_res
-    codebooks = train_pq_codebooks(
-        train_res, dim, m, nbits, vec_col="residual", id_col="id"
-    )
-    codes = encode_pq(
-        with_res, codebooks, vec_col="residual", id_col="id", extra_cols=("list_id",)
+        tdf = train_df if train_df is not None else vectors
+    n_train = tdf.count()
+    if n_train * dim <= LOCAL_TRAIN_MAX_CELLS:
+        from gofaiss_spark.operators.ivf import collect_vector_matrix
+
+        tdata = collect_vector_matrix(tdf, vec_col, order_col=id_col)
+        t_assign = np.argmin(np_distance_matrix(tdata, cents, metric), axis=1)
+        t_res = tdata - cents[t_assign]
+        ksub = 1 << nbits
+        dsub = dim // m
+        codebooks = np.zeros((m, ksub, dsub), dtype=np.float64)
+        for j in range(m):
+            cb_j, _ = lloyd_kmeans(
+                t_res[:, j * dsub:(j + 1) * dsub], ksub,
+                init="++", seed=seed + j,
+            )
+            codebooks[j] = cb_j
+    else:
+        train_assigned = assign_to_centroids(tdf, cents, metric, vec_col, id_col)
+        train_res = _with_residual(train_assigned, cents, vec_col)
+        codebooks = train_pq_codebooks(
+            train_res, dim, m, nbits, vec_col="residual", id_col="id"
+        )
+
+    # (4) Add over the FULL set: assign → residual → encode FUSED into
+    # one Arrow kernel (centroids + codebooks ride the closure). One
+    # pass, no shuffle, no Python↔JVM round-trips between stages —
+    # the distributed path that scales to the full corpus.
+    codes = _assign_encode_fused(
+        vectors, cents, codebooks, metric, vec_col, id_col
     )
     return IvfPqIndex(
         metric=metric,
@@ -172,6 +210,60 @@ def build_ivfpq(
         centroids=cents,
         codebooks=codebooks,
         codes=codes,
+    )
+
+
+def _assign_encode_fused(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    metric: str,
+    vec_col: str = "vec",
+    id_col: str = "id",
+) -> DataFrame:
+    """Add (ivfpq.go:184-219) as ONE mapInPandas kernel: per Arrow
+    batch, BLAS argmin to the nearest centroid, residual subtract,
+    and per-subspace argmin encode — centroids and codebooks ride the
+    closure (a broadcast). Eliminates the assign→join→encode lineage's
+    two extra Python↔JVM crossings; output keeps input partitioning
+    (no shuffle)."""
+    from gofaiss_spark.functions.distance import np_distance_matrix
+
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)  # (M, ksub, dsub)
+    mm, ksub, dsub = cb.shape
+    cb_sq = np.einsum("mkd,mkd->mk", cb, cb)
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            assign = np.argmin(
+                np_distance_matrix(base, cents, metric), axis=1
+            )
+            res = base - cents[assign]
+            b = res.shape[0]
+            subs = res.reshape(b, mm, dsub)
+            codes = np.empty((b, mm), dtype=np.int16)
+            for j in range(mm):
+                x = subs[:, j, :]
+                d2 = (
+                    np.einsum("ij,ij->i", x, x)[:, None]
+                    + cb_sq[j][None, :]
+                    - 2.0 * (x @ cb[j].T)
+                )
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.int16)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "list_id": assign.astype(np.int32),
+                    "code": list(codes),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        part, schema="id long, list_id int, code array<smallint>"
     )
 
 

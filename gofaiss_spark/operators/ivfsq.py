@@ -87,6 +87,7 @@ def build_ivfsq(
     min_train_factor: int = 10,
     vec_col: str = "vec",
     id_col: str = "id",
+    trainer: str = "mllib",
 ) -> IvfSqIndex:
     """k-means centroids → assign → residual → per-dim residual
     min/max (ONE JVM aggregation) → SQ8-encode residuals (Arrow
@@ -114,6 +115,7 @@ def build_ivfsq(
         nlist,
         seed=seed,
         vec_col=vec_col,
+        trainer=trainer,
     )
     assigned = assign_to_centroids(vectors, cents, metric, vec_col, id_col)
     with_res = _with_residual(assigned, cents, vec_col).persist()

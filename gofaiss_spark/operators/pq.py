@@ -109,10 +109,34 @@ def train_pq_codebooks(
 ) -> np.ndarray:
     """Per-subspace k-means (pq.go:64-101) → (M, ksub, dsub).
 
-    One applyInPandas group per subspace; requires n ≥ ksub
-    (pq.go:78-80). Train on a sample at scale — the reference trains
-    on 5k of 100k (benchmark_comparison.go:258-263)."""
+    Requires n ≥ ksub (pq.go:78-80). Train on a sample at scale — the
+    reference trains on 5k of 100k (benchmark_comparison.go:258-263).
+
+    Small training sets (≤ LOCAL_TRAIN_MAX_CELLS cells, the bounded-
+    sample contract — see operators/ivf.py) collect once and fit all
+    M subspaces driver-side: M sequential BLAS Lloyd loops over a
+    5k-row sample beat an explode + groupBy(m) shuffle +
+    applyInPandas round-trip by an order of magnitude. Larger
+    training sets explode to (id, m, subvec) rows and fit one
+    applyInPandas group per subspace (distributed)."""
     ksub, dsub = validate_pq_params(dim, m, nbits)
+
+    from gofaiss_spark.operators.ivf import LOCAL_TRAIN_MAX_CELLS
+
+    n = vectors.count()
+    if n * dim <= LOCAL_TRAIN_MAX_CELLS:
+        from gofaiss_spark.operators.ivf import collect_vector_matrix
+
+        data = collect_vector_matrix(vectors, vec_col, order_col=id_col)
+        codebooks = np.zeros((m, ksub, dsub), dtype=np.float64)
+        for j in range(m):
+            cents, _ = lloyd_kmeans(
+                data[:, j * dsub:(j + 1) * dsub], ksub, max_iter=max_iter,
+                init="++", seed=42 + j,
+            )
+            codebooks[j] = cents
+        return codebooks
+
     sub = _subvector_rows(vectors, m, dsub, vec_col, id_col)
 
     def fit_one(key, pdf):

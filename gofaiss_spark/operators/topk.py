@@ -235,6 +235,8 @@ def refine_exact(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(qvec_col).alias("_qvec")
     )
+    from gofaiss_spark.functions.distance import paired_distance_udf
+
     scored = (
         candidates.select("query_id", "id")
         .join(v, "id")
@@ -242,7 +244,10 @@ def refine_exact(
         .select(
             "query_id",
             "id",
-            distance_col(metric, "_vec", "_qvec").alias("distance"),
+            # Arrow BLAS kernel, not the per-row zip_with expression:
+            # candidates are queries × oversample·k pairs and the HOF
+            # evaluation was the refine bottleneck at deep oversample
+            paired_distance_udf(metric)("_vec", "_qvec").alias("distance"),
         )
     )
     return topk(scored, k)
