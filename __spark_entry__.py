@@ -1475,6 +1475,19 @@ def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_invariants(res, v)
 
 
+def _opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ (learned-rotation PQ, Ge et al. 2013 / FAISS OPQMatrix) as
+    hard-checked invariants; rotation preserves L2 so the same checks
+    as pq_topk apply (quantized distances, no lower-bound check).
+    Recall-vs-plain-PQ superiority is gated in tests/test_opq.py."""
+    from gofaiss_spark.operators.opq import build_opq, search_opq
+
+    v = _vectors(spark, sf_dir)
+    idx = build_opq(v, m=8, nbits=6, n_iter=4)
+    res = search_opq(idx, _queries_df(spark, sf_dir, N_ANN_QUERIES), k=TOPK_K)
+    return _ann_invariants(res, v)
+
+
 def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ residual-ADC search as hard-checked invariants (the
     reference facade's ivfpq arm is broken — search.go:72-80 — ours
@@ -2432,6 +2445,152 @@ def _embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact=False,
         num_hash_tables=8,
     )
+
+
+def _doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): corpus-
+    trained word-bigram model with add-one smoothing, per-doc average
+    bits-per-bigram + perplexity. Two narrow-key shuffles total; the
+    count tables partial-combine (gofaiss_spark/functions/lm.py)."""
+    from gofaiss_spark.functions.lm import bigram_perplexity
+
+    return bigram_perplexity(_read(spark, sf_dir, "documents"))
+
+
+_DOC_BIGRAM_PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+  FROM toks WHERE len(ws) >= 2
+),
+bg AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+bgc AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c_bg FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c_ctx FROM bg GROUP BY w1),
+vocab AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+          FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg))
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(avg(-log2((c_bg + 1.0) / (c_ctx + v))), 6) AS bits_per_bigram,
+       round(pow(2.0, avg(-log2((c_bg + 1.0) / (c_ctx + v)))), 6) AS perplexity
+FROM bg JOIN bgc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+GROUP BY doc_id
+"""
+
+
+def _doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (Lee et al. 2022's signal via
+    strided 40-char shingles; one groupBy shuffle on the shingle —
+    gofaiss_spark/operators/dedup.py:substring_dup_spans)."""
+    from gofaiss_spark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(_read(spark, sf_dir, "documents"))
+
+
+_DOC_SUBSTRING_DUP_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(floor((length(text) - 40) / 20.0) AS BIGINT) + 1),
+           i -> substring(text, CAST(i AS INT) * 20 + 1, 40)
+         )) AS shingle
+  FROM documents WHERE length(text) >= 40
+),
+dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2),
+per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+flagged AS (
+  SELECT doc_id, count(*) AS n_dup_shingles
+  FROM sh WHERE shingle IN (SELECT shingle FROM dup)
+  GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_shingles,
+       COALESCE(f.n_dup_shingles, 0) AS n_dup_shingles,
+       round(COALESCE(f.n_dup_shingles, 0) / CAST(p.n_shingles AS DOUBLE), 6) AS dup_fraction
+FROM per_doc p LEFT JOIN flagged f USING (doc_id)
+"""
+
+
+def _embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cells -> within-cell
+    cosine dedup (operators/semdedup.py). Clusters are k-means-seeded
+    (not SQL-expressible), so the row is derived engine-independent
+    invariants, each Spark-verified against exact recomputation:
+    every id appears exactly once; every dropped vector's witness is
+    KEPT, in the SAME cell, with exact cosine >= threshold matching
+    the claimed similarity."""
+    from gofaiss_spark.operators.semdedup import semdedup
+
+    v = _vectors(spark, sf_dir)
+    res = semdedup(
+        v, n_clusters=8, threshold=EMB_DUP_THRESHOLD, seed=42
+    ).cache()
+    base = v.select(F.col("id").alias("id"), F.col("vec").alias("_bvec"))
+    dropped = res.filter(~F.col("keep")).select(
+        "id", "cluster_id", "dup_of", "cos_sim"
+    )
+    wit = res.select(
+        F.col("id").alias("dup_of"),
+        F.col("keep").alias("_wkeep"),
+        F.col("cluster_id").alias("_wcl"),
+    )
+    dv = base.withColumnRenamed("_bvec", "_dvec")
+    wv = base.select(F.col("id").alias("dup_of"), F.col("_bvec").alias("_wvec"))
+    from gofaiss_spark.functions.distance import cosine_distance
+
+    checked = (
+        dropped.join(wit, "dup_of", "left")
+        .join(dv, "id", "left")
+        .join(wv, "dup_of", "left")
+        .withColumn("_cos", 1.0 - cosine_distance("_dvec", "_wvec"))
+        .select(
+            F.col("_wkeep").alias("_w_ok"),
+            (F.col("_wcl") == F.col("cluster_id")).alias("_cl_ok"),
+            (F.col("_cos") >= F.lit(float(EMB_DUP_THRESHOLD)) - 1e-6).alias("_thr_ok"),
+            (F.abs(F.col("_cos") - F.col("cos_sim")) < 1e-6).alias("_sim_ok"),
+        )
+    )
+    agg = checked.agg(
+        F.coalesce(F.min("_w_ok"), F.lit(True)).alias("dropped_have_kept_witness"),
+        F.coalesce(F.min("_cl_ok"), F.lit(True)).alias("witness_same_cluster"),
+        F.coalesce(F.min(F.col("_thr_ok") & F.col("_sim_ok")), F.lit(True)).alias(
+            "witness_sim_ok"
+        ),
+    )
+    counts = res.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (
+            (F.count(F.lit(1)) == F.count_distinct("id"))
+        ).alias("_distinct_ok"),
+    )
+    n_base = v.count()
+    return (
+        counts.crossJoin(agg)
+        .select(
+            "n_vectors",
+            (F.col("_distinct_ok") & (F.col("n_vectors") == F.lit(n_base))).alias(
+                "ids_complete"
+            ),
+            "dropped_have_kept_witness",
+            "witness_same_cluster",
+            "witness_sim_ok",
+        )
+    )
+
+
+_EMB_SEMDEDUP_SQL = """
+SELECT count(*) AS n_vectors,
+       true AS ids_complete,
+       true AS dropped_have_kept_witness,
+       true AS witness_same_cluster,
+       true AS witness_sim_ok
+FROM embeddings
+"""
 
 
 def _event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3681,7 +3840,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": _multimodal_frame_sample,
         # --- fixed this round (CAST...AS BIGINT oracle), needs re-check ---
         "tpch_q12": _tpch_q12,
-        # --- (slots 47-50 reserved for new round-3 queries) ---
+        # --- new round-3 queries (slots 47-49) ---
+        "doc_bigram_perplexity": _doc_bigram_perplexity,
+        "doc_substring_dup": _doc_substring_dup,
+        "embedding_semdedup": _embedding_semdedup,
+        "opq_topk": _opq_topk,
         # --- r01 hash-verified green ---
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_minhash_near_dup": _doc_minhash_near_dup,
@@ -3877,4 +4040,8 @@ GROUP BY label, g.i
         "hnsw_routed_topk": _ANN_OK_SQL,
         "ann_recall_report": _ANN_RECALL_REPORT_SQL,
         "doc_simhash": _DOC_SIMHASH_SQL,
+        "doc_bigram_perplexity": _DOC_BIGRAM_PPL_SQL,
+        "doc_substring_dup": _DOC_SUBSTRING_DUP_SQL,
+        "embedding_semdedup": _EMB_SEMDEDUP_SQL,
+        "opq_topk": _ANN_OK_SQL,
     }

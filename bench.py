@@ -168,7 +168,8 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     qmap = entry_mod.queries()
-    for name in (
+    run_queries = os.environ.get("SPARK_GRAFT_QUERIES", "1") != "0"
+    for name in () if not run_queries else (
         "tpch_q1",
         "tpch_q2",
         "tpch_q3",
@@ -242,6 +243,10 @@ def main() -> None:
         "pca_topk",
         "filtered_topk",
         "sql_topk",
+        "opq_topk",
+        "embedding_semdedup",
+        "doc_bigram_perplexity",
+        "doc_substring_dup",
     ):
         timed(name, lambda name=name: qmap[name](spark, SF_DIR).count())
 
@@ -344,6 +349,7 @@ def main() -> None:
                                  "nlist": bl_nlist, "nprobe": 50,
                                  "target_recall": 0.90}
 
+        bivf.assignments.unpersist()
         t0 = time.monotonic()
         bpq = build_pq(bvec, m=16, nbits=8, seed=42, train_fraction=bl_tf)
         bpq.codes.cache().count()
@@ -353,6 +359,7 @@ def main() -> None:
                           "qps_batch": round(bn_q / sec, 1), "recall": brec(res, truth),
                           "m": 16, "nbits": 8, "memory_mb": mem_mb(bpq)}
 
+        bpq.codes.unpersist()
         t0 = time.monotonic()
         bivfpq = build_ivfpq(bvec, nlist=bl_nlist, m=8, nbits=8, seed=42,
                              train_fraction=bl_tf)
@@ -425,10 +432,12 @@ def main() -> None:
                 "nlist": bl_nlist, "m": 16, "nbits": 8,
                 "nprobe": 50, "refine": 100, "target_recall": 0.90,
             }
+            bivfpq_t.codes.unpersist()
 
         # measured @100k: L=4 + multiprobe=1 → recall 0.9999 at
         # higher QPS and smaller footprint than L=8 plain (0.991) —
         # probing ±1 neighbor buckets buys ~3 tables' recall for free
+        bivfpq.codes.unpersist()
         bl_L = 4 if big else 16
         bl_mp = 1 if big else 0
         t0 = time.monotonic()
@@ -464,6 +473,7 @@ def main() -> None:
                 "n_queries": 10_000,
             }
 
+        blsh.buckets.unpersist()
         # HNSW, distributed: the sharded build (FAISS IndexShards
         # pattern — one independent graph per hash shard, built in
         # parallel executor-side, every shard searched). This is the

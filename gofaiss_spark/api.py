@@ -27,7 +27,7 @@ from gofaiss_spark.operators.sq import SqIndex, build_sq, search_sq
 from gofaiss_spark.operators.topk import range_search as _range_search
 
 INDEX_TYPES = (
-    "flat", "ivf", "pq", "sq", "ivfpq", "ivfsq", "lsh", "hnsw",
+    "flat", "ivf", "pq", "sq", "ivfpq", "ivfsq", "opq", "lsh", "hnsw",
     "hnsw_local", "hnsw_sharded", "hnsw_routed",
 )
 
@@ -139,6 +139,19 @@ def build_index(
             vec_col=vec_col,
             id_col=id_col,
         )
+    if index_type == "opq":
+        from gofaiss_spark.operators.opq import build_opq
+
+        return build_opq(
+            vectors,
+            m=params.get("m", 8),
+            nbits=params.get("nbits", 8),
+            n_iter=params.get("n_iter", 10),
+            train_fraction=params.get("train_fraction"),
+            seed=params.get("seed", 42),
+            vec_col=vec_col,
+            id_col=id_col,
+        )
     if index_type in ("lsh", "hnsw"):
         return build_lsh(
             vectors,
@@ -208,6 +221,16 @@ def search(index, queries: DataFrame, k: int = DEFAULT_K, params: dict | None = 
     if isinstance(index, LshIndex):
         return search_lsh(
             index, queries, k=k, multiprobe=params.get("multiprobe", 0)
+        )
+    from gofaiss_spark.operators.opq import OpqIndex, search_opq
+
+    if isinstance(index, OpqIndex):
+        return search_opq(
+            index,
+            queries,
+            k=k,
+            refine=params.get("refine"),
+            base=params.get("base"),
         )
     from gofaiss_spark.operators.hnsw import (
         HnswIndex,

@@ -153,7 +153,7 @@ def cmd_bench(args, spark: SparkSession) -> int:
         # (benchmark_comparison.go:258-263 trains IVF/PQ/IVFPQ on 5k)
         params = (
             {"train_fraction": min(1.0, 5000.0 / args.n)}
-            if index_type in ("ivf", "pq", "ivfpq", "ivfsq")
+            if index_type in ("ivf", "pq", "ivfpq", "ivfsq", "opq")
             else {}
         )
         idx = build_index(

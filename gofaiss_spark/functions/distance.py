@@ -152,6 +152,12 @@ def np_distance_matrix(base: np.ndarray, queries: np.ndarray, metric: str) -> np
         qn = np.einsum("ij,ij->i", queries, queries)[None, :]
         d2 = bn + qn - 2.0 * ip
         np.maximum(d2, 0.0, out=d2)
+        # the norms identity leaves O(1e-16·scale) noise where the
+        # exact distance is 0 (identical vectors) — and that noise
+        # depends on GEMM shape, so chunked vs unchunked plans would
+        # disagree in the last float digits. The direct (a-b)² form
+        # the reference uses returns exact 0 there; clamp to match.
+        d2[d2 <= 1e-12 * (bn + qn)] = 0.0
         return np.sqrt(d2)
     # cosine
     bn = np.linalg.norm(base, axis=1)[:, None]

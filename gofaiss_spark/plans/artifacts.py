@@ -200,6 +200,12 @@ def _is_hnsw_sharded(index) -> bool:
     return isinstance(index, HnswShardedIndex)
 
 
+def _is_opq(index) -> bool:
+    from gofaiss_spark.operators.opq import OpqIndex
+
+    return isinstance(index, OpqIndex)
+
+
 def _is_hnsw_routed(index) -> bool:
     from gofaiss_spark.operators.hnsw import HnswRoutedIndex
 
@@ -263,6 +269,23 @@ def save_index(index, path: str, fmt: str = "parquet") -> None:
         spark = index.codes.sparkSession
         _write_df(_codebooks_to_df(spark, index.codebooks), f"{path}/codebooks", fmt)
         _write_df(index.codes, f"{path}/codes", fmt)
+    elif _is_opq(index):
+        wm(
+            {
+                "index_type": "opq",
+                "dim": index.dim,
+                "metric": "l2",
+                "params": {"m": index.m, "nbits": index.nbits},
+            }
+        )
+        spark = index.pq.codes.sparkSession
+        rot_df = spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(index.rotation)],
+            schema="i int, row array<double>",
+        )
+        _write_df(rot_df, f"{path}/rotation", fmt)
+        _write_df(_codebooks_to_df(spark, index.pq.codebooks), f"{path}/codebooks", fmt)
+        _write_df(index.pq.codes, f"{path}/codes", fmt)
     elif isinstance(index, IvfPqIndex):
         wm(
             {
@@ -486,6 +509,17 @@ def load_index(spark: SparkSession, path: str):
             codebooks=cb,
             codes=rd("codes"),
         )
+    if itype == "opq":
+        from gofaiss_spark.operators.opq import OpqIndex
+
+        m = int(meta["params"]["m"])
+        nbits = int(meta["params"]["nbits"])
+        cb = _df_to_codebooks(rd("codebooks"), m, 1 << nbits, dim // m)
+        rot = np.zeros((dim, dim), dtype=np.float64)
+        for r in rd("rotation").collect():
+            rot[r.i] = np.asarray(r.row)
+        pq = PqIndex(dim=dim, m=m, nbits=nbits, codebooks=cb, codes=rd("codes"))
+        return OpqIndex(dim=dim, m=m, nbits=nbits, rotation=rot, pq=pq)
     if itype == "ivfpq":
         p = meta["params"]
         nlist, m, nbits = int(p["nlist"]), int(p["m"]), int(p["nbits"])
@@ -635,6 +669,7 @@ _DATA_TABLES: dict[str, tuple[list[str], list[str]]] = {
     "flat": (["vectors"], []),
     "ivf": (["assignments"], ["assignments"]),
     "pq": (["codes"], []),
+    "opq": (["codes", "rotation"], []),
     "sq": (["codes"], []),
     "ivfpq": (["codes"], ["codes"]),
     "ivfsq": (["codes"], ["codes"]),

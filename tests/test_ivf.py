@@ -135,3 +135,27 @@ def test_ivf_health_distortion_and_balance(vectors):
     ).agg(F.max("n")).collect()[0][0]
     for r in rows:
         assert r["mean_dist"] <= 2 * max_norm
+
+
+def test_local_trainer_builds_valid_index(spark):
+    """trainer="local" (driver-side Lloyd, k-means++ init) must yield
+    a working IVF index: full-probe search is exact regardless of the
+    clustering, and centroids are finite with the right shape."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gofaiss_spark.bench_util import recall_at_k
+    from gofaiss_spark.operators.ivf import build_ivf, search_ivf
+    from gofaiss_spark.operators.topk import search_flat
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    idx = build_ivf(v, nlist=8, seed=42, trainer="local")
+    assert idx.centroids.shape[0] == 8
+    assert np.isfinite(idx.centroids).all()
+    truth = search_flat(v, q, k=5)
+    res = search_ivf(idx, q, k=5, nprobe=8)  # full probe == exact
+    assert recall_at_k(res, truth, 5) == 1.0

@@ -1,0 +1,132 @@
+"""OPQ (operators/opq.py): rotation orthogonality, search validity,
+and the headline property — lower quantization error than plain PQ
+on correlated data."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gofaiss_spark.operators.opq import build_opq, search_opq, train_opq_rotation
+
+
+def _correlated(n=2000, dim=32, rank=4, seed=5):
+    """Low-intrinsic-dimension data — the regime where subspace
+    alignment matters (real embedding corpora look like this)."""
+    rng = np.random.default_rng(seed)
+    z = rng.normal(size=(n, rank))
+    a = rng.normal(size=(rank, dim))
+    return (z @ a + 0.05 * rng.normal(size=(n, dim))).astype(np.float64)
+
+
+def test_rotation_is_orthogonal():
+    data = _correlated()
+    r, cb = train_opq_rotation(data, m=4, nbits=4, n_iter=4)
+    assert np.allclose(r @ r.T, np.eye(data.shape[1]), atol=1e-8)
+    assert cb.shape == (4, 16, 8)
+
+
+def test_opq_beats_pq_quantization_error():
+    from gofaiss_spark.functions.kmeans_np import lloyd_kmeans
+
+    data = _correlated()
+    m, nbits = 4, 4
+    ksub, dsub = 16, data.shape[1] // m
+
+    def recon_err(x, cbs):
+        err = 0.0
+        for j in range(m):
+            sl = x[:, j * dsub:(j + 1) * dsub]
+            cb = cbs[j]
+            d2 = ((sl[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            err += d2.min(1).sum()
+        return err / len(x)
+
+    # plain PQ on identity rotation
+    pq_cbs = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        pq_cbs[j], _ = lloyd_kmeans(
+            data[:, j * dsub:(j + 1) * dsub], ksub, init="++", seed=42 + j
+        )
+    r, opq_cbs = train_opq_rotation(data, m, nbits, n_iter=8)
+    assert recon_err(data @ r, opq_cbs) < 0.7 * recon_err(data, pq_cbs)
+
+
+def test_opq_search_valid_and_refine_exact(spark):
+    data = _correlated(n=500, dim=32)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(data)]
+    vec = spark.createDataFrame(rows, "id long, vec array<float>")
+    q = spark.createDataFrame(
+        [(int(i), [float(x) for x in data[i]]) for i in range(20)],
+        "query_id long, qvec array<float>",
+    )
+    idx = build_opq(vec, m=4, nbits=4, n_iter=4)
+    res = search_opq(idx, q, k=5).cache()
+    assert res.count() == 100
+    per_q = res.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in per_q)
+    # refined: exact distances in the ORIGINAL space, self-query at rank 1
+    ref = search_opq(idx, q, k=5, refine=10, base=vec).cache()
+    top1 = {r["query_id"]: r for r in ref.filter(F.col("rank") == 1).collect()}
+    hits = sum(1 for qid, r in top1.items() if r["id"] == qid)
+    assert hits >= 18  # self is its own nearest neighbor
+    assert all(abs(r["distance"]) < 1e-3 for r in top1.values() if r["id"] == r["query_id"])
+
+
+def test_opq_recall_beats_pq_on_correlated_data(spark):
+    from gofaiss_spark.bench_util import recall_at_k
+    from gofaiss_spark.operators.pq import build_pq, search_pq
+    from gofaiss_spark.operators.topk import search_flat
+
+    data = _correlated(n=2000, dim=32, rank=4)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(data)]
+    vec = spark.createDataFrame(rows, "id long, vec array<float>").cache()
+    qd = _correlated(n=50, dim=32, rank=4, seed=99)
+    q = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(qd)],
+        "query_id long, qvec array<float>",
+    ).cache()
+    truth = search_flat(vec, q, k=10).cache()
+    truth.count()
+    pq = build_pq(vec, m=4, nbits=4)
+    opq = build_opq(vec, m=4, nbits=4, n_iter=8)
+    r_pq = recall_at_k(search_pq(pq, q, k=10), truth, 10)
+    r_opq = recall_at_k(search_opq(opq, q, k=10), truth, 10)
+    # measured: pq 0.17, opq 0.47 — the rotation aligns subspaces
+    # with the data's principal directions
+    assert r_opq >= 2 * r_pq
+    assert r_opq >= 0.4
+
+
+def test_opq_save_load_roundtrip(spark, tmp_path):
+    from gofaiss_spark.plans.artifacts import load_index, save_index
+
+    data = _correlated(n=300, dim=32)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(data)]
+    vec = spark.createDataFrame(rows, "id long, vec array<float>")
+    q = spark.createDataFrame(
+        [(int(i), [float(x) for x in data[i]]) for i in range(10)],
+        "query_id long, qvec array<float>",
+    )
+    idx = build_opq(vec, m=4, nbits=4, n_iter=3)
+    path = str(tmp_path / "opq_idx")
+    save_index(idx, path)
+    loaded = load_index(spark, path)
+    a = sorted(map(tuple, search_opq(idx, q, k=5).collect()))
+    b = sorted(map(tuple, search_opq(loaded, q, k=5).collect()))
+    assert a == b
+    assert loaded.stats()["index_type"] == "opq"
+
+
+def test_opq_via_unified_api(spark):
+    from gofaiss_spark.api import build_index, search
+
+    data = _correlated(n=300, dim=32)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(data)]
+    vec = spark.createDataFrame(rows, "id long, vec array<float>")
+    q = spark.createDataFrame(
+        [(int(i), [float(x) for x in data[i]]) for i in range(5)],
+        "query_id long, qvec array<float>",
+    )
+    idx = build_index(vec, "opq", params={"m": 4, "nbits": 4, "n_iter": 3})
+    res = search(idx, q, k=3)
+    assert res.count() == 15
