@@ -100,3 +100,31 @@ def bigram_perplexity(
             F.round(F.pow(F.lit(2.0), "_avg_bits"), 6).alias("perplexity"),
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    language, rank documents by bigram perplexity and split into
+    equal-count buckets (bucket 1 = most fluent ... n = noisiest;
+    CCNet keeps the head/middle). Deterministic: ordering ties break
+    on doc_id. One extra narrow shuffle on the language key."""
+    from pyspark.sql import Window
+
+    ppl = bigram_perplexity(docs, text_col=text_col, id_col=id_col)
+    langs = docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("perplexity").asc(), F.col("doc_id").asc()
+    )
+    return (
+        ppl.join(langs, "doc_id")
+        .select(
+            "doc_id", "lang", "perplexity",
+            F.ntile(n_buckets).over(w).alias("ppl_bucket"),
+        )
+    )

@@ -352,3 +352,116 @@ def top_k_by_group(
         df.withColumn("group_rank", F.row_number().over(w))
         .filter(F.col("group_rank") <= k)
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public paper):
+    estimate target/raw distributions over HASHED n-gram features
+    (unigrams + bigrams → ``n_buckets`` buckets) and score every raw
+    document with its length-normalized log-likelihood ratio
+    avg_llr = (1/|feats|)·Σ_f log(p_target(b(f)) / p_raw(b(f))),
+    add-one smoothed. High avg_llr ⇒ the document looks like the
+    target corpus; resample ∝ weight (see ``dsir_resample``).
+
+    Engine-portable by construction: the feature hash is md5-based
+    (the repo's hash_bucket convention) and both distributions are
+    exact counts, so a SQL oracle reproduces every value.
+
+    Scale shape (100 TB): the two distribution estimates are single
+    groupBy-bucket aggregations (n_buckets cells — nothing at corpus
+    scale); the per-doc scoring joins exploded features to the
+    n_buckets-row log-ratio table, which BROADCASTS, then aggregates
+    back per doc — one narrow shuffle keyed on doc_id.
+    """
+    def feats(df: DataFrame) -> DataFrame:
+        words = F.filter(
+            F.split(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "), " "),
+            lambda x: x != "",
+        )
+        unigrams = words
+        bigrams = F.zip_with(
+            F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+            F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.concat(unigrams, bigrams)).alias("feat"),
+        ).withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long")
+            % n_buckets,
+        )
+
+    raw_f = feats(raw)
+    tgt_f = feats(target)
+    raw_counts = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_counts = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
+    raw_tot = raw_f.count()
+    tgt_tot = tgt_f.count()
+    buckets = raw.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    ratios = (
+        buckets.join(raw_counts, "bucket", "left")
+        .join(tgt_counts, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("c_tgt", F.lit(0)) + F.lit(1.0))
+                    / F.lit(float(tgt_tot + n_buckets))
+                )
+                - F.log(
+                    (F.coalesce("c_raw", F.lit(0)) + F.lit(1.0))
+                    / F.lit(float(raw_tot + n_buckets))
+                )
+            ).alias("llr"),
+        )
+    )
+    return (
+        raw_f.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.avg("llr"), 6).alias("avg_llr"),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    keep_fraction: float = 0.25,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the documents whose DSIR weight reaches the corpus's
+    (1 − keep_fraction) exact percentile — the deterministic
+    top-quantile variant of the paper's Gumbel resampling,
+    reproducible across engines and runs. Returns (doc_id, n_feats,
+    avg_llr, keep). Weight ties at the threshold are all kept, so the
+    kept count can slightly exceed n·keep_fraction — the
+    scale-correct tradeoff: a global exact threshold is one
+    aggregation over narrow rows, where an exact global top-k rank
+    would be a single-task sort of the whole corpus's weight table."""
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
+    w = dsir_weights(raw, target, n_buckets, text_col, id_col)
+    if keep_fraction == 1.0:
+        return w.select("doc_id", "n_feats", "avg_llr", F.lit(True).alias("keep"))
+    thr = w.agg(
+        F.percentile(F.col("avg_llr"), F.lit(1.0 - keep_fraction)).alias("t")
+    ).collect()[0]["t"]
+    return w.select(
+        "doc_id", "n_feats", "avg_llr",
+        (F.col("avg_llr") >= F.lit(float(thr))).alias("keep"),
+    )

@@ -28,6 +28,14 @@ class FlatIndex:
     def search(self, queries: DataFrame, k: int = 10, method: str = "local") -> DataFrame:
         return search_flat(self.vectors, queries, k=k, metric=self.metric, method=method)
 
+    def to_local(self):
+        """Driver-colocated serving copy (operators/local_serve.py):
+        collect once, answer query batches in-process — the
+        single-node regime; bounded by driver RAM by contract."""
+        from gofaiss_spark.operators.local_serve import to_local
+
+        return to_local(self)
+
     def range_search(self, queries: DataFrame, threshold: float, max_results: int | None = None) -> DataFrame:
         return range_search(
             self.vectors, queries, threshold, metric=self.metric, max_results=max_results

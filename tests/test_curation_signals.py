@@ -219,3 +219,49 @@ def test_near_dup_clusters_planted(spark):
     }
     assert got[0] == got[1] == got[2] == 0
     assert got[3] == got[4] == 3
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from gofaiss_spark.operators.curation import dsir_resample, dsir_weights
+
+    # raw corpus: half "english-ish" (target-like), half "noise-ish"
+    en = [(i, "the quick brown fox jumps over the lazy dog again", "en")
+          for i in range(20)]
+    xx = [(i + 20, "zxq vvw qqz kkj xxo pqr zzt wvu nmb lkj", "xx")
+          for i in range(20)]
+    docs = spark.createDataFrame(en + xx, "doc_id long, text string, lang string")
+    target = docs.filter("lang = 'en'")
+    w = {r["doc_id"]: r["avg_llr"] for r in dsir_weights(docs, target).collect()}
+    assert min(w[i] for i in range(20)) > max(w[i + 20] for i in range(20))
+    res = dsir_resample(docs, target, keep_fraction=0.5).collect()
+    kept = {r["doc_id"] for r in res if r["keep"]}
+    assert kept == set(range(20))  # exactly the target-like half
+
+
+def test_dsir_resample_keep_fraction_bounds(spark):
+    from gofaiss_spark.operators.curation import dsir_resample
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError):
+        dsir_resample(docs, docs, keep_fraction=0.0)
+
+
+def test_perplexity_buckets_partition_and_order(spark):
+    from gofaiss_spark.functions.lm import perplexity_buckets
+
+    rows = [(i, "the cat sat on the mat and the cat sat again", "en") for i in range(6)]
+    rows += [(10 + i, "word salad " + " ".join(f"tok{j}{i}" for j in range(8)), "de")
+             for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(docs, n_buckets=3).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        assert sorted({r["ppl_bucket"] for r in rs}) == [1, 2, 3]
+        # bucket ordering tracks perplexity ordering
+        rs.sort(key=lambda r: (r["perplexity"], r["doc_id"]))
+        buckets = [r["ppl_bucket"] for r in rs]
+        assert buckets == sorted(buckets)
