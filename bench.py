@@ -388,6 +388,49 @@ def main() -> None:
                                  "nlist": bl_nlist, "nprobe": 50,
                                  "target_recall": 0.90}
 
+        # driver-colocated IVF serving rows (LocalIvfIndex,
+        # operators/local_serve.py): the in-process approximate-
+        # serving regime the reference's HNSW QPS (24,086 @100k,
+        # BASELINE.md) is actually measured in — nprobe cell pruning
+        # over a cell-major CSR copy, per-cell BLAS, exact f64
+        # re-score of the finalists (distances identical to
+        # search_flat on the scanned cells)
+        if big:
+            from gofaiss_spark.operators.local_serve import to_local_ivf
+
+            t0 = time.monotonic()
+            blivf = to_local_ivf(bivf)
+            l_build = round(time.monotonic() - t0, 4)
+            t1k, _ = blocal.search(lq1k, k=K)
+            t10k, _ = blocal.search(lq10k, k=K)
+            blivf.search(lq1k[:128], k=K, nprobe=50)  # warm
+            for lq, tt, tag in ((lq1k, t1k, "ivf_local"),
+                                (lq10k, t10k, "ivf_local_batch10k")):
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.monotonic()
+                    lids, _ = blivf.search(lq, k=K, nprobe=50)
+                    best = min(best, time.monotonic() - t0)
+                rec = float(np.mean([
+                    len(set(lids[i]) & set(tt[i])) / K
+                    for i in range(len(lq))
+                ]))
+                baseline[tag] = {
+                    "search_sec": round(best, 4),
+                    "qps_batch": round(len(lq) / best, 1),
+                    "recall": round(rec, 4),
+                    "nlist": bl_nlist, "nprobe": 50,
+                    "n_queries": len(lq),
+                }
+            baseline["ivf_local"]["collect_sec"] = l_build
+            baseline["ivf_local"]["note"] = (
+                "driver-colocated IVF serving (collect once into a "
+                "cell-major CSR copy, nprobe-pruned per-cell BLAS) — "
+                "the single-node in-memory regime the reference's "
+                "HNSW serving QPS lives in; exact f64 re-scored "
+                "results (tests/test_local_serve.py)"
+            )
+
         bivf.assignments.unpersist()
         t0 = time.monotonic()
         bpq = build_pq(bvec, m=16, nbits=8, seed=42, train_fraction=bl_tf)
@@ -595,6 +638,43 @@ def main() -> None:
                 if npr == 8:
                     row["build_sec"] = build_s
                 baseline[f"hnsw_routed_cl_np{npr}"] = row
+
+            # the same clustered workload through the driver-colocated
+            # IVF server: when the corpus actually clusters, nprobe
+            # pruning scans a few percent of the base and the
+            # in-process QPS axis becomes directly comparable to the
+            # reference's in-process HNSW (24,086 @100k uniform)
+            civf = build_ivf(cvec, nlist=316, seed=42, train_fraction=0.05)
+            civf.assignments.cache().count()
+            clocal = to_local_ivf(civf)
+            cflat = to_local(cvec)
+            cq10k = cdata[rng.integers(0, baseline_n, size=10_000)] \
+                + rng.normal(0, 0.01, (10_000, 128)).astype(np.float32)
+            ct1k, _ = cflat.search(cqdata, k=K)
+            ct10k, _ = cflat.search(cq10k, k=K)
+            clocal.search(cqdata[:128], k=K, nprobe=4)  # warm
+            for lq, tt, npr, tag in (
+                (cqdata, ct1k, 4, "ivf_local_clustered"),
+                (cq10k, ct10k, 4, "ivf_local_clustered_batch10k"),
+                (cq10k, ct10k, 2, "ivf_local_clustered_np2_batch10k"),
+            ):
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.monotonic()
+                    lids, _ = clocal.search(lq, k=K, nprobe=npr)
+                    best = min(best, time.monotonic() - t0)
+                rec = float(np.mean([
+                    len(set(lids[i]) & set(tt[i])) / K
+                    for i in range(len(lq))
+                ]))
+                baseline[tag] = {
+                    "search_sec": round(best, 4),
+                    "qps_batch": round(len(lq) / best, 1),
+                    "recall": round(rec, 4),
+                    "nlist": 316, "nprobe": npr, "n_queries": len(lq),
+                    "workload": "mixture-of-100-Gaussians (sigma=0.05)",
+                }
+            civf.assignments.unpersist()
 
         # HNSW, single-graph: driver-side fidelity path. The insert
         # loop is driver-bound by design (honestly capped, hnsw.py),

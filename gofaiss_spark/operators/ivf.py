@@ -50,6 +50,16 @@ class IvfIndex:
     centroids: np.ndarray  # (nlist, dim) float64
     assignments: DataFrame = field(repr=False)
 
+    def to_local(self):
+        """Driver-colocated serving copy (operators/local_serve.py
+        LocalIvfIndex): collect the assignments once into a cell-major
+        CSR layout, answer query batches in-process with nprobe
+        pruning — the single-node serving tier; bounded by replica RAM
+        by contract."""
+        from gofaiss_spark.operators.local_serve import to_local_ivf
+
+        return to_local_ivf(self)
+
     def list_sizes(self) -> DataFrame:
         """groupBy(list_id).count() (ivf.go:227-236)."""
         return self.assignments.groupBy("list_id").agg(

@@ -57,3 +57,63 @@ def test_flat_index_to_local_method(spark, vq):
     # self-query at rank 1 with exact zero distance
     assert all(ids[i, 0] == local.ids[i] for i in range(5))
     assert all(d[i, 0] == 0.0 for i in range(5))
+
+
+class TestLocalIvf:
+    """LocalIvfIndex: full probe == exact flat; pruned probe matches
+    the distributed search_ivf on the same index."""
+
+    @pytest.fixture(scope="class")
+    def built(self, spark, vq):
+        from gofaiss_spark.operators.ivf import build_ivf
+        from gofaiss_spark.operators.local_serve import to_local_ivf
+
+        v, q = vq
+        idx = build_ivf(v, nlist=16, seed=42)
+        idx.assignments.cache().count()
+        local = to_local_ivf(idx)
+        qp = q.orderBy("query_id").toPandas()
+        qids = qp["query_id"].to_numpy()
+        qmat = np.stack(qp["qvec"].to_numpy())
+        return idx, local, qids, qmat
+
+    def test_fullprobe_is_exact(self, spark, vq, built):
+        v, q = vq
+        idx, local, qids, qmat = built
+        ids, d = local.search(qmat, k=7, nprobe=idx.nlist)
+        flat = {
+            (r.query_id, r.rank): (r.id, round(r.distance, 6))
+            for r in search_flat(v, q, k=7).collect()
+        }
+        for row, qid in enumerate(qids):
+            for rank in range(7):
+                assert flat[(qid, rank + 1)] == (
+                    ids[row, rank], round(float(d[row, rank]), 6)
+                )
+
+    def test_pruned_matches_distributed_ivf(self, spark, vq, built):
+        from gofaiss_spark.operators.ivf import search_ivf
+
+        v, q = vq
+        idx, local, qids, qmat = built
+        ids, d = local.search(qmat, k=5, nprobe=4)
+        dist = {
+            (r.query_id, r.rank): (r.id, round(r.distance, 5))
+            for r in search_ivf(idx, q, k=5, nprobe=4).collect()
+        }
+        agree = total = 0
+        for row, qid in enumerate(qids):
+            for rank in range(5):
+                total += 1
+                got = (ids[row, rank], round(float(d[row, rank]), 5))
+                if dist.get((qid, rank + 1)) == got:
+                    agree += 1
+        # identical cells probed (same f64 centroid formula) -> the
+        # result sets agree; tolerate rare centroid-distance ties
+        assert agree / total >= 0.99
+
+    def test_cell_layout_consistency(self, built):
+        idx, local, _, _ = built
+        assert local.offsets[0] == 0
+        assert local.offsets[-1] == len(local.ids)
+        assert np.all(np.diff(local.offsets) >= 0)
