@@ -1360,6 +1360,39 @@ def _ivf_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "id", F.round("distance", 6).alias("distance"))
 
 
+def _ivf_local_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-colocated IVF serving (operators/local_serve.py
+    LocalIvfIndex) at nprobe = nlist: every cell scanned ⇒ provably
+    identical to exact flat search, so the flat SQL oracle applies.
+    Hard-checks the collect → CSR cell layout → per-cell BLAS →
+    exact f64 re-score serving kernel end to end."""
+    import numpy as np
+    import pandas as pd
+
+    from gofaiss_spark.operators.ivf import build_ivf
+
+    idx = build_ivf(_vectors(spark, sf_dir), nlist=10, metric="l2", seed=42)
+    local = idx.to_local()
+    qp = (
+        _queries_df(spark, sf_dir, N_TOPK_QUERIES)
+        .orderBy("query_id")
+        .toPandas()
+    )
+    qids = qp["query_id"].to_numpy(dtype=np.int64)
+    qmat = np.stack(qp["qvec"].to_numpy())
+    ids, d = local.search(qmat, k=TOPK_K, nprobe=local.nlist)
+    out = pd.DataFrame(
+        {
+            "query_id": np.repeat(qids, ids.shape[1]),
+            "id": ids.ravel(),
+            "distance": np.round(d.ravel(), 6),
+        }
+    )
+    return spark.createDataFrame(
+        out, schema="query_id long, id long, distance double"
+    )
+
+
 _IVF_FULLPROBE_SQL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {{n}}
@@ -3942,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation (local oracle suite checks them every run) ---
         "doc_ppl_buckets": _doc_ppl_buckets,
         "doc_dsir_resample": _doc_dsir_resample,
+        "ivf_local_topk": _ivf_local_topk,
         # --- r01 hash-verified green ---
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_minhash_near_dup": _doc_minhash_near_dup,
@@ -4143,4 +4177,7 @@ GROUP BY label, g.i
         "opq_topk": _ANN_OK_SQL,
         "doc_ppl_buckets": _DOC_PPL_BUCKETS_SQL,
         "doc_dsir_resample": _DOC_DSIR_SQL,
+        # full-probe local IVF serving ≡ exact flat (every cell
+        # scanned; f64 re-score) — the flat oracle is the hard check
+        "ivf_local_topk": _flat_topk_sql("l2"),
     }

@@ -558,8 +558,14 @@ def build_hnsw_sharded(
             }
         )
 
+    # range-partition ahead of the groupBy: hash partitioning maps the
+    # s small shard keys into s buckets with birthday collisions (3
+    # shards measured stacking on one task at s=32 — wall-clock 3× the
+    # per-shard build), while rangepartitioning gives ~one key per
+    # task and satisfies the groupBy's clustering (one Exchange total)
     blobs = (
-        df.groupBy("shard_id").applyInPandas(build_shard, SHARD_BLOB_SCHEMA).cache()
+        df.repartitionByRange(s, "shard_id")
+        .groupBy("shard_id").applyInPandas(build_shard, SHARD_BLOB_SCHEMA).cache()
     )
     blobs.count()  # materialize the build
     return HnswShardedIndex(
@@ -757,8 +763,12 @@ def build_hnsw_routed(
             }
         )
 
+    # same fix as build_hnsw_sharded: range-partition so each cell's
+    # graph builds in its own task (hash bucketing stacks small key
+    # sets onto shared tasks)
     blobs = (
-        df.groupBy("shard_id").applyInPandas(build_shard, SHARD_BLOB_SCHEMA).cache()
+        df.repartitionByRange(int(nlist), "shard_id")
+        .groupBy("shard_id").applyInPandas(build_shard, SHARD_BLOB_SCHEMA).cache()
     )
     blobs.count()
     return HnswRoutedIndex(
