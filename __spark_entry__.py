@@ -2093,6 +2093,60 @@ FROM m
 """
 
 
+def _doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021 Table A1,
+    document-shape subset): per-doc signals + the AND-of-rules pass
+    flag. Pure JVM column expressions (functions/text.py
+    gopher_signals)."""
+    from gofaiss_spark.functions.text import gopher_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = gopher_signals(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in sig.items()]
+    )
+
+
+_DOC_GOPHER_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+         END AS wl,
+         (length(text) - length(replace(text, '#', ''))) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE round(len(list_filter(toks, x -> regexp_matches(x, '\\p{L}')))::DOUBLE / len(toks), 6)
+         END AS alpha_frac,
+         list_contains(list_transform(toks, x -> lower(x)), 'the')::INT
+           + list_contains(list_transform(toks, x -> lower(x)), 'be')::INT
+           + list_contains(list_transform(toks, x -> lower(x)), 'to')::INT
+           + list_contains(list_transform(toks, x -> lower(x)), 'of')::INT
+           + list_contains(list_transform(toks, x -> lower(x)), 'and')::INT
+           + list_contains(list_transform(toks, x -> lower(x)), 'that')::INT
+           + list_contains(list_transform(toks, x -> lower(x)), 'have')::INT
+           + list_contains(list_transform(toks, x -> lower(x)), 'with')::INT AS hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_words,
+       round(wl, 6) AS mean_word_len,
+       CASE WHEN n = 0 THEN 0.0 ELSE round((n_hash + n_ell) / n::DOUBLE, 6) END AS symbol_ratio,
+       alpha_frac AS alpha_word_frac,
+       CAST(hits AS INT) AS stopword_hits,
+       (n >= 50 AND n <= 100000 AND wl >= 3.0 AND wl <= 10.0
+        AND (CASE WHEN n = 0 THEN 0.0 ELSE (n_hash + n_ell) / n::DOUBLE END) <= 0.1
+        AND alpha_frac >= 0.8 AND hits >= 2) AS gopher_pass
+FROM m
+"""
+
+
 def _pii_injected_expr():
     """Deterministic synthetic PII appended to each doc (the corpus
     text itself contains none): an email, a phone and an IPv4 derived
@@ -3976,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ppl_buckets": _doc_ppl_buckets,
         "doc_dsir_resample": _doc_dsir_resample,
         "ivf_local_topk": _ivf_local_topk,
+        "doc_gopher_rules": _doc_gopher_rules,
         # --- r01 hash-verified green ---
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_minhash_near_dup": _doc_minhash_near_dup,
@@ -4177,6 +4232,7 @@ GROUP BY label, g.i
         "opq_topk": _ANN_OK_SQL,
         "doc_ppl_buckets": _DOC_PPL_BUCKETS_SQL,
         "doc_dsir_resample": _DOC_DSIR_SQL,
+        "doc_gopher_rules": _DOC_GOPHER_SQL,
         # full-probe local IVF serving ≡ exact flat (every cell
         # scanned; f64 re-score) — the flat oracle is the hard check
         "ivf_local_topk": _flat_topk_sql("l2"),

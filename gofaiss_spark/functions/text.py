@@ -256,3 +256,65 @@ def redact_pii(text) -> Column:
     for _, pat, tag in PII_PATTERNS:
         out = F.regexp_replace(out, pat, tag)
     return out
+
+
+# Rule-based quality filtering (the public Gopher rules, Rae et al.
+# 2021 "Scaling Language Models", Table A1 — the standard
+# pre-training web-filter rule set). Line-shape rules (bullet /
+# ellipsis line fractions) are omitted: the rule set below is the
+# document-shape subset, and every signal is a pure JVM column
+# expression so the filter runs inside whole-stage codegen at 100 TB.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_signals(text, min_words: int = 50, max_words: int = 100_000):
+    """Per-document Gopher rule signals as a dict of named Columns:
+
+    - ``n_words``        whitespace token count
+    - ``mean_word_len``  mean token length (0.0 for empty docs)
+    - ``symbol_ratio``   ('#' + '...') occurrences per word
+    - ``alpha_word_frac`` fraction of tokens containing a letter
+    - ``stopword_hits``  how many of the 8 Gopher stopwords appear
+    - ``gopher_pass``    AND of the five rules (word count in
+      [min_words, max_words]; mean word length in [3, 10];
+      symbol_ratio <= 0.1; alpha_word_frac >= 0.80;
+      stopword_hits >= 2)
+
+    Extends the reference (no text ops, SURVEY.md §2.6) on the
+    LLM-pipeline axis; thresholds are the published defaults.
+    """
+    t = _as_col(text)
+    toks = tokenize(t)
+    n = F.size(toks)
+    nd = n.cast("double")
+    wl = mean_word_length(t)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = F.when(n == 0, 0.0).otherwise(
+        F.round((n_hash + n_ell) / nd, 6)
+    )
+    alpha_frac = F.when(n == 0, 0.0).otherwise(
+        F.round(
+            F.size(F.filter(toks, lambda w: w.rlike(r"\p{L}"))) / nd, 6
+        )
+    )
+    low = F.transform(toks, F.lower)
+    hits = sum(
+        (F.array_contains(low, w).cast("int") for w in GOPHER_STOPWORDS),
+        F.lit(0),
+    )
+    ok = (
+        (n >= min_words) & (n <= max_words)
+        & (wl >= 3.0) & (wl <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+        & (hits >= 2)
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": F.round(wl, 6),
+        "symbol_ratio": symbol_ratio,
+        "alpha_word_frac": alpha_frac,
+        "stopword_hits": hits,
+        "gopher_pass": ok,
+    }

@@ -265,3 +265,63 @@ def test_perplexity_buckets_partition_and_order(spark):
         rs.sort(key=lambda r: (r["perplexity"], r["doc_id"]))
         buckets = [r["ppl_bucket"] for r in rs]
         assert buckets == sorted(buckets)
+
+
+class TestGopherRules:
+    """gopher_signals (functions/text.py) — exact rule arithmetic on
+    hand-built documents (public Gopher rule set, Rae et al. 2021)."""
+
+    @pytest.fixture(scope="class")
+    def gopher_df(self, spark):
+        from gofaiss_spark.functions.text import gopher_signals
+
+        passing = " ".join(
+            ["the quick brown fox jumps over one of those lazy dogs"] * 5
+        )  # 55 words, all alpha, has 'the'+'of', mean len ~4
+        rows = [
+            (0, passing),
+            (1, "too short to pass the filter of rules"),  # 8 words
+            (2, " ".join(["####"] * 60)),  # symbol soup, no letters
+            (3, ""),
+            (4, " ".join(["the of"] + ["1234567"] * 58)),  # digits: alpha frac low
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        sig = gopher_signals(F.col("text"))
+        return {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id", *[c.alias(n) for n, c in sig.items()]
+            ).collect()
+        }
+
+    def test_passing_doc(self, gopher_df):
+        r = gopher_df[0]
+        assert r.n_words == 55
+        assert r.gopher_pass is True
+        assert r.stopword_hits >= 2
+        assert r.alpha_word_frac == 1.0
+        assert r.symbol_ratio == 0.0
+
+    def test_short_doc_fails_word_count(self, gopher_df):
+        r = gopher_df[1]
+        assert r.n_words == 8
+        assert r.gopher_pass is False
+        assert r.stopword_hits == 3  # the, to, of
+
+    def test_symbol_soup_fails(self, gopher_df):
+        r = gopher_df[2]
+        assert r.symbol_ratio == pytest.approx(4.0)  # 4 '#' per word
+        assert r.alpha_word_frac == 0.0
+        assert r.gopher_pass is False
+
+    def test_empty_doc(self, gopher_df):
+        r = gopher_df[3]
+        assert r.n_words == 0
+        assert r.symbol_ratio == 0.0
+        assert r.gopher_pass is False
+
+    def test_digit_doc_fails_alpha_frac(self, gopher_df):
+        r = gopher_df[4]
+        assert r.n_words == 60
+        assert r.alpha_word_frac == pytest.approx(2 / 60, abs=1e-6)
+        assert r.gopher_pass is False
