@@ -99,6 +99,7 @@ class LocalFlatIndex:
             qb = q[s:s + block]
             b = qb.shape[0]
             best_s = best_i = None
+            bound = None  # per-query k2-th best so far (f32 + margin)
             sc_buf = np.empty((b, tile), dtype=np.float32)
             for t0 in range(0, n, tile):
                 te = min(t0 + tile, n)
@@ -113,17 +114,57 @@ class LocalFlatIndex:
                 else:
                     np.negative(sc, out=sc)
                 kk = min(k2, w)
+                if best_s is None:
+                    # first tile: full top-k2 selection seeds the bound
+                    p = np.argpartition(sc, kk - 1, axis=1)[:, :kk]
+                    best_s = np.take_along_axis(sc, p, axis=1).copy()
+                    best_i = p.astype(np.int64) + t0
+                    if kk == k2:
+                        bmax = best_s.max(axis=1)
+                        bound = bmax + np.abs(bmax) * 1e-3 + 1e-3
+                    continue
+                # later tiles: admit only candidates beating the
+                # running per-query bound (SIMD compare; introselect
+                # over every tile was the serial hot spot — the same
+                # bound-pruned shape as LocalIvfIndex.search). On
+                # uniform data almost no row improves per tile, so the
+                # row loop below touches a handful of queries; if many
+                # rows improve (clustered/sorted insert order) the
+                # vectorized argpartition path is cheaper — pick per
+                # tile by survivor count.
+                improved = None
+                if bound is not None:
+                    m = sc <= bound[:, None]
+                    improved = np.flatnonzero(m.any(axis=1))
+                    if improved.size == 0:
+                        continue
+                if improved is not None and improved.size <= max(32, b // 4):
+                    for r in improved:
+                        cols = np.flatnonzero(m[r])
+                        if cols.size > k2:
+                            top = np.argpartition(sc[r, cols], k2 - 1)[:k2]
+                            cols = cols[top]
+                        cs = np.concatenate([best_s[r], sc[r, cols]])
+                        ci = np.concatenate(
+                            [best_i[r], cols.astype(np.int64) + t0]
+                        )
+                        sel = np.argpartition(cs, k2 - 1)[:k2]
+                        best_s[r] = cs[sel]
+                        best_i[r] = ci[sel]
+                        bm = best_s[r].max()
+                        bound[r] = bm + abs(bm) * 1e-3 + 1e-3
+                    continue
                 p = np.argpartition(sc, kk - 1, axis=1)[:, :kk]
                 psc = np.take_along_axis(sc, p, axis=1)
                 pid = p.astype(np.int64) + t0
-                if best_s is None:
-                    best_s, best_i = psc.copy(), pid
-                else:
-                    cs = np.concatenate([best_s, psc], axis=1)
-                    ci = np.concatenate([best_i, pid], axis=1)
-                    sel = np.argpartition(cs, k2 - 1, axis=1)[:, :k2]
-                    best_s = np.take_along_axis(cs, sel, axis=1)
-                    best_i = np.take_along_axis(ci, sel, axis=1)
+                cs = np.concatenate([best_s, psc], axis=1)
+                ci = np.concatenate([best_i, pid], axis=1)
+                sel = np.argpartition(cs, k2 - 1, axis=1)[:, :k2]
+                best_s = np.take_along_axis(cs, sel, axis=1)
+                best_i = np.take_along_axis(ci, sel, axis=1)
+                if best_s.shape[1] == k2:
+                    bmax = best_s.max(axis=1)
+                    bound = bmax + np.abs(bmax) * 1e-3 + 1e-3
             # exact f64 re-score of the surviving candidates
             cand = self.vecs[best_i].astype(np.float64)  # (b, k2, dim)
             qb64 = qb.astype(np.float64)
