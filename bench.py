@@ -431,6 +431,43 @@ def main() -> None:
                 "results (tests/test_local_serve.py)"
             )
 
+            # process-parallel serving pool (LocalServerPool): one
+            # shared-memory copy of the index, W spawned workers —
+            # the GIL-free tier; results bit-identical to blivf
+            from gofaiss_spark.operators.local_serve import (
+                LocalServerPool,
+            )
+
+            t0 = time.monotonic()
+            lpool = LocalServerPool(blivf)
+            pool_up = round(time.monotonic() - t0, 4)
+            lpool.search(lq10k, k=K, nprobe=50)  # warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.monotonic()
+                pids, _ = lpool.search(lq10k, k=K, nprobe=50)
+                best = min(best, time.monotonic() - t0)
+            rec = float(np.mean([
+                len(set(pids[i]) & set(t10k[i])) / K
+                for i in range(len(lq10k))
+            ]))
+            baseline["ivf_local_mp_batch10k"] = {
+                "search_sec": round(best, 4),
+                "qps_batch": round(len(lq10k) / best, 1),
+                "recall": round(rec, 4),
+                "nlist": bl_nlist, "nprobe": 50,
+                "n_queries": len(lq10k),
+                "workers": lpool.workers,
+                "spawn_sec": pool_up,
+                "note": (
+                    "process-parallel serving pool: one shared-memory "
+                    "index copy, W spawned workers, contiguous "
+                    "query-slice scatter — bit-identical to ivf_local "
+                    "(tests/test_local_serve.py::TestServerPool)"
+                ),
+            }
+            lpool.close()
+
         bivf.assignments.unpersist()
         t0 = time.monotonic()
         bpq = build_pq(bvec, m=16, nbits=8, seed=42, train_fraction=bl_tf)
@@ -674,6 +711,38 @@ def main() -> None:
                     "nlist": 316, "nprobe": npr, "n_queries": len(lq),
                     "workload": "mixture-of-100-Gaussians (sigma=0.05)",
                 }
+
+            # process-pool tier on the clustered server — the
+            # headline single-node ANN-serving rows
+            from gofaiss_spark.operators.local_serve import (
+                LocalServerPool,
+            )
+
+            cpool = LocalServerPool(clocal)
+            cpool.search(cq10k, k=K, nprobe=4)  # warm
+            for npr, tag in (
+                (4, "ivf_local_mp_clustered_batch10k"),
+                (2, "ivf_local_mp_clustered_np2_batch10k"),
+            ):
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.monotonic()
+                    lids, _ = cpool.search(cq10k, k=K, nprobe=npr)
+                    best = min(best, time.monotonic() - t0)
+                rec = float(np.mean([
+                    len(set(lids[i]) & set(ct10k[i])) / K
+                    for i in range(len(cq10k))
+                ]))
+                baseline[tag] = {
+                    "search_sec": round(best, 4),
+                    "qps_batch": round(len(cq10k) / best, 1),
+                    "recall": round(rec, 4),
+                    "nlist": 316, "nprobe": npr,
+                    "n_queries": len(cq10k),
+                    "workers": cpool.workers,
+                    "workload": "mixture-of-100-Gaussians (sigma=0.05)",
+                }
+            cpool.close()
             civf.assignments.unpersist()
 
         # HNSW, single-graph: driver-side fidelity path. The insert

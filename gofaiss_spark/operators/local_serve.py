@@ -29,9 +29,19 @@ import numpy as np
 
 from gofaiss_spark.functions.distance import validate_metric
 
-__all__ = ["LocalFlatIndex", "LocalIvfIndex", "to_local", "to_local_ivf"]
+__all__ = [
+    "LocalFlatIndex",
+    "LocalIvfIndex",
+    "LocalServerPool",
+    "to_local",
+    "to_local_ivf",
+]
 
 _POOL = None
+# When set (inside a LocalServerPool worker process), caps both the
+# serving thread-pool size and the cell-loop fan-out so W processes ×
+# T threads stays at the machine's core count.
+_MAX_CHUNKS: int | None = None
 
 
 def _pool():
@@ -44,11 +54,20 @@ def _pool():
         import os as _os
         from concurrent.futures import ThreadPoolExecutor
 
+        cap = _MAX_CHUNKS if _MAX_CHUNKS is not None else 32
         _POOL = ThreadPoolExecutor(
-            max_workers=min(32, _os.cpu_count() or 8),
+            max_workers=max(2, min(cap, _os.cpu_count() or 8)),
             thread_name_prefix="gofaiss-serve",
         )
     return _POOL
+
+
+def _fanout(default_cap: int = 16) -> int:
+    import os as _os
+
+    if _MAX_CHUNKS is not None:
+        return max(1, _MAX_CHUNKS)
+    return min(default_cap, _os.cpu_count() or 8)
 
 
 @dataclass
@@ -417,14 +436,14 @@ class LocalIvfIndex:
         def run_cell_loop(bounds_arr, fn):
             live = np.flatnonzero(bounds_arr[1:] > bounds_arr[:-1])
             if len(live) > 8 and nq * nprobe > 4096:
-                import os as _os
-
                 # measured on the 100k/nprobe=50/10k-query workload:
                 # throughput peaks at ~16 chunks and REGRESSES at 32 —
                 # the non-GEMM numpy work (fancy-index writes, nonzero)
                 # holds the GIL, and >16 workers only adds BLAS
-                # oversubscription on the per-cell GEMMs
-                nthread = min(16, _os.cpu_count() or 8)
+                # oversubscription on the per-cell GEMMs. (The real
+                # scaling fix is LocalServerPool: processes, not
+                # threads.)
+                nthread = _fanout(16)
                 # round-robin the cells in descending work order
                 # (queries × cell size) so strided chunks balance
                 # even under skewed list sizes
@@ -517,3 +536,193 @@ def to_local_ivf(ivf_index) -> LocalIvfIndex:
         centroids=cents, offsets=offsets,
         norms_sq=np.einsum("ij,ij->i", vecs, vecs),
     )
+
+
+# ---------------------------------------------------------------------
+# Process-parallel serving pool — the GIL-free scaling tier.
+#
+# The in-process kernels above stop scaling past ~4-16 threads: only
+# the BLAS GEMMs drop the GIL, and the selection/scatter numpy work
+# serializes (measured: 1 thread 4.3s, best threaded ~2.0s on the
+# 100k/nprobe=50/10k-query workload — a 2.1× ceiling on 32 cores).
+# LocalServerPool shards a query batch across OS processes instead:
+# the index arrays are published ONCE into POSIX shared memory, W
+# spawned workers attach zero-copy views, and each worker runs the
+# identical kernel on a contiguous query slice with a small private
+# thread budget (W × T sized to the core count). Per-query results
+# are independent of batch composition, so the concatenated output is
+# bit-identical to a single-process search (gated in
+# tests/test_local_serve.py).
+#
+# This is the standard single-node serving architecture (one memory
+# copy of the index, N serving processes) — the same shape a
+# production replica would run, and the honest way to use a whole
+# node against the reference's single-process QPS numbers.
+# ---------------------------------------------------------------------
+
+_WORKER_INDEX = None
+_WORKER_SHM: list = []
+
+
+def _shm_export(arr: np.ndarray):
+    from multiprocessing import shared_memory
+
+    arr = np.ascontiguousarray(arr)
+    shm = shared_memory.SharedMemory(create=True, size=arr.nbytes)
+    view = np.ndarray(arr.shape, dtype=arr.dtype, buffer=shm.buf)
+    view[:] = arr
+    return shm, {"name": shm.name, "shape": list(arr.shape),
+                 "dtype": str(arr.dtype)}
+
+
+def _shm_attach(meta):
+    from multiprocessing import shared_memory
+
+    shm = shared_memory.SharedMemory(name=meta["name"])
+    arr = np.ndarray(tuple(meta["shape"]), dtype=np.dtype(meta["dtype"]),
+                     buffer=shm.buf)
+    return shm, arr
+
+
+def _mp_worker_init(spec: dict) -> None:
+    """Runs once in every spawned worker: attach the shared-memory
+    index arrays (zero-copy) and cap this worker's thread fan-out."""
+    global _WORKER_INDEX, _MAX_CHUNKS
+    arrays = {}
+    for key, meta in spec["arrays"].items():
+        shm, arr = _shm_attach(meta)
+        _WORKER_SHM.append(shm)  # keep alive for the process lifetime
+        arrays[key] = arr
+    _MAX_CHUNKS = int(spec["worker_threads"])
+    if spec["kind"] == "ivf":
+        _WORKER_INDEX = LocalIvfIndex(
+            ids=arrays["ids"], vecs=arrays["vecs"], metric=spec["metric"],
+            centroids=arrays["centroids"], offsets=arrays["offsets"],
+            norms_sq=arrays["norms_sq"],
+        )
+    else:
+        _WORKER_INDEX = LocalFlatIndex(
+            ids=arrays["ids"], vecs=arrays["vecs"], metric=spec["metric"],
+            norms_sq=arrays["norms_sq"],
+        )
+
+
+def _mp_ping(_: int) -> bool:
+    return _WORKER_INDEX is not None
+
+
+def _mp_search(q: np.ndarray, k: int, nprobe):
+    if isinstance(_WORKER_INDEX, LocalIvfIndex):
+        return _WORKER_INDEX.search(q, k=k, nprobe=nprobe)
+    return _WORKER_INDEX.search(q, k=k)
+
+
+class LocalServerPool:
+    """Serve a LocalFlatIndex / LocalIvfIndex from W worker processes
+    sharing one in-memory copy of the index.
+
+    ``workers × worker_threads`` should be sized to the core count
+    (default: W = cores / worker_threads, capped at 16). The spawn
+    context is used (fork-safety with loaded BLAS); workers inherit
+    ``OPENBLAS/OMP/MKL_NUM_THREADS = worker_threads`` so per-process
+    BLAS pools don't oversubscribe.
+
+    ``search`` splits the query batch into contiguous slices (2 per
+    worker for balance), scatters them, and re-concatenates — output
+    is bit-identical to ``index.search`` on the whole batch. Use as a
+    context manager or call ``close()`` to free the shared memory.
+    """
+
+    def __init__(self, index, workers: int | None = None,
+                 worker_threads: int = 2):
+        import multiprocessing as mp
+        import os as _os
+        from concurrent.futures import ProcessPoolExecutor
+
+        cpu = _os.cpu_count() or 8
+        self.workers = workers or max(1, min(16, cpu // max(1, worker_threads)))
+        self._shms = []
+        self._exe = None
+        if isinstance(index, LocalIvfIndex):
+            kind, named = "ivf", {
+                "ids": index.ids, "vecs": index.vecs,
+                "norms_sq": index.norms_sq, "centroids": index.centroids,
+                "offsets": index.offsets,
+            }
+        elif isinstance(index, LocalFlatIndex):
+            kind, named = "flat", {
+                "ids": index.ids, "vecs": index.vecs,
+                "norms_sq": index.norms_sq,
+            }
+        else:
+            raise TypeError(
+                f"LocalServerPool serves LocalFlatIndex/LocalIvfIndex, "
+                f"got {type(index).__name__}"
+            )
+        self.kind = kind
+        spec_arrays = {}
+        for key, arr in named.items():
+            shm, meta = _shm_export(arr)
+            self._shms.append(shm)
+            spec_arrays[key] = meta
+        spec = {"kind": kind, "metric": index.metric,
+                "arrays": spec_arrays, "worker_threads": worker_threads}
+        # children read BLAS thread env at numpy import — set it for
+        # the spawn window only, restore the parent's env after
+        env_keys = ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                    "MKL_NUM_THREADS")
+        saved = {kk: _os.environ.get(kk) for kk in env_keys}
+        for kk in env_keys:
+            _os.environ[kk] = str(worker_threads)
+        try:
+            self._exe = ProcessPoolExecutor(
+                max_workers=self.workers,
+                mp_context=mp.get_context("spawn"),
+                initializer=_mp_worker_init,
+                initargs=(spec,),
+            )
+            # spawn + verify every worker now (first-search latency
+            # belongs to construction, not serving)
+            assert all(self._exe.map(_mp_ping, range(self.workers)))
+        except BaseException:
+            self.close()
+            raise
+        finally:
+            for kk, vv in saved.items():
+                if vv is None:
+                    _os.environ.pop(kk, None)
+                else:
+                    _os.environ[kk] = vv
+
+    def search(self, qmat: np.ndarray, k: int = 10,
+               nprobe: int | None = 10) -> tuple[np.ndarray, np.ndarray]:
+        q = np.ascontiguousarray(qmat)
+        nq = q.shape[0]
+        nchunks = max(1, min(self.workers * 2, nq))
+        edges = np.linspace(0, nq, nchunks + 1, dtype=np.int64)
+        futs = [
+            self._exe.submit(_mp_search, q[s:e], k, nprobe)
+            for s, e in zip(edges[:-1], edges[1:]) if e > s
+        ]
+        parts = [f.result() for f in futs]
+        return (np.vstack([p[0] for p in parts]),
+                np.vstack([p[1] for p in parts]))
+
+    def close(self) -> None:
+        if self._exe is not None:
+            self._exe.shutdown(wait=True)
+            self._exe = None
+        for shm in self._shms:
+            try:
+                shm.close()
+                shm.unlink()
+            except FileNotFoundError:
+                pass
+        self._shms = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

@@ -117,3 +117,84 @@ class TestLocalIvf:
         assert local.offsets[0] == 0
         assert local.offsets[-1] == len(local.ids)
         assert np.all(np.diff(local.offsets) >= 0)
+
+
+class TestServerPool:
+    """LocalServerPool — process-parallel serving: block-split output
+    must be bit-identical to the in-process kernels (no Spark
+    needed; pure NumPy fixtures)."""
+
+    @pytest.fixture(scope="class")
+    def ivf_local(self):
+        from gofaiss_spark.operators.local_serve import LocalIvfIndex
+
+        rng = np.random.default_rng(7)
+        n, dim, nlist = 4000, 24, 20
+        vecs = rng.random((n, dim), dtype=np.float32)
+        cent = vecs[rng.choice(n, nlist, replace=False)].astype(np.float64)
+        cn = (cent * cent).sum(1)
+        assign = (vecs.astype(np.float64) @ cent.T * -2 + cn[None]).argmin(1)
+        order = np.argsort(assign, kind="stable")
+        return LocalIvfIndex(
+            ids=np.arange(n, dtype=np.int64)[order],
+            vecs=np.ascontiguousarray(vecs[order]),
+            metric="l2",
+            centroids=cent,
+            offsets=np.searchsorted(
+                assign[order], np.arange(nlist + 1)
+            ).astype(np.int64),
+            norms_sq=np.einsum(
+                "ij,ij->i", vecs[order], vecs[order]
+            ),
+        )
+
+    def test_ivf_pool_bit_identical(self, ivf_local):
+        from gofaiss_spark.operators.local_serve import LocalServerPool
+
+        rng = np.random.default_rng(8)
+        q = rng.random((300, 24), dtype=np.float32)
+        with LocalServerPool(ivf_local, workers=3) as pool:
+            i_mp, d_mp = pool.search(q, k=5, nprobe=4)
+        i_sp, d_sp = ivf_local.search(q, k=5, nprobe=4)
+        assert np.array_equal(i_mp, i_sp)
+        assert np.array_equal(d_mp, d_sp)
+
+    def test_flat_pool_bit_identical(self, ivf_local):
+        from gofaiss_spark.operators.local_serve import (
+            LocalFlatIndex,
+            LocalServerPool,
+        )
+
+        flat = LocalFlatIndex(
+            ids=ivf_local.ids, vecs=ivf_local.vecs, metric="l2",
+            norms_sq=ivf_local.norms_sq,
+        )
+        rng = np.random.default_rng(9)
+        q = rng.random((100, 24), dtype=np.float32)
+        with LocalServerPool(flat, workers=2) as pool:
+            i_mp, d_mp = pool.search(q, k=7, nprobe=None)
+        i_sp, d_sp = flat.search(q, k=7)
+        assert np.array_equal(i_mp, i_sp)
+        assert np.array_equal(d_mp, d_sp)
+
+    def test_pool_reuse_and_small_batches(self, ivf_local):
+        from gofaiss_spark.operators.local_serve import LocalServerPool
+
+        rng = np.random.default_rng(10)
+        pool = LocalServerPool(ivf_local, workers=2)
+        try:
+            # more chunks than rows; repeated use of one pool
+            for nq in (1, 3, 50):
+                q = rng.random((nq, 24), dtype=np.float32)
+                i_mp, _ = pool.search(q, k=3, nprobe=20)
+                i_sp, _ = ivf_local.search(q, k=3, nprobe=20)
+                assert np.array_equal(i_mp, i_sp)
+        finally:
+            pool.close()
+        pool.close()  # idempotent
+
+    def test_pool_rejects_unknown_index(self):
+        from gofaiss_spark.operators.local_serve import LocalServerPool
+
+        with pytest.raises(TypeError):
+            LocalServerPool(object())
