@@ -2147,6 +2147,76 @@ FROM m
 """
 
 
+BPE_N_MERGES = 20
+
+
+def _doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training (operators/tokenizer.py, Sennrich et
+    al. 2016; count-distributed / merge-central). The merge loop is
+    iterative — not SQL-expressible — so the output is invariant-
+    projected: the rank-1 pair and its frequency (exactly computable
+    in SQL from the initial character-pair counts) ride on every row,
+    plus structural booleans (merged = left||right; pair_freq
+    non-increasing in rank — see train_bpe's docstring for why)."""
+    from pyspark.sql import Window
+
+    from gofaiss_spark.operators.tokenizer import train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = train_bpe(docs, num_merges=BPE_N_MERGES, min_pair_freq=1)
+    wlag = Window.orderBy("rank")
+    wall = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prev = F.lag("pair_freq").over(wlag)
+    ok = (
+        (F.col("merged") == F.concat("left", "right"))
+        & (F.col("pair_freq") >= 1)
+        & (prev.isNull() | (F.col("pair_freq") <= prev))
+    )
+    return m.select(
+        "rank",
+        ok.alias("ok"),
+        F.concat(
+            F.first("left").over(wall), F.lit(" "), F.first("right").over(wall)
+        ).alias("r1_pair"),
+        F.first("pair_freq").over(wall).alias("r1_freq"),
+    )
+
+
+_DOC_BPE_SQL = f"""
+WITH words AS (
+  SELECT w AS word, count(*)::BIGINT AS cnt
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS w
+    FROM documents
+  )
+  GROUP BY w
+),
+syms AS (
+  SELECT cnt,
+         list_append(list_transform(generate_series(1, length(word)), i -> substring(word, i, 1)), '</w>') AS s
+  FROM words
+),
+pairs AS (
+  SELECT p.pr[1] AS l, p.pr[2] AS r, sum(cnt)::BIGINT AS freq
+  FROM (
+    SELECT cnt,
+           unnest(list_transform(generate_series(1, len(s) - 1), i -> [s[i], s[i + 1]])) AS pr
+    FROM syms
+  ) p
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT l, r, freq FROM pairs ORDER BY freq DESC, l, r LIMIT 1
+)
+SELECT CAST(g.r AS INT) AS rank, true AS ok,
+       (SELECT l || ' ' || r FROM best) AS r1_pair,
+       (SELECT freq FROM best) AS r1_freq
+FROM generate_series(1, {BPE_N_MERGES}) g(r)
+"""
+
+
 def _pii_injected_expr():
     """Deterministic synthetic PII appended to each doc (the corpus
     text itself contains none): an email, a phone and an IPv4 derived
@@ -4031,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_resample": _doc_dsir_resample,
         "ivf_local_topk": _ivf_local_topk,
         "doc_gopher_rules": _doc_gopher_rules,
+        "doc_bpe_merges": _doc_bpe_merges,
         # --- r01 hash-verified green ---
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_minhash_near_dup": _doc_minhash_near_dup,
@@ -4233,6 +4304,7 @@ GROUP BY label, g.i
         "doc_ppl_buckets": _DOC_PPL_BUCKETS_SQL,
         "doc_dsir_resample": _DOC_DSIR_SQL,
         "doc_gopher_rules": _DOC_GOPHER_SQL,
+        "doc_bpe_merges": _DOC_BPE_SQL,
         # full-probe local IVF serving ≡ exact flat (every cell
         # scanned; f64 re-score) — the flat oracle is the hard check
         "ivf_local_topk": _flat_topk_sql("l2"),
