@@ -2217,6 +2217,35 @@ FROM generate_series(1, {BPE_N_MERGES}) g(r)
 """
 
 
+def _doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with its own trained BPE merge table
+    (operators/tokenizer.py apply_bpe — one Arrow map pass, rank map
+    in the closure). The greedy encoder is iterative, so the driver
+    check is invariant-style: ``bpe_ok`` asserts executor-side that
+    every word's subword tokens concatenate back to word+'</w>' and
+    that n_words ≤ n_subwords ≤ n_chars+n_words; the oracle states
+    the expected (doc_id, ok=true) row set (the _ANN_OK pattern) plus
+    the exact SQL-computable n_words."""
+    from gofaiss_spark.operators.tokenizer import apply_bpe, train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, num_merges=BPE_N_MERGES, min_pair_freq=1)
+    enc = apply_bpe(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_words",
+        (F.col("bpe_ok") & (F.col("n_subwords") >= F.col("n_words"))).alias("ok"),
+    )
+
+
+_DOC_BPE_ENCODE_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS INT) AS n_words,
+       true AS ok
+FROM documents
+"""
+
+
 def _pii_injected_expr():
     """Deterministic synthetic PII appended to each doc (the corpus
     text itself contains none): an email, a phone and an IPv4 derived
@@ -4102,6 +4131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_local_topk": _ivf_local_topk,
         "doc_gopher_rules": _doc_gopher_rules,
         "doc_bpe_merges": _doc_bpe_merges,
+        "doc_bpe_encode": _doc_bpe_encode,
         # --- r01 hash-verified green ---
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_minhash_near_dup": _doc_minhash_near_dup,
@@ -4305,6 +4335,7 @@ GROUP BY label, g.i
         "doc_dsir_resample": _DOC_DSIR_SQL,
         "doc_gopher_rules": _DOC_GOPHER_SQL,
         "doc_bpe_merges": _DOC_BPE_SQL,
+        "doc_bpe_encode": _DOC_BPE_ENCODE_SQL,
         # full-probe local IVF serving ≡ exact flat (every cell
         # scanned; f64 re-score) — the flat oracle is the hard check
         "ivf_local_topk": _flat_topk_sql("l2"),

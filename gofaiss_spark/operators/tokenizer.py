@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["train_bpe", "word_frequency_table"]
+__all__ = ["apply_bpe", "train_bpe", "word_frequency_table"]
 
 END_OF_WORD = "</w>"
 
@@ -130,3 +130,79 @@ def train_bpe(
     return spark.createDataFrame(
         rows, "rank INT, left STRING, right STRING, merged STRING, pair_freq BIGINT"
     )
+
+
+def _encode_word(word: str, rank_of: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE encoding of one word: repeatedly merge the
+    lowest-rank adjacent pair present (the standard encoder; same
+    semantics as applying the training merges in order)."""
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = rank_of.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode each document with a trained merge table: (id_col,
+    n_words, n_subwords, bpe_ok).
+
+    ``merges`` is ``train_bpe``'s output (or (left, right, rank)
+    tuples); the rank map is vocabulary-sized and rides to executors
+    inside the Arrow-batched ``mapInPandas`` closure (broadcast-small
+    by construction — the distributed cost is one map pass, no
+    shuffle). Per-batch word→tokens memoization amortizes the encoder
+    across repeated words (Zipf corpora hit the cache constantly).
+
+    ``bpe_ok`` asserts the segmentation invariants executor-side:
+    concatenating a word's subword tokens reproduces word+``</w>``,
+    and n_words ≤ n_subwords ≤ n_chars + n_words (merges only ever
+    shrink the no-merge character segmentation).
+    """
+    import pandas as pd
+
+    if isinstance(merges, DataFrame):
+        rows = merges.select("left", "right", "rank").collect()
+        rank_of = {(r["left"], r["right"]): r["rank"] for r in rows}
+    else:
+        rank_of = {(lt, rt): rk for lt, rt, rk in merges}
+    spark = docs.sparkSession
+    src = docs.select(F.col(id_col), F.col(text_col).alias("_text"))
+
+    def encode(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf["_text"]):
+                words = [w for w in (text or "").split() if w]
+                n_sub = 0
+                ok = True
+                for w in words:
+                    toks = cache.get(w)
+                    if toks is None:
+                        toks = _encode_word(w, rank_of)
+                        cache[w] = toks
+                    n_sub += len(toks)
+                    if "".join(toks) != w + END_OF_WORD:
+                        ok = False
+                nw, nc = len(words), sum(len(w) for w in words)
+                ok = ok and (nw <= n_sub <= nc + nw)
+                out.append((did, nw, n_sub, ok))
+            yield pd.DataFrame(
+                out, columns=[id_col, "n_words", "n_subwords", "bpe_ok"]
+            )
+
+    schema = f"{id_col} long, n_words int, n_subwords int, bpe_ok boolean"
+    return src.mapInPandas(encode, schema=schema)

@@ -72,3 +72,43 @@ class TestTrainBpe:
         docs = spark.createDataFrame([(0, "x y")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             train_bpe(docs, num_merges=0)
+
+
+class TestApplyBpe:
+    def test_exact_segmentation(self, spark):
+        from gofaiss_spark.operators.tokenizer import (
+            _encode_word,
+            apply_bpe,
+        )
+
+        # merges learned from the classic corpus
+        rank_of = {("e", "s"): 1, ("es", "t"): 2, ("est", END_OF_WORD): 3,
+                   ("l", "o"): 4, ("lo", "w"): 5}
+        assert _encode_word("newest", rank_of) == ["n", "e", "w", "est</w>"]
+        assert _encode_word("low", rank_of) == ["low", END_OF_WORD]
+        assert _encode_word("unseen", rank_of) == [
+            "u", "n", "s", "e", "e", "n", END_OF_WORD
+        ]
+        docs = spark.createDataFrame(
+            [(0, "newest low"), (1, ""), (2, "widest")], ["doc_id", "text"]
+        )
+        merges = [(lt, rt, rk) for (lt, rt), rk in rank_of.items()]
+        rows = {r["doc_id"]: r for r in apply_bpe(docs, merges).collect()}
+        # newest -> 4 tokens, low -> 2 tokens
+        assert (rows[0]["n_words"], rows[0]["n_subwords"]) == (2, 6)
+        assert rows[1]["n_subwords"] == 0 and rows[1]["bpe_ok"]
+        # widest: w i d est</w> = 4
+        assert rows[2]["n_subwords"] == 4
+        assert all(r["bpe_ok"] for r in rows.values())
+
+    def test_roundtrip_with_trained_merges(self, spark):
+        from gofaiss_spark.operators.tokenizer import apply_bpe, train_bpe
+
+        docs = spark.createDataFrame(
+            [(0, "low low lower newest newest widest")], ["doc_id", "text"]
+        )
+        merges = train_bpe(docs, num_merges=6, min_pair_freq=1)
+        r = apply_bpe(docs, merges).collect()[0]
+        assert r["bpe_ok"]
+        assert r["n_words"] == 6
+        assert r["n_words"] <= r["n_subwords"]
