@@ -369,6 +369,28 @@ def main() -> None:
                 "(tests/test_local_serve.py)"
             )
 
+            # exact serving on the process pool (shared-memory index,
+            # W spawned workers — the GIL-free tier)
+            from gofaiss_spark.operators.local_serve import (
+                LocalServerPool,
+            )
+
+            fpool = LocalServerPool(blocal)
+            fpool.search(lq10k, k=K, nprobe=None)  # warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.monotonic()
+                fpool.search(lq10k, k=K, nprobe=None)
+                best = min(best, time.monotonic() - t0)
+            baseline["flat_local_mp_batch10k"] = {
+                "search_sec": round(best, 4),
+                "qps_batch": round(len(lq10k) / best, 1),
+                "recall": 1.0,
+                "n_queries": len(lq10k),
+                "workers": fpool.workers,
+            }
+            fpool.close()
+
         t0 = time.monotonic()
         bivf = build_ivf(bvec, nlist=bl_nlist, seed=42, train_fraction=bl_tf)
         bivf.assignments.cache().count()
