@@ -659,3 +659,51 @@ def substring_dup_spans(
             ).alias("dup_fraction"),
         )
     )
+
+
+def estimate_minhash_params(
+    threshold: float,
+    num_hashes: int = 128,
+) -> dict:
+    """Pick (bands, rows_per_band) for a target Jaccard threshold.
+
+    Standard S-curve analysis (Leskovec/Rajaraman/Ullman, "Mining of
+    Massive Datasets" ch. 3 — public): with b bands of r rows each,
+    a pair with Jaccard similarity s collides with probability
+    1 - (1 - s^r)^b, and the curve's inflection sits near
+    t ≈ (1/b)^(1/r). Among all (b, r) with b·r = num_hashes, choose
+    the factorization whose implied t is closest to ``threshold``.
+
+    Returns {"bands", "rows_per_band", "implied_threshold",
+    "p_collision_at_threshold", "p_collision"} where ``p_collision``
+    is a callable s → collision probability, for plotting the curve
+    or bounding FP/FN rates before committing a 100 TB dedup run —
+    parameter tuning is O(divisors(num_hashes)) driver-side math,
+    zero Spark jobs.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        if b < 2 or r < 1:
+            continue
+        t = (1.0 / b) ** (1.0 / r)
+        if best is None or abs(t - threshold) < abs(best[2] - threshold):
+            best = (b, r, t)
+    b, r, t = best
+
+    def p_collision(s: float) -> float:
+        return 1.0 - (1.0 - s ** r) ** b
+
+    return {
+        "bands": b,
+        "rows_per_band": r,
+        "implied_threshold": round(t, 6),
+        "p_collision_at_threshold": round(p_collision(threshold), 6),
+        "p_collision": p_collision,
+    }

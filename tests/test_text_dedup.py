@@ -194,3 +194,33 @@ def test_char_entropy_values(spark):
     n = len(txt)
     expect = -sum(c / n * math.log2(c / n) for c in counts.values())
     assert h == pytest.approx(expect)
+
+
+class TestEstimateMinhashParams:
+    def test_known_factorization(self):
+        from gofaiss_spark.operators.dedup import estimate_minhash_params
+
+        # classic MMDS example: 100 hashes, target 0.55 -> b=20, r=5
+        # (implied t = (1/20)^(1/5) ~ 0.5493)
+        p = estimate_minhash_params(0.55, num_hashes=100)
+        assert (p["bands"], p["rows_per_band"]) == (20, 5)
+        assert p["implied_threshold"] == pytest.approx(0.549280, abs=1e-5)
+
+    def test_curve_shape(self):
+        from gofaiss_spark.operators.dedup import estimate_minhash_params
+
+        p = estimate_minhash_params(0.8, num_hashes=128)
+        f = p["p_collision"]
+        assert p["bands"] * p["rows_per_band"] == 128
+        # S-curve: near-certain collision above threshold, rare below
+        assert f(0.95) > 0.95
+        assert f(0.2) < 0.2
+        assert f(0.95) > f(0.8) > f(0.5) > f(0.2)
+
+    def test_validation(self):
+        from gofaiss_spark.operators.dedup import estimate_minhash_params
+
+        with pytest.raises(ValueError):
+            estimate_minhash_params(1.5)
+        with pytest.raises(ValueError):
+            estimate_minhash_params(0.5, num_hashes=1)
