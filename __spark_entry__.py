@@ -3772,6 +3772,52 @@ FROM counts CROSS JOIN tot
 """
 
 
+def _doc_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two simulated snapshots (even
+    vs odd doc_ids): per-word smoothed unigram probabilities + KL
+    contribution (operators/curation.py vocab_drift — two vocabulary-
+    sized groupBys, one narrow full-outer join)."""
+    from gofaiss_spark.operators.curation import vocab_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+_DOC_VOCAB_DRIFT_SQL = """
+WITH ta AS (
+  SELECT w AS word, count(*)::BIGINT AS cnt_a
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS w
+    FROM documents WHERE doc_id % 2 = 0
+  ) GROUP BY w
+),
+tb AS (
+  SELECT w AS word, count(*)::BIGINT AS cnt_b
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS w
+    FROM documents WHERE doc_id % 2 = 1
+  ) GROUP BY w
+),
+j AS (
+  SELECT coalesce(ta.word, tb.word) AS word,
+         coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+  FROM ta FULL OUTER JOIN tb ON ta.word = tb.word
+),
+tot AS (
+  SELECT count(*)::BIGINT AS v, sum(cnt_a)::BIGINT AS na, sum(cnt_b)::BIGINT AS nb FROM j
+)
+SELECT word, cnt_a, cnt_b,
+       round((cnt_a + 0.5) / (na + 0.5 * v), 6) AS p_a,
+       round((cnt_b + 0.5) / (nb + 0.5 * v), 6) AS p_b,
+       round(((cnt_a + 0.5) / (na + 0.5 * v))
+             * ln(((cnt_a + 0.5) / (na + 0.5 * v)) / ((cnt_b + 0.5) / (nb + 0.5 * v))), 6) AS kl_term
+FROM j, tot
+"""
+
+
 def _doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff: compare the corpus against a simulated
     next snapshot (docs 0..N-11 kept, last 10 dropped, first 5
@@ -4132,6 +4178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_rules": _doc_gopher_rules,
         "doc_bpe_merges": _doc_bpe_merges,
         "doc_bpe_encode": _doc_bpe_encode,
+        "doc_vocab_drift": _doc_vocab_drift,
         # --- r01 hash-verified green ---
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_minhash_near_dup": _doc_minhash_near_dup,
@@ -4336,6 +4383,7 @@ GROUP BY label, g.i
         "doc_gopher_rules": _DOC_GOPHER_SQL,
         "doc_bpe_merges": _DOC_BPE_SQL,
         "doc_bpe_encode": _DOC_BPE_ENCODE_SQL,
+        "doc_vocab_drift": _DOC_VOCAB_DRIFT_SQL,
         # full-probe local IVF serving ≡ exact flat (every cell
         # scanned; f64 re-score) — the flat oracle is the hard check
         "ivf_local_topk": _flat_topk_sql("l2"),

@@ -465,3 +465,64 @@ def dsir_resample(
         "doc_id", "n_feats", "avg_llr",
         (F.col("avg_llr") >= F.lit(float(thr))).alias("keep"),
     )
+
+
+def vocab_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots: per
+    word, add-k-smoothed unigram probabilities p_a / p_b over the
+    union vocabulary and the KL(A||B) contribution
+    ``p_a * ln(p_a / p_b)`` — the standard distribution-shift
+    monitor for incremental pre-training corpora (sum the kl_term
+    column for the total divergence; large positive terms = words
+    over-represented in A vs B).
+
+    Scale shape: one tokenize→explode→groupBy per snapshot (map-side
+    combine, vocabulary-sized outputs), one narrow full-outer join on
+    the word — payloads never move, same discipline as
+    snapshot-diff. Deterministic arithmetic (round 6dp) — fully
+    SQL-expressible, hash-checked by the driver oracle.
+    """
+    from gofaiss_spark.functions.text import tokenize
+
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be positive, got {smoothing}")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokenize(text_col)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ca = counts(docs_a, "cnt_a")
+    cb = counts(docs_b, "cnt_b")
+    joined = ca.join(cb, "word", "full_outer").select(
+        "word",
+        F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+    )
+    # union vocab size + per-snapshot token totals drive the smoothed
+    # denominators; they are scalars — computed once, cross-joined as
+    # a 1-row broadcast (no per-row recomputation)
+    totals = joined.agg(
+        F.count(F.lit(1)).alias("_v"),
+        F.sum("cnt_a").alias("_na"),
+        F.sum("cnt_b").alias("_nb"),
+    )
+    k = float(smoothing)
+    out = joined.crossJoin(F.broadcast(totals))
+    p_a = (F.col("cnt_a") + k) / (F.col("_na") + k * F.col("_v"))
+    p_b = (F.col("cnt_b") + k) / (F.col("_nb") + k * F.col("_v"))
+    return out.select(
+        "word",
+        "cnt_a",
+        "cnt_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(p_a * F.log(p_a / p_b), 6).alias("kl_term"),
+    )

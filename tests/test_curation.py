@@ -72,3 +72,40 @@ def test_top_k_by_group_ties_deterministic(spark):
     }
     # tie at q=0.9 broken by lower doc_id first
     assert got == {("en", 1): 1, ("en", 2): 2, ("de", 1): 5, ("de", 2): 4}
+
+
+class TestVocabDrift:
+    def test_exact_kl_terms(self, spark):
+        import math
+
+        from gofaiss_spark.operators.curation import vocab_drift
+
+        a = spark.createDataFrame([(0, "x x y")], ["doc_id", "text"])
+        b = spark.createDataFrame([(1, "x z")], ["doc_id", "text"])
+        rows = {r["word"]: r for r in vocab_drift(a, b).collect()}
+        # union vocab {x, y, z}: V=3, Na=3, Nb=2
+        assert set(rows) == {"x", "y", "z"}
+        pax = (2 + 0.5) / (3 + 0.5 * 3)
+        pbx = (1 + 0.5) / (2 + 0.5 * 3)
+        assert rows["x"]["cnt_a"] == 2 and rows["x"]["cnt_b"] == 1
+        assert rows["x"]["p_a"] == pytest.approx(round(pax, 6))
+        assert rows["x"]["kl_term"] == pytest.approx(
+            round(pax * math.log(pax / pbx), 6)
+        )
+        # y absent from B: positive drift; z absent from A: negative
+        assert rows["y"]["kl_term"] > 0
+        assert rows["z"]["kl_term"] < 0
+
+    def test_identical_snapshots_zero_drift(self, spark):
+        from gofaiss_spark.operators.curation import vocab_drift
+
+        d = spark.createDataFrame([(0, "a b c a")], ["doc_id", "text"])
+        rows = vocab_drift(d, d).collect()
+        assert all(r["kl_term"] == 0.0 for r in rows)
+
+    def test_smoothing_validation(self, spark):
+        from gofaiss_spark.operators.curation import vocab_drift
+
+        d = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            vocab_drift(d, d, smoothing=0)
