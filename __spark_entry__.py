@@ -2148,6 +2148,7 @@ FROM m
 
 
 BPE_N_MERGES = 20
+BPE_MAX_VOCAB_WORDS = 50_000
 
 
 def _doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2157,13 +2158,26 @@ def _doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     projected: the rank-1 pair and its frequency (exactly computable
     in SQL from the initial character-pair counts) ride on every row,
     plus structural booleans (merged = left||right; pair_freq
-    non-increasing in rank — see train_bpe's docstring for why)."""
+    non-increasing in rank — see train_bpe's docstring for why).
+
+    Oracle preconditions (asserted here so a divergence fails loudly
+    instead of hash-mismatching): the corpus supports ≥ BPE_N_MERGES
+    merges (the loop must not exhaust early — generate_series in the
+    SQL assumes exactly BPE_N_MERGES rows), and the SQL mirrors
+    train_bpe's max_vocab_words cap in its word table."""
     from pyspark.sql import Window
 
     from gofaiss_spark.operators.tokenizer import train_bpe
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    m = train_bpe(docs, num_merges=BPE_N_MERGES, min_pair_freq=1)
+    m = train_bpe(docs, num_merges=BPE_N_MERGES, min_pair_freq=1,
+                  max_vocab_words=BPE_MAX_VOCAB_WORDS)
+    n_merges = m.count()
+    if n_merges != BPE_N_MERGES:
+        raise AssertionError(
+            f"doc_bpe_merges oracle precondition: corpus exhausted the "
+            f"merge loop at {n_merges} < {BPE_N_MERGES} merges"
+        )
     wlag = Window.orderBy("rank")
     wall = Window.orderBy("rank").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -2192,6 +2206,8 @@ WITH words AS (
     FROM documents
   )
   GROUP BY w
+  ORDER BY cnt DESC, word
+  LIMIT {BPE_MAX_VOCAB_WORDS}
 ),
 syms AS (
   SELECT cnt,
@@ -2244,6 +2260,112 @@ SELECT doc_id,
        true AS ok
 FROM documents
 """
+
+
+BPE_RT_MERGES = 200
+
+
+def _doc_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round-trip at full merge-table scale: request
+    BPE_RT_MERGES=200 merges (min_pair_freq=1), encode the corpus
+    with the learned table, and verify (a) exact reconstruction —
+    every word's subword tokens concatenate back to word+'</w>'
+    (``bpe_ok``, checked executor-side inside apply_bpe) — and
+    (b) real compression: the learned segmentation must be strictly
+    smaller corpus-wide than the character baseline (n_chars +
+    n_words symbols), hash-checked as ``compressed_corpus``.
+
+    The synthetic corpus saturates its merge loop at ~106 merges
+    (every vocab word collapses to a single symbol) before reaching
+    200, so this row exercises the ENTIRE merge table end-to-end,
+    and exhaustion buys a stronger invariant folded into ``ok``:
+    greedy lowest-rank encoding is equivalent to applying merges in
+    training order, so a fully-merged vocabulary must encode every
+    word to exactly one token — n_subwords == n_words on every doc.
+    An encoder whose greedy order diverges from the training
+    segmentation fails the driver hash, not just a local test."""
+    from gofaiss_spark.operators.tokenizer import apply_bpe, train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, num_merges=BPE_RT_MERGES, min_pair_freq=1,
+                       max_vocab_words=BPE_MAX_VOCAB_WORDS)
+    exhausted = merges.count() < BPE_RT_MERGES
+    enc = apply_bpe(docs, merges)
+    base = docs.select(
+        "doc_id",
+        F.length(
+            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", "")
+        ).alias("n_chars"),
+    )
+    j = enc.join(base, "doc_id")
+    tot = j.agg(
+        (F.sum("n_subwords") < F.sum(F.col("n_chars") + F.col("n_words")))
+        .alias("compressed_corpus")
+    )
+    ok = F.col("bpe_ok") & (F.col("n_subwords") >= F.col("n_words"))
+    if exhausted:
+        ok = ok & (F.col("n_subwords") == F.col("n_words"))
+    return (
+        j.select("doc_id", "n_words", ok.alias("ok"))
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+_DOC_BPE_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS INT) AS n_words,
+       true AS ok,
+       true AS compressed_corpus
+FROM documents
+"""
+
+
+def _stream_flat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the streaming surface (streaming/ops.py): the
+    N_TOPK_QUERIES query vectors arrive as a 4-file parquet stream
+    (maxFilesPerTrigger=1 → 4 micro-batches under availableNow);
+    stream_search_topk serves each micro-batch against a persisted
+    flat artifact via the unified search API and appends results.
+    Per-query results are independent of micro-batch composition, so
+    the union of all batches must hash-equal the flat-index oracle
+    (_flat_topk_sql) — the streaming twin of flat_topk_l2.
+
+    The result is materialized before the temp dirs are removed, so
+    the returned DataFrame is self-contained for the driver."""
+    import shutil
+    import tempfile
+
+    from gofaiss_spark.operators.flat import build_flat
+    from gofaiss_spark.plans.artifacts import save_index
+    from gofaiss_spark.streaming.ops import stream_search_topk
+
+    tmp = tempfile.mkdtemp(prefix="gofaiss_stream_topk_")
+    try:
+        idx_path = f"{tmp}/flat_idx"
+        save_index(build_flat(_vectors(spark, sf_dir)), idx_path)
+        queries = _queries_df(spark, sf_dir, N_TOPK_QUERIES)
+        src = f"{tmp}/q_src"
+        queries.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(queries.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        res_path = f"{tmp}/results"
+        sq = stream_search_topk(
+            stream, idx_path, res_path,
+            checkpoint_dir=f"{tmp}/ckpt", k=TOPK_K,
+        )
+        if not sq.awaitTermination(600):
+            sq.stop()
+            raise RuntimeError("stream_flat_topk: stream did not finish")
+        out = spark.read.parquet(res_path).select(
+            "query_id", "id", F.round("distance", 6).alias("distance")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _pii_injected_expr():
@@ -4110,14 +4232,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     only the FIRST 50 dict entries per round, so entries are rotated
     each round to put queries without a driver-verified hash first.
 
-    Round-3 window (slots 1-50): the 45 queries that have never had a
-    driver hash check (everything added in round 2 plus the r01
-    no_oracle set), the re-fixed tpch_q12, and new round-3 queries.
-    After the window: queries hash-verified green in r01, then the 49
-    verified green in r02 (all remain regression-guarded by the local
-    sf0.001 DuckDB oracle suite, tests/test_entry_oracle.py)."""
+    STANDING RULE (round-3 verdict): new queries are PREPENDED so they
+    land inside the 50-slot window the round they ship; a query never
+    ships outside the window.
+
+    Round-4 window (slots 1-50): the 7 round-3 queries that missed the
+    r3 window, then new round-4 queries, then previously-green queries
+    re-verified to fill the window. All remain regression-guarded by
+    the local sf0.001 DuckDB oracle suite (tests/test_entry_oracle.py)."""
     return {
-        # --- never driver-hash-verified (round-2 surface + r01 no_oracle) ---
+        # --- round-3 queries that missed the r3 window (verdict item 1) ---
+        "doc_ppl_buckets": _doc_ppl_buckets,
+        "doc_dsir_resample": _doc_dsir_resample,
+        "ivf_local_topk": _ivf_local_topk,
+        "doc_gopher_rules": _doc_gopher_rules,
+        "doc_bpe_merges": _doc_bpe_merges,
+        "doc_bpe_encode": _doc_bpe_encode,
+        "doc_vocab_drift": _doc_vocab_drift,
+        # --- new round-4 queries (prepended per the standing rule) ---
+        "doc_bpe_roundtrip": _doc_bpe_roundtrip,
+        "stream_flat_topk": _stream_flat_topk,
+        # --- round-2 surface, all driver-verified green in r03 ---
         "multimodal_stats": _multimodal_stats,
         "sq_topk": _sq_topk,
         "ivfsq_topk": _ivfsq_topk,
@@ -4163,22 +4298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_classifier": _doc_quality_classifier,
         "multimodal_features": _multimodal_features,
         "multimodal_frame_sample": _multimodal_frame_sample,
-        # --- fixed this round (CAST...AS BIGINT oracle), needs re-check ---
         "tpch_q12": _tpch_q12,
-        # --- new round-3 queries (slots 47-49) ---
         "doc_bigram_perplexity": _doc_bigram_perplexity,
         "doc_substring_dup": _doc_substring_dup,
         "embedding_semdedup": _embedding_semdedup,
         "opq_topk": _opq_topk,
-        # --- past the 50-slot window this round; first in the round-4
-        # rotation (local oracle suite checks them every run) ---
-        "doc_ppl_buckets": _doc_ppl_buckets,
-        "doc_dsir_resample": _doc_dsir_resample,
-        "ivf_local_topk": _ivf_local_topk,
-        "doc_gopher_rules": _doc_gopher_rules,
-        "doc_bpe_merges": _doc_bpe_merges,
-        "doc_bpe_encode": _doc_bpe_encode,
-        "doc_vocab_drift": _doc_vocab_drift,
         # --- r01 hash-verified green ---
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_minhash_near_dup": _doc_minhash_near_dup,
@@ -4387,4 +4511,7 @@ GROUP BY label, g.i
         # full-probe local IVF serving ≡ exact flat (every cell
         # scanned; f64 re-score) — the flat oracle is the hard check
         "ivf_local_topk": _flat_topk_sql("l2"),
+        "doc_bpe_roundtrip": _DOC_BPE_ROUNDTRIP_SQL,
+        # union of streaming micro-batches ≡ exact flat oracle
+        "stream_flat_topk": _flat_topk_sql("l2"),
     }

@@ -391,12 +391,23 @@ def main() -> None:
             }
             fpool.close()
 
-        t0 = time.monotonic()
-        bivf = build_ivf(bvec, nlist=bl_nlist, seed=42, train_fraction=bl_tf)
-        bivf.assignments.cache().count()
-        build_s = round(time.monotonic() - t0, 4)
+        # build best-of-N with the range IN the artifact: the box's
+        # hypervisor throttling swings identical builds up to 4.5x
+        # (r3: 3.9s clean vs 17.6s driver window), so a single-run
+        # build_sec cannot gate a +50% regression check. N=3 when big.
+        build_times = []
+        bivf = None
+        for _ in range(3 if big else 1):
+            if bivf is not None:
+                bivf.assignments.unpersist()
+            t0 = time.monotonic()
+            bivf = build_ivf(bvec, nlist=bl_nlist, seed=42, train_fraction=bl_tf)
+            bivf.assignments.cache().count()
+            build_times.append(round(time.monotonic() - t0, 4))
         sec, res = bsearch(lambda: search_ivf(bivf, bq, k=K, nprobe=10))
-        baseline["ivf"] = {"build_sec": build_s, "search_sec": sec,
+        baseline["ivf"] = {"build_sec": min(build_times),
+                           "build_sec_range": [min(build_times), max(build_times)],
+                           "search_sec": sec,
                            "qps_batch": round(bn_q / sec, 1), "recall": brec(res, truth),
                            "nlist": bl_nlist, "nprobe": 10, "memory_mb": mem_mb(bivf)}
 
@@ -821,7 +832,8 @@ def main() -> None:
         json.dump(full, f, indent=1)
 
     def _compact_row(row: dict) -> dict:
-        keep = {"build_sec": "b", "search_sec": "s", "qps_batch": "q",
+        keep = {"build_sec": "b", "build_sec_range": "br",
+                "search_sec": "s", "qps_batch": "q",
                 "recall": "r", "nprobe": "np", "refine": "rf",
                 "multiprobe": "mp", "n_queries": "nq",
                 "substituted_by": "sub"}
@@ -829,9 +841,35 @@ def main() -> None:
         for k, short in keep.items():
             if k in row:
                 v = row[k]
-                out[short] = round(v, 2) if isinstance(v, float) else v
+                if isinstance(v, float):
+                    v = round(v, 2)
+                elif isinstance(v, list):
+                    v = [round(x, 1) for x in v]
+                out[short] = v
         return out
 
+    # The driver records only the LAST ~2000 chars of stdout; a line
+    # longer than that loses its opening brace and "parsed" lands as
+    # null (r2 and r3 both did). So the tail is TWO lines: an extras
+    # line first (sacrificial — may be cut from the front), then a
+    # final pure-JSON headline line budgeted well under 2000 chars.
+    HEADLINE = [
+        "flat", "flat_batch10k", "ivf", "ivf_tuned", "pq",
+        "ivfpq", "ivfpq_tuned_refined100", "lsh", "hnsw",
+        "hnsw_sharded", "hnsw_sharded_tuned", "hnsw_routed_cl_np8",
+        "ivf_local", "ivf_local_mp_batch10k",
+        "ivf_local_mp_clustered_batch10k",
+        "ivf_local_mp_clustered_np2_batch10k",
+    ]
+    extras = {
+        "legend": "b=build_sec br=build range s=search_sec q=qps_batch "
+                  "r=recall np=nprobe rf=refine mp=multiprobe "
+                  "nq=n_queries(default 1000) sub=substituted_by",
+        "baseline_extra": {
+            k: _compact_row(v) for k, v in baseline.items()
+            if k not in HEADLINE and k != "workload"
+        },
+    }
     compact = {
         "metric": "e2e_total_sec",
         "value": total,
@@ -844,11 +882,19 @@ def main() -> None:
             "full": "BENCH_full.json",
         },
         "baseline_n": baseline_n,
-        "legend": "b=build_sec s=search_sec q=qps_batch r=recall "
-                  "np=nprobe rf=refine mp=multiprobe nq=n_queries",
-        "baseline": {k: _compact_row(v) for k, v in baseline.items()},
+        "baseline": {
+            k: _compact_row(baseline[k]) for k in HEADLINE if k in baseline
+        },
     }
+    print(json.dumps(extras, separators=(",", ":")))
     line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # hard budget: never overflow the tail again
+        compact["baseline"] = {
+            k: _compact_row(baseline[k]) for k in HEADLINE[:10]
+            if k in baseline
+        }
+        compact["baseline_truncated"] = True
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
     sys.stdout.flush()
     shutil.rmtree(art_root, ignore_errors=True)

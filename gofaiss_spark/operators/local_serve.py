@@ -55,8 +55,12 @@ def _pool():
         from concurrent.futures import ThreadPoolExecutor
 
         cap = _MAX_CHUNKS if _MAX_CHUNKS is not None else 32
+        # Inside a pool worker (_MAX_CHUNKS set) honor worker_threads
+        # exactly — worker_threads=1 must mean ONE serving thread so the
+        # default 32x1 topology stays at the machine's core count.
+        floor = 1 if _MAX_CHUNKS is not None else 2
         _POOL = ThreadPoolExecutor(
-            max_workers=max(2, min(cap, _os.cpu_count() or 8)),
+            max_workers=max(floor, min(cap, _os.cpu_count() or 8)),
             thread_name_prefix="gofaiss-serve",
         )
     return _POOL
@@ -568,7 +572,10 @@ def _shm_export(arr: np.ndarray):
     from multiprocessing import shared_memory
 
     arr = np.ascontiguousarray(arr)
-    shm = shared_memory.SharedMemory(create=True, size=arr.nbytes)
+    # SharedMemory(size=0) is invalid — allocate 1 byte for empty
+    # arrays (e.g. an empty index, or the l2-only norms_sq slot) so
+    # they round-trip; _shm_attach reconstructs shape (0, ...) views.
+    shm = shared_memory.SharedMemory(create=True, size=max(1, arr.nbytes))
     view = np.ndarray(arr.shape, dtype=arr.dtype, buffer=shm.buf)
     view[:] = arr
     return shm, {"name": shm.name, "shape": list(arr.shape),
@@ -588,6 +595,23 @@ def _mp_worker_init(spec: dict) -> None:
     """Runs once in every spawned worker: attach the shared-memory
     index arrays (zero-copy) and cap this worker's thread fan-out."""
     global _WORKER_INDEX, _MAX_CHUNKS
+    import os as _os
+
+    # The BLAS thread cap must not depend on env inherited during the
+    # spawn window (a worker respawned later would miss it): set it
+    # here, in every worker, before any BLAS-heavy call. numpy is
+    # already imported at module load, so also apply a runtime limit
+    # when threadpoolctl is available.
+    wt = str(int(spec["worker_threads"]))
+    for kk in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+               "MKL_NUM_THREADS"):
+        _os.environ[kk] = wt
+    try:
+        from threadpoolctl import threadpool_limits
+
+        threadpool_limits(limits=int(spec["worker_threads"]))
+    except Exception:
+        pass
     arrays = {}
     for key, meta in spec["arrays"].items():
         shm, arr = _shm_attach(meta)
@@ -684,9 +708,16 @@ class LocalServerPool:
                 initializer=_mp_worker_init,
                 initargs=(spec,),
             )
-            # spawn + verify every worker now (first-search latency
-            # belongs to construction, not serving)
-            assert all(self._exe.map(_mp_ping, range(self.workers)))
+            # spawn + verify workers now (first-search latency belongs
+            # to construction, not serving). Explicit check — assert
+            # would vanish under ``python -O``. Late-spawned workers
+            # are still safe: the BLAS cap is applied inside
+            # _mp_worker_init, not via spawn-window env inheritance.
+            if not all(self._exe.map(_mp_ping, range(self.workers))):
+                raise RuntimeError(
+                    "LocalServerPool: a worker failed to attach the "
+                    "shared-memory index during eager spawn"
+                )
         except BaseException:
             self.close()
             raise
@@ -701,6 +732,9 @@ class LocalServerPool:
                nprobe: int | None = 10) -> tuple[np.ndarray, np.ndarray]:
         q = np.ascontiguousarray(qmat)
         nq = q.shape[0]
+        if nq == 0:
+            return (np.empty((0, k), dtype=np.int64),
+                    np.empty((0, k), dtype=np.float64))
         nchunks = max(1, min(self.workers * 2, nq))
         edges = np.linspace(0, nq, nchunks + 1, dtype=np.int64)
         futs = [
