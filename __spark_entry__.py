@@ -1393,6 +1393,55 @@ def _ivf_local_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_sharded_exec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-colocated sharded serving (operators/shard_serve.py
+    ShardedSearcher): the IVF index is persisted as a 3-shard
+    partitioned artifact, each serving task pins its shard's CSR
+    arrays in a worker-level cache, queries broadcast, and the driver
+    merges per-shard top-k. Run at nprobe = nlist (every cell of
+    every shard scanned) the merged result is provably identical to
+    exact flat search, so the flat SQL oracle applies — the driver
+    gate for the scale-out serving tier (the answer to 'what happens
+    when the index stops fitting one node')."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from gofaiss_spark.operators.ivf import build_ivf
+    from gofaiss_spark.operators.shard_serve import (
+        ShardedSearcher,
+        save_sharded,
+    )
+
+    idx = build_ivf(_vectors(spark, sf_dir), nlist=10, metric="l2", seed=42)
+    tmp = tempfile.mkdtemp(prefix="gofaiss_shard_topk_")
+    try:
+        save_sharded(idx, tmp, num_shards=3)
+        srv = ShardedSearcher(spark, tmp)
+        qp = (
+            _queries_df(spark, sf_dir, N_TOPK_QUERIES)
+            .orderBy("query_id")
+            .toPandas()
+        )
+        qids = qp["query_id"].to_numpy(dtype=np.int64)
+        qmat = np.stack(qp["qvec"].to_numpy())
+        ids, d = srv.search(qmat, k=TOPK_K, nprobe=srv.meta["nlist"])
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, ids.shape[1]),
+                "id": ids.ravel(),
+                "distance": np.round(d.ravel(), 6),
+            }
+        )
+        return spark.createDataFrame(
+            out, schema="query_id long, id long, distance double"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _IVF_FULLPROBE_SQL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {{n}}
@@ -4252,6 +4301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-4 queries (prepended per the standing rule) ---
         "doc_bpe_roundtrip": _doc_bpe_roundtrip,
         "stream_flat_topk": _stream_flat_topk,
+        "ivf_sharded_exec_topk": _ivf_sharded_exec_topk,
         # --- round-2 surface, all driver-verified green in r03 ---
         "multimodal_stats": _multimodal_stats,
         "sq_topk": _sq_topk,
@@ -4514,4 +4564,7 @@ GROUP BY label, g.i
         "doc_bpe_roundtrip": _DOC_BPE_ROUNDTRIP_SQL,
         # union of streaming micro-batches ≡ exact flat oracle
         "stream_flat_topk": _flat_topk_sql("l2"),
+        # full-probe sharded serving ≡ exact flat (per-shard top-k
+        # union contains the global top-k; identical f64 distances)
+        "ivf_sharded_exec_topk": _flat_topk_sql("l2"),
     }
