@@ -501,6 +501,57 @@ def main() -> None:
             }
             lpool.close()
 
+            # executor-colocated sharded serving (shard_serve.py):
+            # the scale-out tier — W serving tasks, each pinning one
+            # shard's CSR arrays in its python worker's cache, queries
+            # broadcast, driver merges per-shard top-k. Simulates W
+            # shard executors on local[32]; the regime where the index
+            # exceeds one node's RAM and the single-node pool can't go.
+            import shutil as _sh
+            import tempfile as _tf
+
+            from gofaiss_spark.operators.shard_serve import (
+                ShardedSearcher,
+                save_sharded,
+            )
+
+            shard_dir = _tf.mkdtemp(prefix="gofaiss_bench_shards_")
+            try:
+                n_sh = 4
+                t0 = time.monotonic()
+                save_sharded(bivf, shard_dir, num_shards=n_sh)
+                sh_build = round(time.monotonic() - t0, 4)
+                srv = ShardedSearcher(spark, shard_dir)
+                srv.search(lq10k[:128], k=K, nprobe=50)  # cold load
+                srv.search(lq10k[:128], k=K, nprobe=50)  # warm
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.monotonic()
+                    shids, _d = srv.search(lq10k, k=K, nprobe=50)
+                    best = min(best, time.monotonic() - t0)
+                rec = float(np.mean([
+                    len(set(shids[i]) & set(t10k[i])) / K
+                    for i in range(len(lq10k))
+                ]))
+                baseline["ivf_shard_exec_batch10k"] = {
+                    "search_sec": round(best, 4),
+                    "qps_batch": round(len(lq10k) / best, 1),
+                    "recall": round(rec, 4),
+                    "nlist": bl_nlist, "nprobe": 50,
+                    "n_queries": len(lq10k), "num_shards": n_sh,
+                    "artifact_write_sec": sh_build,
+                    "note": (
+                        "executor-colocated sharded serving "
+                        "(operators/shard_serve.py): per-shard worker-"
+                        "cached CSR, broadcast queries, driver top-k "
+                        "merge — bit-identical to the single-node index "
+                        "(tests/test_shard_serve.py); the tier that "
+                        "holds when the index outgrows one node"
+                    ),
+                }
+            finally:
+                _sh.rmtree(shard_dir, ignore_errors=True)
+
         bivf.assignments.unpersist()
         t0 = time.monotonic()
         bpq = build_pq(bvec, m=16, nbits=8, seed=42, train_fraction=bl_tf)
@@ -799,6 +850,122 @@ def main() -> None:
                           "(same per-shard insert/search algorithm)",
             }
 
+    # --- 1M-vector anchor rows (verify the 100k→100 TB extrapolation
+    # with a real order-of-magnitude step; the scale where the
+    # reference's 16 GB box gives out). Same workload shape, n=1M.
+    if baseline_n >= 100_000 and os.environ.get(
+            "SPARK_GRAFT_BASELINE_1M", "1") != "0":
+        import math
+
+        import numpy as np
+
+        from gofaiss_spark.operators.local_serve import (
+            LocalServerPool,
+            to_local_ivf,
+        )
+
+        n1m = 1_000_000
+        bvec1m = generate_random_vectors(spark, n1m, 128, 52).cache()
+        bvec1m.count()
+        # interleaved 100k re-measure in the SAME window so the
+        # scaling ratio below isn't two different throttle states
+        sec100, _r100 = bsearch(lambda: search_flat(bvec, bq, k=K))
+        sec, truth1m = bsearch(lambda: search_flat(bvec1m, bq, k=K))
+        baseline["flat_1m"] = {
+            "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+            "recall": 1.0, "n_vectors": n1m,
+            "flat_100k_interleaved_sec": sec100,
+            "memory_mb": round(n1m * 128 * 4 / 2**20, 2),
+        }
+        t0 = time.monotonic()
+        bivf1m = build_ivf(bvec1m, nlist=1000, seed=42,
+                           train_fraction=5000.0 / n1m)
+        bivf1m.assignments.cache().count()
+        b1m_build = round(time.monotonic() - t0, 4)
+        sec, res = bsearch(lambda: search_ivf(bivf1m, bq, k=K, nprobe=10))
+        baseline["ivf_1m"] = {
+            "build_sec": b1m_build, "search_sec": sec,
+            "qps_batch": round(bn_q / sec, 1),
+            "recall": brec(res, truth1m),
+            "nlist": 1000, "nprobe": 10, "n_vectors": n1m,
+        }
+        sec, res = bsearch(lambda: search_ivf(bivf1m, bq, k=K, nprobe=100))
+        baseline["ivf_1m_np100"] = {
+            "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+            "recall": brec(res, truth1m),
+            "nlist": 1000, "nprobe": 100, "n_vectors": n1m,
+        }
+        # single-node serving pool at 1M (512 MB of vectors in shm)
+        t0 = time.monotonic()
+        l1m = to_local_ivf(bivf1m)
+        collect_s = round(time.monotonic() - t0, 4)
+        p1m = LocalServerPool(l1m)
+        rngq = np.random.default_rng(43)
+        lq10k_1m = rngq.random((10_000, 128), dtype=np.float32)
+        p1m.search(lq10k_1m[:128], k=K, nprobe=100)  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            pids, _pd_ = p1m.search(lq10k_1m, k=K, nprobe=100)
+            best = min(best, time.monotonic() - t0)
+        # exact recall on the first 1k queries (full probe = exact)
+        tr_ids, _tr = p1m.search(lq10k_1m[:1000], k=K, nprobe=l1m.nlist)
+        rec = float(np.mean([
+            len(set(pids[i]) & set(tr_ids[i])) / K for i in range(1000)
+        ]))
+        baseline["ivf_local_mp_1m_batch10k"] = {
+            "search_sec": round(best, 4),
+            "qps_batch": round(len(lq10k_1m) / best, 1),
+            "recall": round(rec, 4),
+            "nlist": 1000, "nprobe": 100, "n_queries": len(lq10k_1m),
+            "n_vectors": n1m, "collect_sec": collect_s,
+            "workers": p1m.workers,
+        }
+        p1m.close()
+        t0 = time.monotonic()
+        blsh1m = build_lsh(bvec1m, num_hash_tables=4)
+        blsh1m.buckets.cache().count()
+        lsh1m_build = round(time.monotonic() - t0, 4)
+        sec, res = bsearch(lambda: search_lsh(blsh1m, bq, k=K, multiprobe=1))
+        baseline["lsh_1m"] = {
+            "build_sec": lsh1m_build, "search_sec": sec,
+            "qps_batch": round(bn_q / sec, 1),
+            "recall": brec(res, truth1m),
+            "num_hash_tables": 4, "multiprobe": 1, "n_vectors": n1m,
+        }
+        blsh1m.buckets.unpersist()
+        bivf1m.assignments.unpersist()
+        bvec1m.unpersist()
+        # measured scaling exponent for 10x n. The flat ratio is
+        # interleaved (100k re-measured seconds before the 1M arm,
+        # same throttle window — the only honest single-run ratio on
+        # this box); ivf/lsh ratios compare across the run and carry
+        # the window caveat. Ideal linear work = ratio 10
+        # (exponent 1.0 per decade).
+        ratios = {
+            "flat_interleaved": {
+                "time_ratio_1m_vs_100k": round(
+                    baseline["flat_1m"]["search_sec"] / max(1e-9, sec100), 2),
+                "exponent_per_decade": round(math.log10(
+                    baseline["flat_1m"]["search_sec"] / max(1e-9, sec100)), 3),
+            },
+        }
+        for a, b in (("ivf", "ivf_1m"), ("lsh", "lsh_1m")):
+            if a in baseline and b in baseline:
+                r = baseline[b]["search_sec"] / max(
+                    1e-9, baseline[a]["search_sec"])
+                ratios[a + "_cross_window"] = {
+                    "time_ratio_1m_vs_100k": round(r, 2),
+                    "exponent_per_decade": round(math.log10(r), 3),
+                }
+        baseline["scaling_1m"] = {
+            "note": "search-time ratio for 10x n (1M vs 100k); "
+                    "flat_interleaved is same-window (honest), "
+                    "*_cross_window spans throttle states; linear "
+                    "work = ratio 10 (exponent 1)",
+            **ratios,
+        }
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     total = round(sum(timings.values()), 4)
@@ -866,7 +1033,9 @@ def main() -> None:
                   "r=recall np=nprobe rf=refine mp=multiprobe "
                   "nq=n_queries(default 1000) sub=substituted_by",
         "baseline_extra": {
-            k: _compact_row(v) for k, v in baseline.items()
+            # scaling_1m has no standard row keys — pass it verbatim
+            k: (v if k == "scaling_1m" else _compact_row(v))
+            for k, v in baseline.items()
             if k not in HEADLINE and k != "workload"
         },
     }
