@@ -236,9 +236,25 @@ class ShardedSearcher:
         sc = self.spark.sparkContext
         bq = sc.broadcast(q)
 
+        w = self.meta["num_shards"]
+
         def part(pdfs):
+            import os as _os
+
             import pandas as pd
 
+            from gofaiss_spark.operators import local_serve as _ls
+
+            # cap this task's kernel thread fan-out so W concurrent
+            # shard tasks on one host don't oversubscribe its cores
+            # (on a real cluster W spans executors and the cap is the
+            # executor's own core count; local[W] simulation shares
+            # one box). _MAX_CHUNKS is consumed lazily by the serving
+            # thread pool on its first use in this worker.
+            if _ls._MAX_CHUNKS is None:
+                _ls._MAX_CHUNKS = max(
+                    1, (_os.cpu_count() or 8) // max(1, min(w, 8))
+                )
             qv = bq.value
             for pdf in pdfs:
                 for sid in pdf["shard_id"]:

@@ -198,3 +198,28 @@ class TestServerPool:
 
         with pytest.raises(TypeError):
             LocalServerPool(object())
+
+    def test_pool_empty_query_batch(self, ivf_local):
+        from gofaiss_spark.operators.local_serve import LocalServerPool
+
+        with LocalServerPool(ivf_local, workers=2) as pool:
+            ids, d = pool.search(
+                np.empty((0, 24), dtype=np.float32), k=5, nprobe=4
+            )
+        assert ids.shape == (0, 5) and d.shape == (0, 5)
+        assert ids.dtype == np.int64 and d.dtype == np.float64
+
+    def test_shm_export_empty_array(self):
+        from gofaiss_spark.operators.local_serve import (
+            _shm_attach,
+            _shm_export,
+        )
+
+        shm, meta = _shm_export(np.empty((0, 24), dtype=np.float32))
+        try:
+            shm2, arr = _shm_attach(meta)
+            assert arr.shape == (0, 24) and arr.dtype == np.float32
+            shm2.close()
+        finally:
+            shm.close()
+            shm.unlink()
