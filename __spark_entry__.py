@@ -1419,15 +1419,17 @@ def _ivf_sharded_exec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="gofaiss_shard_topk_")
     try:
         save_sharded(idx, tmp, num_shards=3)
-        srv = ShardedSearcher(spark, tmp)
-        qp = (
-            _queries_df(spark, sf_dir, N_TOPK_QUERIES)
-            .orderBy("query_id")
-            .toPandas()
-        )
-        qids = qp["query_id"].to_numpy(dtype=np.int64)
-        qmat = np.stack(qp["qvec"].to_numpy())
-        ids, d = srv.search(qmat, k=TOPK_K, nprobe=srv.meta["nlist"])
+        # context manager: unlink the host shared-memory shard cache
+        # when done (segments outlive python workers by design)
+        with ShardedSearcher(spark, tmp) as srv:
+            qp = (
+                _queries_df(spark, sf_dir, N_TOPK_QUERIES)
+                .orderBy("query_id")
+                .toPandas()
+            )
+            qids = qp["query_id"].to_numpy(dtype=np.int64)
+            qmat = np.stack(qp["qvec"].to_numpy())
+            ids, d = srv.search(qmat, k=TOPK_K, nprobe=srv.meta["nlist"])
         out = pd.DataFrame(
             {
                 "query_id": np.repeat(qids, ids.shape[1]),

@@ -522,13 +522,16 @@ def main() -> None:
                 save_sharded(bivf, shard_dir, num_shards=n_sh)
                 sh_build = round(time.monotonic() - t0, 4)
                 srv = ShardedSearcher(spark, shard_dir)
-                srv.search(lq10k[:128], k=K, nprobe=50)  # cold load
-                srv.search(lq10k[:128], k=K, nprobe=50)  # warm
-                best = float("inf")
-                for _ in range(3):
-                    t0 = time.monotonic()
-                    shids, _d = srv.search(lq10k, k=K, nprobe=50)
-                    best = min(best, time.monotonic() - t0)
+                try:
+                    srv.search(lq10k[:128], k=K, nprobe=50)  # cold load
+                    srv.search(lq10k[:128], k=K, nprobe=50)  # warm
+                    best = float("inf")
+                    for _ in range(3):
+                        t0 = time.monotonic()
+                        shids, _d = srv.search(lq10k, k=K, nprobe=50)
+                        best = min(best, time.monotonic() - t0)
+                finally:
+                    srv.close()  # unlink the host shm shard cache
                 rec = float(np.mean([
                     len(set(shids[i]) & set(t10k[i])) / K
                     for i in range(len(lq10k))
@@ -539,12 +542,15 @@ def main() -> None:
                     "recall": round(rec, 4),
                     "nlist": bl_nlist, "nprobe": 50,
                     "n_queries": len(lq10k), "num_shards": n_sh,
+                    "slices_per_shard": srv.slices,
                     "artifact_write_sec": sh_build,
                     "note": (
                         "executor-colocated sharded serving "
-                        "(operators/shard_serve.py): per-shard worker-"
-                        "cached CSR, broadcast queries, driver top-k "
-                        "merge — bit-identical to the single-node index "
+                        "(operators/shard_serve.py): per-shard CSR "
+                        "pinned in HOST shared memory (survives python-"
+                        "worker churn), W×G single-threaded slice "
+                        "tasks, broadcast queries, driver top-k merge "
+                        "— bit-identical to the single-node index "
                         "(tests/test_shard_serve.py); the tier that "
                         "holds when the index outgrows one node"
                     ),
@@ -922,6 +928,51 @@ def main() -> None:
             "workers": p1m.workers,
         }
         p1m.close()
+        # executor-sharded serving at 1M — the tier's design case:
+        # no driver collect (the pool paid collect_sec above); the
+        # artifact is written once and every host serves its shards
+        # from host shared memory thereafter.
+        import shutil as _sh1
+        import tempfile as _tf1
+
+        from gofaiss_spark.operators.shard_serve import (
+            ShardedSearcher as _ShSearcher,
+        )
+        from gofaiss_spark.operators.shard_serve import (
+            save_sharded as _save_sharded,
+        )
+
+        shard_dir1m = _tf1.mkdtemp(prefix="gofaiss_bench_shards1m_")
+        try:
+            t0 = time.monotonic()
+            _save_sharded(bivf1m, shard_dir1m, num_shards=8)
+            sh1m_write = round(time.monotonic() - t0, 4)
+            srv1m = _ShSearcher(spark, shard_dir1m)
+            try:
+                srv1m.search(lq10k_1m[:128], k=K, nprobe=100)  # cold
+                srv1m.search(lq10k_1m[:128], k=K, nprobe=100)  # warm
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.monotonic()
+                    shids1m, _d1 = srv1m.search(lq10k_1m, k=K, nprobe=100)
+                    best = min(best, time.monotonic() - t0)
+            finally:
+                srv1m.close()
+            rec = float(np.mean([
+                len(set(shids1m[i]) & set(tr_ids[i])) / K
+                for i in range(1000)
+            ]))
+            baseline["ivf_shard_exec_1m_batch10k"] = {
+                "search_sec": round(best, 4),
+                "qps_batch": round(len(lq10k_1m) / best, 1),
+                "recall": round(rec, 4),
+                "nlist": 1000, "nprobe": 100,
+                "n_queries": len(lq10k_1m), "n_vectors": n1m,
+                "num_shards": 8, "slices_per_shard": srv1m.slices,
+                "artifact_write_sec": sh1m_write,
+            }
+        finally:
+            _sh1.rmtree(shard_dir1m, ignore_errors=True)
         t0 = time.monotonic()
         blsh1m = build_lsh(bvec1m, num_hash_tables=4)
         blsh1m.buckets.cache().count()
@@ -962,7 +1013,12 @@ def main() -> None:
             "note": "search-time ratio for 10x n (1M vs 100k); "
                     "flat_interleaved is same-window (honest), "
                     "*_cross_window spans throttle states; linear "
-                    "work = ratio 10 (exponent 1)",
+                    "work = ratio 10 (exponent 1). Ratios near or "
+                    "below 1 mean the 100k side is scheduling-bound "
+                    "(~1s distributed-job floor at this size), not "
+                    "that work scales sublinearly — the floor hides "
+                    "the compute term until n is large enough to "
+                    "dominate it",
             **ratios,
         }
 
@@ -1027,6 +1083,8 @@ def main() -> None:
         "ivf_local", "ivf_local_mp_batch10k",
         "ivf_local_mp_clustered_batch10k",
         "ivf_local_mp_clustered_np2_batch10k",
+        "ivf_shard_exec_batch10k", "ivf_shard_exec_1m_batch10k",
+        "flat_1m",
     ]
     extras = {
         "legend": "b=build_sec br=build range s=search_sec q=qps_batch "

@@ -334,11 +334,21 @@ class LocalIvfIndex:
         else:
             do_probe(0, nq)
 
-        # stage 2 — candidate pool (nq, nprobe·k2): each (query, probe
-        # rank) owns a disjoint slot block, so per-cell writes are
+        # stage 2 — candidate pool: each (query, PRESENT probe rank)
+        # owns a disjoint k2-slot block, so per-cell writes are
         # race-free and the cell loops thread cleanly (GEMM + numpy
-        # reductions release the GIL)
-        pool_w = np_ * k2
+        # reductions release the GIL). Ranks are dense over cells
+        # present in THIS index: on a full index that is just the
+        # probe rank (pool width nprobe·k2, unchanged), but a
+        # list-sharded replica holds ~nlist/W of the probed cells and
+        # a full-width pool is mostly memset traffic (at 1M/8 shards/
+        # nprobe=100 the pool shrinks ~4× and the per-task np.full
+        # cost with it).
+        present = self.offsets[1:] > self.offsets[:-1]
+        pc = present[cells]  # (nq, np_) bool
+        prank = np.cumsum(pc, axis=1) - 1  # dense rank where pc
+        npp = max(1, int(pc.sum(axis=1).max(initial=0)))
+        pool_w = npp * k2
         pool_s = np.full((nq, pool_w), np.inf, dtype=np.float32)
         pool_i = np.full((nq, pool_w), -1, dtype=np.int64)
         slot = np.arange(k2)
@@ -367,7 +377,16 @@ class LocalIvfIndex:
         # ~55% of a serial 10k-query batch; the compare is ~20×
         # cheaper per element).
         bound = np.full(nq, np.inf, dtype=np.float32)
-        flat0 = cells[:, 0]
+        # The bound provider is each query's nearest PRESENT cell:
+        # on a full index that is cells[:, 0] (rank 0), but a
+        # list-sharded serving replica (operators/shard_serve.py)
+        # holds only nlist/W cells — rank 0 is usually empty there,
+        # and an inf bound collapses pass B into per-row introselect
+        # over every scored cell (measured 10× on the 1M/8-shard
+        # workload). Any present cell's k2-th best upper-bounds this
+        # index's k2-th best, so the bound stays valid shard-locally.
+        first = np.argmax(pc, axis=1)  # first present rank (0 if none)
+        flat0 = cells[np.arange(nq), first]
         order0 = np.argsort(flat0, kind="stable")
         b0 = np.searchsorted(flat0[order0], np.arange(nlist + 1))
 
@@ -385,6 +404,8 @@ class LocalIvfIndex:
             else:
                 p = np.broadcast_to(np.arange(w), (sc.shape[0], w))
             psc = np.take_along_axis(sc, p, axis=1)
+            # each query's first present rank is dense rank 0, so
+            # pass A always writes slot block 0
             pool_s[qidx[:, None], slot[None, :kk]] = psc
             pool_i[qidx[:, None], slot[None, :kk]] = p + s0
             if w >= k2:
@@ -397,10 +418,15 @@ class LocalIvfIndex:
         # to per-row top-k2 selection only for rows where the bound
         # kept more than k2 (small/unbounded nearest cells)
         if np_ > 1:
-            flat_b = cells[:, 1:].ravel()
+            # every PRESENT (query, rank) pair except each query's
+            # pass-A rank; absent cells have no rows to score
+            ranks = np.broadcast_to(np.arange(np_), (nq, np_))
+            keep = pc & (ranks != first[:, None])
+            qq, rr = np.nonzero(keep)
+            flat_b = cells[qq, rr]
             order_b = np.argsort(flat_b, kind="stable")
-            qidx_b = order_b // (np_ - 1)
-            rank_b = order_b % (np_ - 1) + 1
+            qidx_b = qq[order_b]
+            rank_b = prank[qq, rr][order_b]  # dense slot-block index
             bnds = np.searchsorted(flat_b[order_b], np.arange(nlist + 1))
         else:
             bnds = np.zeros(nlist + 1, dtype=np.int64)
