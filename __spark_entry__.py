@@ -2419,6 +2419,69 @@ def _stream_flat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second driver row for the streaming surface: the events table
+    arrives as a 4-file parquet stream (maxFilesPerTrigger=1 → 4
+    micro-batches under availableNow) into windowed_event_agg
+    (streaming/ops.py) — hourly tumbling windows per event type with
+    a watermark. The sink runs in COMPLETE mode, so the final state
+    re-emits every window regardless of micro-batch composition or
+    file ordering and must hash-equal the plain batch GROUP BY — the
+    streaming twin of events_hourly (append mode emits only
+    watermark-closed windows, a nondeterministic subset; complete
+    mode is the deterministic driver gate)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from gofaiss_spark.sources.readers import load_events
+    from gofaiss_spark.streaming.ops import windowed_event_agg
+
+    ev = load_events(spark, sf_dir).select("ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="gofaiss_stream_win_")
+    sink = f"stream_win_{uuid.uuid4().hex[:8]}"
+    try:
+        src = f"{tmp}/src"
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = windowed_event_agg(stream, window="1 hour",
+                                 watermark="2 hours")
+        q = (
+            agg.writeStream.format("memory").queryName(sink)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stream_event_windows: stream did not finish")
+        out = spark.table(sink).select(
+            "event_type",
+            F.date_format("window_start", "yyyy-MM-dd HH").alias("hour"),
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.catalog.dropTempView(sink) if sink in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_STREAM_EVENT_WINDOWS_SQL = """
+SELECT event_type,
+       strftime(ts, '%Y-%m-%d %H') AS hour,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type, strftime(ts, '%Y-%m-%d %H')
+"""
+
+
 def _pii_injected_expr():
     """Deterministic synthetic PII appended to each doc (the corpus
     text itself contains none): an email, a phone and an IPv4 derived
@@ -4292,6 +4355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-verified to fill the window. All remain regression-guarded by
     the local sf0.001 DuckDB oracle suite (tests/test_entry_oracle.py)."""
     return {
+        # --- new round-4 queries (prepended per the standing rule) ---
+        "stream_event_windows": _stream_event_windows,
         # --- round-3 queries that missed the r3 window (verdict item 1) ---
         "doc_ppl_buckets": _doc_ppl_buckets,
         "doc_dsir_resample": _doc_dsir_resample,
@@ -4566,6 +4631,7 @@ GROUP BY label, g.i
         "doc_bpe_roundtrip": _DOC_BPE_ROUNDTRIP_SQL,
         # union of streaming micro-batches ≡ exact flat oracle
         "stream_flat_topk": _flat_topk_sql("l2"),
+        "stream_event_windows": _STREAM_EVENT_WINDOWS_SQL,
         # full-probe sharded serving ≡ exact flat (per-shard top-k
         # union contains the global top-k; identical f64 distances)
         "ivf_sharded_exec_topk": _flat_topk_sql("l2"),
