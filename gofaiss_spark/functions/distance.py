@@ -133,6 +133,49 @@ def squared_distance_col(metric: str, a, b) -> Column:
 # NumPy batch kernels (pandas-UDF backend)
 # ---------------------------------------------------------------------------
 
+_F32_EPS = float(np.finfo(np.float32).eps)  # 2^-23
+
+
+def f32_select_margin(
+    metric: str, dim: int, bmax: float, qnorms: np.ndarray
+) -> np.ndarray:
+    """Per-query upper bound on the absolute error of the f32
+    candidate-RANKING surrogate score relative to its exact value.
+
+    The top-k kernels (operators/topk.py, operators/local_serve.py)
+    rank candidates with a single-precision GEMM and exactly re-score
+    only the survivors; that is identical to a full f64 scan ONLY if
+    no true top-k member's f32 score falls past the selection
+    boundary. This bound makes the cut checkable: if the f32 gap
+    between the selection pivot and the k-th-best survivor exceeds
+    2x this margin, no rejected candidate can outrank a survivor in
+    exact arithmetic, so the selection is provably exact; otherwise
+    the kernels fall back to an exact f64 ranking for the affected
+    queries.
+
+    Derivation (standard forward-error bounds, Higham ch. 3): an f32
+    dot product of length-d vectors has error <= gamma_d*|x||y| with
+    gamma_d ~ d*u (u = 2^-23); rounding each operand to f32 adds
+    ~2u*|x||y|; the l2 surrogate ``|b|^2 - 2<b,q>`` adds the |b|^2
+    accumulation and one subtraction. (dim + 8)*u covers all terms —
+    conservative, since BLAS blocked accumulation errs ~log2(d)*u in
+    practice; a too-large margin only costs rare exact-path
+    fallbacks, never correctness.
+
+    ``bmax`` is the max base-row norm in the scored block, ``qnorms``
+    the query norms (array). Returns a float64 array shaped like
+    ``qnorms``.
+    """
+    q = np.asarray(qnorms, dtype=np.float64)
+    c = _F32_EPS * (dim + 8)
+    if metric == "l2":
+        return c * (bmax * bmax + 2.0 * bmax * q)
+    if metric == "dot":
+        return c * (bmax * q)
+    # cosine: unit vectors after the two f32 normalizations (each
+    # <= (dim/2 + 2)*u relative) plus the unit dot product
+    return np.full(q.shape, _F32_EPS * (2.0 * dim + 16.0))
+
 
 def np_distance_matrix(base: np.ndarray, queries: np.ndarray, metric: str) -> np.ndarray:
     """(n_base, n_query) distance matrix in float64 via BLAS.

@@ -27,7 +27,10 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from gofaiss_spark.functions.distance import validate_metric
+from gofaiss_spark.functions.distance import (
+    f32_select_margin,
+    validate_metric,
+)
 
 __all__ = [
     "LocalFlatIndex",
@@ -74,6 +77,47 @@ def _fanout(default_cap: int = 16) -> int:
     return min(default_cap, _os.cpu_count() or 8)
 
 
+# observability: (query, block) pairs that took the exact-f64 fallback
+# because the f32 selection margin could not prove the cut exact —
+# read by tests to assert the guard actually fires on adversarial data
+GUARD_FALLBACKS = 0
+
+
+def _exact_scan_topk(vecs: np.ndarray, ids: np.ndarray, metric: str,
+                     q64: np.ndarray, kk: int,
+                     row_sel: np.ndarray | None = None,
+                     tile: int = 262144) -> np.ndarray:
+    """Exact f64 top-``kk`` ROW POSITIONS for one query, ascending
+    (distance, id) — the margin-guard fallback path shared by
+    LocalFlatIndex / LocalIvfIndex. Tiled so the f64 cast never
+    materializes more than ``tile`` rows; cosine assumes the local
+    tiers' pre-normalized rows (same formula as their re-score)."""
+    global GUARD_FALLBACKS
+    GUARD_FALLBACKS += 1
+    n = vecs.shape[0] if row_sel is None else len(row_sel)
+    best_d = np.empty(0, dtype=np.float64)
+    best_id = np.empty(0, dtype=np.int64)
+    best_pos = np.empty(0, dtype=np.int64)
+    for t0 in range(0, n, tile):
+        te = min(t0 + tile, n)
+        pos = (np.arange(t0, te, dtype=np.int64) if row_sel is None
+               else np.asarray(row_sel[t0:te], dtype=np.int64))
+        vb = vecs[pos].astype(np.float64)
+        if metric == "l2":
+            diff = vb - q64
+            d = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+        elif metric == "cosine":
+            d = 1.0 - np.clip(vb @ q64, -1.0, 1.0)
+        else:
+            d = -(vb @ q64)
+        cd = np.concatenate([best_d, d])
+        cid = np.concatenate([best_id, ids[pos]])
+        cpos = np.concatenate([best_pos, pos])
+        o = np.lexsort((cid, cd))[:kk]
+        best_d, best_id, best_pos = cd[o], cid[o], cpos[o]
+    return best_pos
+
+
 @dataclass
 class LocalFlatIndex:
     ids: np.ndarray  # (n,) int64
@@ -97,7 +141,10 @@ class LocalFlatIndex:
         non-GEMM numpy ops release the GIL). f32 generates the
         top-(k+16) candidates; an exact f64 re-score makes reported
         distances and orderings identical to the distributed kernel
-        (the refine_exact pattern)."""
+        (the refine_exact pattern). The f32 cut is margin-guarded
+        (f32_select_margin): queries whose selection gap cannot be
+        proven larger than the f32 error bound fall back to an exact
+        f64 ranking, so the identity holds by construction."""
         q = np.ascontiguousarray(qmat, dtype=np.float32)
         if self.metric == "cosine":
             qn = np.linalg.norm(q, axis=1, keepdims=True)
@@ -188,6 +235,26 @@ class LocalFlatIndex:
                 if best_s.shape[1] == k2:
                     bmax = best_s.max(axis=1)
                     bound = bmax + np.abs(bmax) * 1e-3 + 1e-3
+            # margin guard: survivors are the global top-k2 by f32
+            # score (pool invariant), so every rejected score >= the
+            # k2-th best survivor (P). If P minus the k-th best (T)
+            # exceeds 2x the f32 error bound, no rejected candidate
+            # can belong to the exact top-k; otherwise rank the
+            # affected query exactly in f64 — the cut is proven, not
+            # assumed (same contract as _local_topk_candidates).
+            if n > k2 and best_s.shape[1] == k2:
+                pmax = best_s.max(axis=1).astype(np.float64)
+                tk = (np.partition(best_s, k - 1, axis=1)[:, k - 1]
+                      .astype(np.float64) if k < k2 else pmax)
+                qn64 = np.linalg.norm(
+                    qb.astype(np.float64), axis=1)
+                err = f32_select_margin(
+                    self.metric, qb.shape[1], self._bmax(), qn64)
+                for r in np.flatnonzero(pmax - tk <= 2.0 * err):
+                    pos = _exact_scan_topk(
+                        self.vecs, self.ids, self.metric,
+                        qb[r].astype(np.float64), k2)
+                    best_i[r] = pos
             # exact f64 re-score of the surviving candidates
             cand = self.vecs[best_i].astype(np.float64)  # (b, k2, dim)
             qb64 = qb.astype(np.float64)
@@ -217,6 +284,17 @@ class LocalFlatIndex:
         if getattr(self, "_vt_cache", None) is None:
             self._vt_cache = np.ascontiguousarray(self.vecs.T)
         return self._vt_cache
+
+    def _bmax(self) -> float:
+        """Max base-row norm (margin-guard input). Cosine rows are
+        pre-normalized; norms_sq is computed for every metric at
+        build (to_local / _read_shard_arrays)."""
+        if getattr(self, "_bmax_cache", None) is None:
+            if self.metric == "cosine" or len(self.ids) == 0:
+                self._bmax_cache = 1.0
+            else:
+                self._bmax_cache = float(np.sqrt(self.norms_sq.max()))
+        return self._bmax_cache
 
 
 def to_local(index_or_vectors, vec_col: str = "vec",
@@ -286,6 +364,15 @@ class LocalIvfIndex:
     @property
     def nlist(self) -> int:
         return self.centroids.shape[0]
+
+    def _bmax(self) -> float:
+        """Max base-row norm (margin-guard input)."""
+        if getattr(self, "_bmax_cache", None) is None:
+            if self.metric == "cosine" or len(self.ids) == 0:
+                self._bmax_cache = 1.0
+            else:
+                self._bmax_cache = float(np.sqrt(self.norms_sq.max()))
+        return self._bmax_cache
 
     def search(self, qmat: np.ndarray, k: int = 10,
                nprobe: int = 10) -> tuple[np.ndarray, np.ndarray]:
@@ -508,6 +595,36 @@ class LocalIvfIndex:
             ps, pi = pool_s[s:e], pool_i[s:e]
             part = np.argpartition(ps, kk2 - 1, axis=1)[:, :kk2]
             rows = np.take_along_axis(pi, part, axis=1)
+            if k > 0:
+                # margin guard (same contract as LocalFlatIndex /
+                # _local_topk_candidates): the pool holds the global
+                # top-k2 by f32 among SCORED rows, so every scored-
+                # but-rejected candidate's f32 score >= P (the kk2-th
+                # smallest). An infinite P means nothing was rejected
+                # (underfull pool) — trivially safe. On violation,
+                # re-rank the query's probed cells exactly in f64.
+                psel = np.take_along_axis(ps, part, axis=1)
+                pmax = psel.max(axis=1).astype(np.float64)
+                kt = min(k, kk2)
+                tk = (np.partition(psel, kt - 1, axis=1)[:, kt - 1]
+                      .astype(np.float64) if kt < kk2
+                      else pmax)
+                qn64 = np.linalg.norm(q64[s:e], axis=1)
+                err = f32_select_margin(
+                    self.metric, q64.shape[1], self._bmax(), qn64)
+                unsafe = np.isfinite(pmax) & (pmax - tk <= 2.0 * err)
+                for r in np.flatnonzero(unsafe):
+                    g = s + r
+                    cs_p = cells[g][pc[g]]
+                    row_sel = (np.concatenate([
+                        np.arange(self.offsets[c], self.offsets[c + 1])
+                        for c in cs_p
+                    ]) if cs_p.size else np.empty(0, dtype=np.int64))
+                    pos = _exact_scan_topk(
+                        self.vecs, self.ids, self.metric, q64[g],
+                        kk2, row_sel=row_sel)
+                    rows[r, :len(pos)] = pos
+                    rows[r, len(pos):] = -1
             valid = rows >= 0
             rows_safe = np.where(valid, rows, 0)
             cand = self.vecs[rows_safe].astype(np.float64)
@@ -623,11 +740,15 @@ def _mp_worker_init(spec: dict) -> None:
     global _WORKER_INDEX, _MAX_CHUNKS
     import os as _os
 
-    # The BLAS thread cap must not depend on env inherited during the
-    # spawn window (a worker respawned later would miss it): set it
-    # here, in every worker, before any BLAS-heavy call. numpy is
-    # already imported at module load, so also apply a runtime limit
-    # when threadpoolctl is available.
+    # BLAS thread cap. PRIMARY mechanism: env inheritance during the
+    # spawn window (LocalServerPool.__init__ sets the vars before
+    # spawning) — numpy/BLAS read them at import, which in a spawned
+    # worker happens after this env is inherited. The env set below
+    # is belt-and-braces for exec'd children; it CANNOT retune the
+    # already-imported BLAS in this process — only threadpoolctl can,
+    # so a worker respawned outside the spawn window is capped only
+    # when threadpoolctl is importable (warn otherwise: the pool
+    # still returns correct results, just oversubscribed).
     wt = str(int(spec["worker_threads"]))
     for kk in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
                "MKL_NUM_THREADS"):
@@ -636,6 +757,16 @@ def _mp_worker_init(spec: dict) -> None:
         from threadpoolctl import threadpool_limits
 
         threadpool_limits(limits=int(spec["worker_threads"]))
+    except ImportError:
+        import warnings
+
+        warnings.warn(
+            "threadpoolctl not installed: a LocalServerPool worker "
+            "respawned after the spawn window keeps its inherited "
+            "BLAS thread count (results unaffected; may "
+            "oversubscribe cores)",
+            RuntimeWarning,
+        )
     except Exception:
         pass
     arrays = {}
@@ -736,9 +867,11 @@ class LocalServerPool:
             )
             # spawn + verify workers now (first-search latency belongs
             # to construction, not serving). Explicit check — assert
-            # would vanish under ``python -O``. Late-spawned workers
-            # are still safe: the BLAS cap is applied inside
-            # _mp_worker_init, not via spawn-window env inheritance.
+            # would vanish under ``python -O``. Eager spawn also means
+            # every worker imports numpy INSIDE the env window above,
+            # which is the primary BLAS-cap mechanism (threadpoolctl,
+            # when available, re-caps late-respawned workers too —
+            # see _mp_worker_init).
             if not all(self._exe.map(_mp_ping, range(self.workers))):
                 raise RuntimeError(
                     "LocalServerPool: a worker failed to attach the "

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from gofaiss_spark.functions.distance import (
     distance_col,
+    f32_select_margin,
     np_distance_matrix,
     validate_metric,
 )
@@ -117,6 +118,15 @@ def _local_topk_candidates(
     and half the memory traffic — the difference between riding out
     a throttled window and stalling in one.
 
+    The exactness claim is ENFORCED, not assumed: the f32 cut is
+    guarded by an error bound (f32_select_margin). Per query, if the
+    gap between the selection pivot (best rejected f32 score) and the
+    k-th-best survivor is not larger than twice the bound, the kernel
+    falls back to an exact f64 ranking of the whole batch for that
+    query — so pathological near-ties (clustered large-magnitude
+    vectors with gaps below f32 resolution, or exact duplicates tied
+    at the boundary) cannot silently drop a true neighbor.
+
     Large query batches are processed in column chunks so the (B, q)
     score matrix stays ~64 MB regardless of q — each query's partial
     top-k is independent, so chunking the query axis needs no merge.
@@ -132,8 +142,8 @@ def _local_topk_candidates(
             qnrm[qnrm == 0] = 1.0
             q32 = q32 / qnrm
         q64 = np.ascontiguousarray(query_mat, dtype=np.float64)
-        if metric == "cosine":
-            q64n = np.linalg.norm(q64, axis=1)
+        q64n = np.linalg.norm(q64, axis=1)
+        dim = q64.shape[1] if q64.ndim == 2 else 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -144,11 +154,17 @@ def _local_topk_candidates(
             b32 = base.astype(np.float32)
             if metric == "l2":
                 bn32 = np.einsum("ij,ij->i", b32, b32)
+                bmax = float(np.sqrt(bn32.max(initial=0.0)))
             elif metric == "cosine":
                 b64n = np.linalg.norm(b64, axis=1)
                 bnrm = b64n.astype(np.float32)[:, None].copy()
                 bnrm[bnrm == 0] = 1.0
                 b32 = b32 / bnrm
+                bmax = 1.0
+            else:
+                bmax = float(np.linalg.norm(b64, axis=1).max(initial=0.0))
+            # per-query f32-cut error bound for THIS batch's magnitudes
+            err = f32_select_margin(metric, dim, bmax, q64n)
             kk = min(k + 16, b)
             chunk = max(256, chunk_cells // max(b, 1))
             outs = []
@@ -163,7 +179,41 @@ def _local_topk_candidates(
                 else:
                     np.negative(sc, out=sc)
                 if kk < b:
-                    sel = np.argpartition(sc, kk - 1, axis=0)[:kk, :]
+                    # kth=kk: positions [:kk] are the survivors, the
+                    # element AT kk is the best rejected f32 score —
+                    # the selection pivot the margin guard checks
+                    part_idx = np.argpartition(sc, kk, axis=0)
+                    sel = part_idx[:kk, :]
+                    pivot = sc[
+                        part_idx[kk], np.arange(qc)
+                    ].astype(np.float64)
+                    surv = np.take_along_axis(sc, sel, axis=0)
+                    kth = np.partition(
+                        surv, min(k, kk) - 1, axis=0
+                    )[min(k, kk) - 1].astype(np.float64)
+                    # guard: pivot - kth > 2*err proves no rejected
+                    # candidate can belong to the exact top-k; on
+                    # violation (near-ties beyond the +16 buffer, or
+                    # exact duplicates) rank that query in exact f64
+                    for j in np.flatnonzero(
+                        pivot - kth <= 2.0 * err[s : s + qc]
+                    ):
+                        qj = q64[s + j]
+                        if metric == "l2":
+                            diff = b64 - qj
+                            dj = np.einsum("ij,ij->i", diff, diff)
+                        elif metric == "cosine":
+                            den = b64n * q64n[s + j]
+                            with np.errstate(
+                                divide="ignore", invalid="ignore"
+                            ):
+                                dj = 1.0 - np.clip(
+                                    (b64 @ qj) / den, -1.0, 1.0
+                                )
+                            dj[den == 0.0] = 1.0
+                        else:
+                            dj = -(b64 @ qj)
+                        sel[:, j] = np.lexsort((ids, dj))[:kk]
                 else:
                     sel = np.broadcast_to(
                         np.arange(b)[:, None], (b, qc)
