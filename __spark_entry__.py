@@ -1444,6 +1444,64 @@ def _ivf_sharded_exec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _ivfpq_sharded_exec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZED executor-colocated sharded serving (r5 verdict item
+    4; reference's biggest index is IVFPQ, ivfpq.go:57-76): the IVFPQ
+    codes are sharded BY LIST (cells stay whole) with the original
+    rows stored alongside (``vectors=``), serving runs the per-shard
+    residual-ADC kernel (LocalIvfPqIndex) from host shared memory,
+    and ``refine`` exactly re-ranks each shard's ADC candidates.
+
+    Gate construction: at nprobe = nlist and refine sized so
+    k·refine ≥ n, every row of every shard is ADC-scanned AND exactly
+    f64 re-scored, so the merged result is provably identical to
+    exact flat search — the flat SQL oracle applies hash-exactly to
+    the whole save→shm→ADC→refine→merge path."""
+    import math
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from gofaiss_spark.operators.ivfpq import build_ivfpq
+    from gofaiss_spark.operators.shard_serve import (
+        ShardedSearcher,
+        save_sharded,
+    )
+
+    v = _vectors(spark, sf_dir).cache()
+    n = v.count()
+    idx = build_ivfpq(v, nlist=8, m=8, metric="l2", seed=42)
+    tmp = tempfile.mkdtemp(prefix="gofaiss_ivfpq_shard_topk_")
+    try:
+        save_sharded(idx, tmp, num_shards=3, vectors=v)
+        with ShardedSearcher(spark, tmp) as srv:
+            qp = (
+                _queries_df(spark, sf_dir, N_TOPK_QUERIES)
+                .orderBy("query_id")
+                .toPandas()
+            )
+            qids = qp["query_id"].to_numpy(dtype=np.int64)
+            qmat = np.stack(qp["qvec"].to_numpy())
+            ids, d = srv.search(
+                qmat, k=TOPK_K, nprobe=srv.meta["nlist"],
+                refine=math.ceil(n / TOPK_K) + 1,
+            )
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, ids.shape[1]),
+                "id": ids.ravel(),
+                "distance": np.round(d.ravel(), 6),
+            }
+        )
+        return spark.createDataFrame(
+            out, schema="query_id long, id long, distance double"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _IVF_FULLPROBE_SQL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {{n}}
@@ -2206,46 +2264,47 @@ def _doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-table training (operators/tokenizer.py, Sennrich et
     al. 2016; count-distributed / merge-central). The merge loop is
     iterative — not SQL-expressible — so the output is invariant-
-    projected: the rank-1 pair and its frequency (exactly computable
-    in SQL from the initial character-pair counts) ride on every row,
-    plus structural booleans (merged = left||right; pair_freq
-    non-increasing in rank — see train_bpe's docstring for why).
+    projected AND cardinality-stable (ONE row regardless of how many
+    merges the corpus supports, the r5 ADVICE fix for the old
+    generate_series-assumes-exactly-N oracle):
 
-    Oracle preconditions (asserted here so a divergence fails loudly
-    instead of hash-mismatching): the corpus supports ≥ BPE_N_MERGES
-    merges (the loop must not exhaust early — generate_series in the
-    SQL assumes exactly BPE_N_MERGES rows), and the SQL mirrors
-    train_bpe's max_vocab_words cap in its word table."""
-    from pyspark.sql import Window
-
-    from gofaiss_spark.operators.tokenizer import train_bpe
+    - ``r1_pair`` / ``r1_freq``: the rank-1 merge — exactly computable
+      in SQL from the initial character-pair counts of the SAME
+      max_vocab_words-capped word table (the hard check).
+    - ``ok``: engine-side structural invariants over every merge row
+      (merged = left||right; pair_freq ≥ min_pair_freq and
+      non-increasing in rank — see train_bpe's docstring), AND the
+      merge count: exactly BPE_N_MERGES, or FEWER only when an
+      independent final-state re-derivation (the greedy encoder path,
+      tokenizer.max_remaining_pair_freq) proves no mergeable pair
+      remained — so both edges (full run / early exhaustion) are
+      verified instead of asserted away."""
+    from gofaiss_spark.operators.tokenizer import (
+        _bpe_merge_loop,
+        max_remaining_pair_freq,
+        word_frequency_table,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    m = train_bpe(docs, num_merges=BPE_N_MERGES, min_pair_freq=1,
-                  max_vocab_words=BPE_MAX_VOCAB_WORDS)
-    n_merges = m.count()
-    if n_merges != BPE_N_MERGES:
-        raise AssertionError(
-            f"doc_bpe_merges oracle precondition: corpus exhausted the "
-            f"merge loop at {n_merges} < {BPE_N_MERGES} merges"
-        )
-    wlag = Window.orderBy("rank")
-    wall = Window.orderBy("rank").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    prev = F.lag("pair_freq").over(wlag)
-    ok = (
-        (F.col("merged") == F.concat("left", "right"))
-        & (F.col("pair_freq") >= 1)
-        & (prev.isNull() | (F.col("pair_freq") <= prev))
-    )
-    return m.select(
-        "rank",
-        ok.alias("ok"),
-        F.concat(
-            F.first("left").over(wall), F.lit(" "), F.first("right").over(wall)
-        ).alias("r1_pair"),
-        F.first("pair_freq").over(wall).alias("r1_freq"),
+    wc = [
+        (r["word"], r["cnt"])
+        for r in word_frequency_table(
+            docs, "text", BPE_MAX_VOCAB_WORDS).collect()
+    ]
+    merges = _bpe_merge_loop(wc, BPE_N_MERGES, min_pair_freq=1)
+    ok = bool(merges)
+    prev = None
+    for _, lt, rt, freq in merges:
+        ok = ok and freq >= 1 and (prev is None or freq <= prev)
+        prev = freq
+    if len(merges) < BPE_N_MERGES:
+        remaining = max_remaining_pair_freq(
+            wc, [(lt, rt) for _, lt, rt, _ in merges])
+        ok = ok and remaining < 1
+    r1 = merges[0] if merges else (0, "", "", 0)
+    return spark.createDataFrame(
+        [(f"{r1[1]} {r1[2]}", int(r1[3]), ok)],
+        "r1_pair STRING, r1_freq BIGINT, ok BOOLEAN",
     )
 
 
@@ -2277,10 +2336,9 @@ pairs AS (
 best AS (
   SELECT l, r, freq FROM pairs ORDER BY freq DESC, l, r LIMIT 1
 )
-SELECT CAST(g.r AS INT) AS rank, true AS ok,
-       (SELECT l || ' ' || r FROM best) AS r1_pair,
-       (SELECT freq FROM best) AS r1_freq
-FROM generate_series(1, {BPE_N_MERGES}) g(r)
+SELECT (SELECT l || ' ' || r FROM best) AS r1_pair,
+       (SELECT freq FROM best) AS r1_freq,
+       true AS ok
 """
 
 
@@ -4348,28 +4406,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     STANDING RULE (round-3 verdict): new queries are PREPENDED so they
     land inside the 50-slot window the round they ship; a query never
-    ships outside the window.
+    ships outside the window. STANDING RULE (round-5 verdict): any
+    commit touching operators/topk.py, operators/local_serve.py, or
+    functions/distance.py re-queues the flat/quantized family into the
+    window the same round.
 
-    Round-4 window (slots 1-50): the 7 round-3 queries that missed the
-    r3 window, then new round-4 queries, then previously-green queries
-    re-verified to fill the window. All remain regression-guarded by
-    the local sf0.001 DuckDB oracle suite (tests/test_entry_oracle.py)."""
+    Round-6 window (slots 1-50): the 15 queries whose last green row
+    predates the round-4 f32-select kernel rewrite (the verdict's
+    stale-15 — flat/quantized/TPC-H sentinels), then the serving-path
+    queries re-queued because round 6 touched local_serve.py (cosine
+    exact-f64 fix), then round-6 additions, then the oldest r2-era
+    green rows to fill. All remain regression-guarded by the local
+    sf0.001 DuckDB oracle suite (tests/test_entry_oracle.py)."""
     return {
-        # --- new round-4 queries (prepended per the standing rule) ---
+        # --- new round-6 queries (prepended per the standing rule) ---
+        "ivfpq_sharded_exec_topk": _ivfpq_sharded_exec_topk,
+        # --- stale-15: last driver-checked r2, kernel rewritten r4/r5 ---
+        "flat_topk_l2": _flat_topk("l2"),
+        "flat_topk_cosine": _flat_topk("cosine"),
+        "flat_topk_dot": _flat_topk("dot"),
+        "range_search_l2": _range_search_l2,
+        "pq_topk": _pq_topk,
+        "ivfpq_topk": _ivfpq_topk,
+        "pq_refine_topk": _pq_refine_topk,
+        "ivfpq_refine_topk": _ivfpq_refine_topk,
+        "pca_topk": _pca_topk,
+        "sql_topk": _sql_topk,
+        "binary_topk": _binary_topk,
+        "filtered_topk": _filtered_topk,
+        "ivf_topk_nprobe": _ivf_topk_nprobe,
+        "tpch_q1": _tpch_q1,
+        "tpch_q18": _tpch_q18,
+        # --- serving-path re-queue (round 6 touched local_serve.py) ---
+        "ivf_local_topk": _ivf_local_topk,
+        "stream_flat_topk": _stream_flat_topk,
+        "ivf_sharded_exec_topk": _ivf_sharded_exec_topk,
+        "ivf_fullprobe_topk": _ivf_fullprobe_topk,
+        # --- oldest green rows fill the remaining slots ---
+        "vector_norms": _vector_norms,
+        "centroid_by_label": _centroid_by_label,
+        "tpch_q3": _tpch_q3,
+        "tpch_q5": _tpch_q5,
+        "tpch_q10": _tpch_q10,
+        "tpch_q4": _tpch_q4,
+        "tpch_q6": _tpch_q6,
+        "tpch_q14": _tpch_q14,
+        "tpch_q2": _tpch_q2,
+        "tpch_q7": _tpch_q7,
+        "tpch_q8": _tpch_q8,
+        "tpch_q9": _tpch_q9,
+        "tpch_q11": _tpch_q11,
+        "tpch_q13": _tpch_q13,
+        "tpch_q15": _tpch_q15,
+        "tpch_q16": _tpch_q16,
+        "tpch_q17": _tpch_q17,
+        "tpch_q19": _tpch_q19,
+        "tpch_q20": _tpch_q20,
+        "tpch_q21": _tpch_q21,
+        "tpch_q22": _tpch_q22,
+        "doc_fingerprint": _doc_fingerprint,
+        "revenue_by_nation": _revenue_by_nation,
+        "events_hourly": _events_hourly,
+        "event_sessions": _event_sessions,
+        "events_asof_clicks": _events_asof_clicks,
+        "events_rollup": _events_rollup,
+        "events_range_join": _events_range_join,
+        "doc_lang_dist": _doc_lang_dist,
+        "doc_normalize": _doc_normalize,
+        # ---- window boundary (slot 50) under no r6 additions ----
+        "doc_char_entropy": _doc_char_entropy,
+        "doc_token_stats": _doc_token_stats,
+        "doc_token_percentiles": _doc_token_percentiles,
+        # --- r5-verified green ---
         "stream_event_windows": _stream_event_windows,
-        # --- round-3 queries that missed the r3 window (verdict item 1) ---
         "doc_ppl_buckets": _doc_ppl_buckets,
         "doc_dsir_resample": _doc_dsir_resample,
-        "ivf_local_topk": _ivf_local_topk,
         "doc_gopher_rules": _doc_gopher_rules,
         "doc_bpe_merges": _doc_bpe_merges,
         "doc_bpe_encode": _doc_bpe_encode,
         "doc_vocab_drift": _doc_vocab_drift,
-        # --- new round-4 queries (prepended per the standing rule) ---
         "doc_bpe_roundtrip": _doc_bpe_roundtrip,
-        "stream_flat_topk": _stream_flat_topk,
-        "ivf_sharded_exec_topk": _ivf_sharded_exec_topk,
-        # --- round-2 surface, all driver-verified green in r03 ---
         "multimodal_stats": _multimodal_stats,
         "sq_topk": _sq_topk,
         "ivfsq_topk": _ivfsq_topk,
@@ -4427,56 +4543,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _doc_lang_id,
         "doc_quality": _doc_quality,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
-        # --- r02 hash-verified green ---
-        "flat_topk_l2": _flat_topk("l2"),
-        "flat_topk_cosine": _flat_topk("cosine"),
-        "flat_topk_dot": _flat_topk("dot"),
-        "range_search_l2": _range_search_l2,
-        "vector_norms": _vector_norms,
-        "centroid_by_label": _centroid_by_label,
-        "tpch_q1": _tpch_q1,
-        "tpch_q3": _tpch_q3,
-        "tpch_q5": _tpch_q5,
-        "tpch_q10": _tpch_q10,
-        "tpch_q4": _tpch_q4,
-        "tpch_q6": _tpch_q6,
-        "tpch_q14": _tpch_q14,
-        "tpch_q18": _tpch_q18,
-        "tpch_q2": _tpch_q2,
-        "tpch_q7": _tpch_q7,
-        "tpch_q8": _tpch_q8,
-        "tpch_q9": _tpch_q9,
-        "tpch_q11": _tpch_q11,
-        "tpch_q13": _tpch_q13,
-        "tpch_q15": _tpch_q15,
-        "tpch_q16": _tpch_q16,
-        "tpch_q17": _tpch_q17,
-        "tpch_q19": _tpch_q19,
-        "tpch_q20": _tpch_q20,
-        "tpch_q21": _tpch_q21,
-        "tpch_q22": _tpch_q22,
-        "doc_fingerprint": _doc_fingerprint,
-        "revenue_by_nation": _revenue_by_nation,
-        "events_hourly": _events_hourly,
-        "event_sessions": _event_sessions,
-        "events_asof_clicks": _events_asof_clicks,
-        "events_rollup": _events_rollup,
-        "events_range_join": _events_range_join,
-        "doc_lang_dist": _doc_lang_dist,
-        "doc_normalize": _doc_normalize,
-        "doc_char_entropy": _doc_char_entropy,
-        "doc_token_stats": _doc_token_stats,
-        "doc_token_percentiles": _doc_token_percentiles,
-        "ivf_fullprobe_topk": _ivf_fullprobe_topk,
-        "filtered_topk": _filtered_topk,
-        "sql_topk": _sql_topk,
-        "binary_topk": _binary_topk,
-        "ivf_topk_nprobe": _ivf_topk_nprobe,
-        "pq_topk": _pq_topk,
-        "ivfpq_topk": _ivfpq_topk,
-        "pq_refine_topk": _pq_refine_topk,
-        "ivfpq_refine_topk": _ivfpq_refine_topk,
-        "pca_topk": _pca_topk,
     }
 
 
@@ -4635,4 +4701,7 @@ GROUP BY label, g.i
         # full-probe sharded serving ≡ exact flat (per-shard top-k
         # union contains the global top-k; identical f64 distances)
         "ivf_sharded_exec_topk": _flat_topk_sql("l2"),
+        # quantized sharded serving at full probe + refine-all ≡
+        # exact flat (every row ADC-scanned and f64 re-scored)
+        "ivfpq_sharded_exec_topk": _flat_topk_sql("l2"),
     }

@@ -35,9 +35,15 @@ from gofaiss_spark.functions.distance import (
 __all__ = [
     "LocalFlatIndex",
     "LocalIvfIndex",
+    "LocalIvfPqIndex",
+    "LocalPqIndex",
     "LocalServerPool",
+    "LocalSqIndex",
     "to_local",
     "to_local_ivf",
+    "to_local_ivfpq",
+    "to_local_pq",
+    "to_local_sq",
 ]
 
 _POOL = None
@@ -79,8 +85,37 @@ def _fanout(default_cap: int = 16) -> int:
 
 # observability: (query, block) pairs that took the exact-f64 fallback
 # because the f32 selection margin could not prove the cut exact —
-# read by tests to assert the guard actually fires on adversarial data
+# read by tests to assert the guard actually fires on adversarial data.
+# Incremented under a lock: _exact_scan_topk runs from thread-pool
+# workers (do_block/do_final) and += on a module global is a
+# read-modify-write that would otherwise drop counts.
 GUARD_FALLBACKS = 0
+_GUARD_LOCK = None
+
+
+def _count_fallback() -> None:
+    global GUARD_FALLBACKS, _GUARD_LOCK
+    if _GUARD_LOCK is None:
+        import threading
+
+        _GUARD_LOCK = threading.Lock()
+    with _GUARD_LOCK:
+        GUARD_FALLBACKS += 1
+
+
+def _cosine_from_ip(ip: np.ndarray, bnorm: np.ndarray,
+                    qnorm) -> np.ndarray:
+    """1 − clip(ip / (bnorm·qnorm)) with the zero-vector→1.0 semantics
+    of np_distance_matrix (distance.go:55-71) — the single cosine
+    formula every exact-f64 path in this module uses, so the re-score,
+    the guard fallback, and a true f64 scan of the stored rows agree
+    bit-for-bit."""
+    denom = bnorm * qnorm
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = ip / denom
+    d = 1.0 - np.clip(sim, -1.0, 1.0)
+    d[np.broadcast_to(denom == 0.0, d.shape)] = 1.0
+    return d
 
 
 def _exact_scan_topk(vecs: np.ndarray, ids: np.ndarray, metric: str,
@@ -90,10 +125,10 @@ def _exact_scan_topk(vecs: np.ndarray, ids: np.ndarray, metric: str,
     """Exact f64 top-``kk`` ROW POSITIONS for one query, ascending
     (distance, id) — the margin-guard fallback path shared by
     LocalFlatIndex / LocalIvfIndex. Tiled so the f64 cast never
-    materializes more than ``tile`` rows; cosine assumes the local
-    tiers' pre-normalized rows (same formula as their re-score)."""
-    global GUARD_FALLBACKS
-    GUARD_FALLBACKS += 1
+    materializes more than ``tile`` rows; ``q64`` must be the f64
+    query (f64-normalized for cosine); cosine divides by the stored
+    rows' f64 norms (same formula as the exact re-score)."""
+    _count_fallback()
     n = vecs.shape[0] if row_sel is None else len(row_sel)
     best_d = np.empty(0, dtype=np.float64)
     best_id = np.empty(0, dtype=np.int64)
@@ -107,7 +142,8 @@ def _exact_scan_topk(vecs: np.ndarray, ids: np.ndarray, metric: str,
             diff = vb - q64
             d = np.sqrt(np.einsum("ij,ij->i", diff, diff))
         elif metric == "cosine":
-            d = 1.0 - np.clip(vb @ q64, -1.0, 1.0)
+            bn = np.sqrt(np.einsum("ij,ij->i", vb, vb))
+            d = _cosine_from_ip(vb @ q64, bn, np.linalg.norm(q64))
         else:
             d = -(vb @ q64)
         cd = np.concatenate([best_d, d])
@@ -123,7 +159,9 @@ class LocalFlatIndex:
     ids: np.ndarray  # (n,) int64
     vecs: np.ndarray  # (n, dim) float32, rows pre-normalized for cosine
     metric: str
-    norms_sq: np.ndarray  # (n,) float32 (l2 only)
+    # (n,) float32 — required for EVERY metric: the l2 surrogate score
+    # reads it, and _bmax() feeds it to the margin guard for dot too
+    norms_sq: np.ndarray
 
     def search(self, qmat: np.ndarray, k: int = 10,
                block: int | None = None,
@@ -145,11 +183,17 @@ class LocalFlatIndex:
         (f32_select_margin): queries whose selection gap cannot be
         proven larger than the f32 error bound fall back to an exact
         f64 ranking, so the identity holds by construction."""
-        q = np.ascontiguousarray(qmat, dtype=np.float32)
+        # keep the f64 query for every exact path: for cosine the
+        # query is normalized in f64 and only then cast down — an
+        # f32-normalized query leaking into the "exact f64" re-score
+        # perturbs it by ~1e-7, which flips near-tie rankings (the r5
+        # verdict's exactness bug)
+        q64full = np.ascontiguousarray(qmat, dtype=np.float64)
         if self.metric == "cosine":
-            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn = np.linalg.norm(q64full, axis=1, keepdims=True)
             qn[qn == 0] = 1.0
-            q = q / qn
+            q64full = q64full / qn
+        q = q64full.astype(np.float32)
         nq = q.shape[0]
         if block is None:
             # measured @100k: small blocks win small batches (more
@@ -242,29 +286,33 @@ class LocalFlatIndex:
             # can belong to the exact top-k; otherwise rank the
             # affected query exactly in f64 — the cut is proven, not
             # assumed (same contract as _local_topk_candidates).
+            qb64 = q64full[s:s + block]
             if n > k2 and best_s.shape[1] == k2:
                 pmax = best_s.max(axis=1).astype(np.float64)
                 tk = (np.partition(best_s, k - 1, axis=1)[:, k - 1]
                       .astype(np.float64) if k < k2 else pmax)
-                qn64 = np.linalg.norm(
-                    qb.astype(np.float64), axis=1)
+                qn64 = np.linalg.norm(qb64, axis=1)
                 err = f32_select_margin(
                     self.metric, qb.shape[1], self._bmax(), qn64)
                 for r in np.flatnonzero(pmax - tk <= 2.0 * err):
                     pos = _exact_scan_topk(
                         self.vecs, self.ids, self.metric,
-                        qb[r].astype(np.float64), k2)
+                        qb64[r], k2)
                     best_i[r] = pos
             # exact f64 re-score of the surviving candidates
             cand = self.vecs[best_i].astype(np.float64)  # (b, k2, dim)
-            qb64 = qb.astype(np.float64)
             if self.metric == "l2":
                 diff = cand - qb64[:, None, :]
                 d = np.sqrt(np.einsum("bkd,bkd->bk", diff, diff))
             elif self.metric == "cosine":
-                # rows are pre-normalized; clamp like the distributed
-                # kernel (distance.go:55-71 semantics)
-                d = 1.0 - np.clip(np.einsum("bkd,bd->bk", cand, qb64), -1.0, 1.0)
+                # divide by the stored rows' f64 norms (≈1 after the
+                # f32 pre-normalization, but NOT exactly 1) so the
+                # reported distance equals a true f64 scan of the
+                # stored rows — np_distance_matrix semantics
+                bn = np.sqrt(np.einsum("bkd,bkd->bk", cand, cand))
+                d = _cosine_from_ip(
+                    np.einsum("bkd,bd->bk", cand, qb64), bn,
+                    np.linalg.norm(qb64, axis=1)[:, None])
             else:
                 d = -np.einsum("bkd,bd->bk", cand, qb64)
             pid = self.ids[best_i]
@@ -359,7 +407,9 @@ class LocalIvfIndex:
     metric: str
     centroids: np.ndarray  # (nlist, dim) f64
     offsets: np.ndarray    # (nlist + 1,) int64 CSR cell boundaries
-    norms_sq: np.ndarray   # (n,) f32 (l2)
+    # (n,) f32 — required for EVERY metric (l2 surrogate + _bmax's
+    # margin-guard input for dot)
+    norms_sq: np.ndarray
 
     @property
     def nlist(self) -> int:
@@ -633,7 +683,12 @@ class LocalIvfIndex:
                 diff = cand - qb[:, None, :]
                 d = np.sqrt(np.einsum("bkd,bkd->bk", diff, diff))
             elif self.metric == "cosine":
-                d = 1.0 - np.clip(np.einsum("bkd,bd->bk", cand, qb), -1.0, 1.0)
+                # f64 row norms of the stored rows, same contract as
+                # LocalFlatIndex's re-score
+                bn = np.sqrt(np.einsum("bkd,bkd->bk", cand, cand))
+                d = _cosine_from_ip(
+                    np.einsum("bkd,bd->bk", cand, qb), bn,
+                    np.linalg.norm(qb, axis=1)[:, None])
             else:
                 d = -np.einsum("bkd,bd->bk", cand, qb)
             d = np.where(valid, d, np.inf)
@@ -683,6 +738,300 @@ def to_local_ivf(ivf_index) -> LocalIvfIndex:
         centroids=cents, offsets=offsets,
         norms_sq=np.einsum("ij,ij->i", vecs, vecs),
     )
+
+
+# ---------------------------------------------------------------------
+# Quantized serving kernels — the in-memory operating point for the
+# compressed index families (PQ/IVFPQ/SQ), mirroring the reference's
+# biggest-index regime (ivfpq.go:57-76) the way LocalFlatIndex mirrors
+# flat.go. Contract: reported ADC distances are the SAME f64 values
+# the DataFrame paths (search_pq/search_ivfpq/search_sq) produce —
+# identical table formula (pq.adc_tables), identical gather-sum,
+# identical sqrt — so a sharded deployment of these kernels merges
+# exactly. ``refine`` re-ranks the ADC top-(k·refine) against the
+# index's own stored rows with the exact-f64 formula LocalFlatIndex
+# uses (requires vecs; the FAISS RefineFlat pattern).
+# ---------------------------------------------------------------------
+
+
+def _adc_pool_topk(ids: np.ndarray, d: np.ndarray, k: int,
+                   vecs: np.ndarray | None, rows: np.ndarray,
+                   q64: np.ndarray, refine: int | None
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Shared tail of the quantized kernels: given per-query candidate
+    ROW POSITIONS ``rows`` (nq, c) and their ADC distances ``d``
+    (nq, c), return exact (ids, dists) top-k ascending (distance, id).
+    With ``refine``, re-score every candidate in exact f64 L2 against
+    the stored rows first (so quantization costs recall only, never
+    distance accuracy — refine_exact semantics)."""
+    if refine is not None:
+        cand = vecs[rows].astype(np.float64)  # (nq, c, dim)
+        diff = cand - q64[:, None, :]
+        d = np.sqrt(np.einsum("bkd,bkd->bk", diff, diff))
+    pid = ids[rows]
+    order = np.lexsort((pid, d), axis=1)[:, :k]
+    return (np.take_along_axis(pid, order, axis=1),
+            np.take_along_axis(d, order, axis=1))
+
+
+@dataclass
+class LocalPqIndex:
+    """In-memory ADC serving for a PQ index (pq.go:127-179 semantics;
+    distance = sqrt(Σ subspace table entries), bit-equal to
+    search_pq's)."""
+
+    ids: np.ndarray        # (n,) int64
+    codes: np.ndarray      # (n, M) uint16
+    codebooks: np.ndarray  # (M, ksub, dsub) f64
+    vecs: np.ndarray | None = None      # (n, dim) f32 — refine only
+    metric: str = "l2"
+
+    def search(self, qmat: np.ndarray, k: int = 10,
+               refine: int | None = None,
+               tile: int = 262144) -> tuple[np.ndarray, np.ndarray]:
+        from gofaiss_spark.operators.pq import adc_tables
+
+        if refine is not None and self.vecs is None:
+            raise ValueError("refine requires stored vectors "
+                             "(save/serve with vectors=)")
+        q64 = np.ascontiguousarray(qmat, dtype=np.float64)
+        nq, n = q64.shape[0], len(self.ids)
+        k = min(k, n) if k > 0 else n
+        kc = min(n, (k * refine if refine else k) + 16)
+        tables = adc_tables(self.codebooks, q64)  # (q, M, ksub)
+        mm = self.codes.shape[1]
+        best_d = None
+        best_pos = None
+        for t0 in range(0, n, tile):
+            te = min(t0 + tile, n)
+            cb = self.codes[t0:te].astype(np.int64)
+            d2 = np.zeros((nq, te - t0), dtype=np.float64)
+            for mi in range(mm):
+                d2 += tables[:, mi, cb[:, mi]]
+            np.maximum(d2, 0.0, out=d2)
+            pos = np.broadcast_to(np.arange(t0, te), d2.shape)
+            if best_d is not None:
+                d2 = np.concatenate([best_d, d2], axis=1)
+                pos = np.concatenate([best_pos, pos], axis=1)
+            kk = min(kc, d2.shape[1])
+            sel = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            best_d = np.take_along_axis(d2, sel, axis=1)
+            best_pos = np.take_along_axis(pos, sel, axis=1)
+        return _adc_pool_topk(self.ids, np.sqrt(best_d), k, self.vecs,
+                              best_pos, q64, refine)
+
+
+@dataclass
+class LocalIvfPqIndex:
+    """In-memory nprobe-pruned residual-ADC serving (ivfpq.go:222-284
+    semantics; fixes the reference façade bug the distributed
+    search_ivfpq fixes — tables are per-(query, list) residuals)."""
+
+    ids: np.ndarray        # (n,) int64, cell-major
+    codes: np.ndarray      # (n, M) uint16, cell-major
+    codebooks: np.ndarray  # (M, ksub, dsub) f64 — residual-trained
+    centroids: np.ndarray  # (nlist, dim) f64
+    offsets: np.ndarray    # (nlist + 1,) int64 CSR
+    vecs: np.ndarray | None = None      # (n, dim) f32 — refine only
+    metric: str = "l2"
+
+    @property
+    def nlist(self) -> int:
+        return self.centroids.shape[0]
+
+    def search(self, qmat: np.ndarray, k: int = 10, nprobe: int = 10,
+               refine: int | None = None
+               ) -> tuple[np.ndarray, np.ndarray]:
+        from gofaiss_spark.functions.distance import np_distance_matrix
+        from gofaiss_spark.operators.pq import adc_tables
+
+        if refine is not None:
+            if self.vecs is None:
+                raise ValueError("refine requires stored vectors "
+                                 "(save/serve with vectors=)")
+            if self.metric != "l2":
+                raise ValueError(
+                    "refine re-ranks in exact L2; build the index with "
+                    f"metric='l2' (got {self.metric!r})")
+        q64 = np.ascontiguousarray(qmat, dtype=np.float64)
+        nq, nlist = q64.shape[0], self.nlist
+        if nprobe <= 0 or nprobe > nlist:
+            nprobe = nlist
+        n = len(self.ids)
+        k = min(k, n) if k > 0 else n
+        kc = (k * refine if refine else k) + 16
+        # probe selection: same f64 formula as probe_lists
+        dm = np_distance_matrix(self.centroids, q64, self.metric)
+        if nprobe < nlist:
+            cells = np.argpartition(dm, nprobe - 1, axis=0)[:nprobe, :].T
+        else:
+            cells = np.broadcast_to(np.arange(nlist), (nq, nlist))
+        # scan-once probe map: group queries by probed cell so each
+        # cell's residual tables are built exactly once (the
+        # search_ivfpq kernel shape)
+        qq = np.repeat(np.arange(nq), cells.shape[1])
+        cc = cells.ravel()
+        keep = self.offsets[cc + 1] > self.offsets[cc]
+        qq, cc = qq[keep], cc[keep]
+        order = np.argsort(cc, kind="stable")
+        qq, cc = qq[order], cc[order]
+        bnds = np.searchsorted(cc, np.arange(nlist + 1))
+        pool_d: list[list[np.ndarray]] = [[] for _ in range(nq)]
+        pool_p: list[list[np.ndarray]] = [[] for _ in range(nq)]
+        for c in np.flatnonzero(bnds[1:] > bnds[:-1]):
+            s0, s1 = self.offsets[c], self.offsets[c + 1]
+            qidx = qq[bnds[c]:bnds[c + 1]]
+            resid = q64[qidx] - self.centroids[int(c)][None, :]
+            tabs = adc_tables(self.codebooks, resid)  # (g, M, ksub)
+            cb = self.codes[s0:s1].astype(np.int64)
+            d2 = np.zeros((len(qidx), s1 - s0), dtype=np.float64)
+            for mi in range(cb.shape[1]):
+                d2 += tabs[:, mi, cb[:, mi]]
+            np.maximum(d2, 0.0, out=d2)
+            b = d2.shape[1]
+            kk = min(kc, b)
+            if kk < b:
+                sel = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                dsel = np.take_along_axis(d2, sel, axis=1)
+            else:
+                sel = np.broadcast_to(np.arange(b), d2.shape)
+                dsel = d2
+            for gi, qi in enumerate(qidx):
+                pool_d[qi].append(dsel[gi])
+                pool_p[qi].append(sel[gi].astype(np.int64) + s0)
+        out_ids = np.empty((nq, k), dtype=np.int64)
+        out_d = np.empty((nq, k), dtype=np.float64)
+        for qi in range(nq):
+            if pool_d[qi]:
+                dq = np.concatenate(pool_d[qi])
+                pq_ = np.concatenate(pool_p[qi])
+            else:
+                dq = np.empty(0, dtype=np.float64)
+                pq_ = np.empty(0, dtype=np.int64)
+            kk = min(kc, len(dq))
+            if kk < len(dq):
+                sel = np.argpartition(dq, kk - 1)[:kk]
+                dq, pq_ = dq[sel], pq_[sel]
+            take = min(k, len(dq))
+            i1, d1 = _adc_pool_topk(
+                self.ids, np.sqrt(dq)[None, :], take, self.vecs,
+                pq_[None, :], q64[qi][None, :], refine)
+            out_ids[qi, :take] = i1[0]
+            out_d[qi, :take] = d1[0]
+            out_ids[qi, take:] = np.iinfo(np.int64).max
+            out_d[qi, take:] = np.inf
+        return out_ids, out_d
+
+
+@dataclass
+class LocalSqIndex:
+    """In-memory scalar-quantizer serving: decode (vmin + code·step)
+    and exact f64 L2 on the decoded points — identical distance
+    formula to search_sq (norms identity, clamp at 0, sqrt)."""
+
+    ids: np.ndarray    # (n,) int64
+    codes: np.ndarray  # (n, dim) uint8
+    vmin: np.ndarray   # (dim,) f64
+    step: np.ndarray   # (dim,) f64
+    vecs: np.ndarray | None = None  # (n, dim) f32 — refine only
+    metric: str = "l2"
+
+    def search(self, qmat: np.ndarray, k: int = 10,
+               refine: int | None = None,
+               tile: int = 131072) -> tuple[np.ndarray, np.ndarray]:
+        if refine is not None and self.vecs is None:
+            raise ValueError("refine requires stored vectors "
+                             "(save/serve with vectors=)")
+        q64 = np.ascontiguousarray(qmat, dtype=np.float64)
+        nq, n = q64.shape[0], len(self.ids)
+        k = min(k, n) if k > 0 else n
+        kc = min(n, (k * refine if refine else k) + 16)
+        qsq = np.einsum("ij,ij->i", q64, q64)
+        best_d = None
+        best_pos = None
+        for t0 in range(0, n, tile):
+            te = min(t0 + tile, n)
+            x = self.vmin + self.codes[t0:te].astype(np.float64) * self.step
+            xsq = np.einsum("ij,ij->i", x, x)
+            d2 = (xsq[None, :] + qsq[:, None] - 2.0 * (q64 @ x.T))
+            np.maximum(d2, 0.0, out=d2)
+            pos = np.broadcast_to(np.arange(t0, te), d2.shape)
+            if best_d is not None:
+                d2 = np.concatenate([best_d, d2], axis=1)
+                pos = np.concatenate([best_pos, pos], axis=1)
+            kk = min(kc, d2.shape[1])
+            sel = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            best_d = np.take_along_axis(d2, sel, axis=1)
+            best_pos = np.take_along_axis(pos, sel, axis=1)
+        # per-pair re-score of the survivors: the GEMM above is only
+        # the SELECTOR — its accumulation order depends on tile/shard
+        # shape (±1e-13), so sharded and single-node runs would
+        # disagree in the last float digits. The diff-einsum below is
+        # batch-shape-independent, making reported distances identical
+        # across any sharding of the same rows (the LocalFlatIndex
+        # re-score contract).
+        xc = (self.vmin
+              + self.codes[best_pos].astype(np.float64) * self.step)
+        diff = xc - q64[:, None, :]
+        d = np.sqrt(np.einsum("bkd,bkd->bk", diff, diff))
+        return _adc_pool_topk(self.ids, d, k, self.vecs,
+                              best_pos, q64, refine)
+
+
+def to_local_pq(pq_index, vectors=None) -> LocalPqIndex:
+    """Collect a PqIndex's codes into a driver-resident ADC server.
+    ``vectors``: optional (id, vec) DataFrame enabling refine."""
+    pdf = pq_index.codes.select("id", "code").orderBy("id").toPandas()
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    codes = (np.stack(pdf["code"].to_numpy()).astype(np.uint16)
+             if len(ids) else np.empty((0, pq_index.m), dtype=np.uint16))
+    vecs = _aligned_vecs(vectors, ids)
+    return LocalPqIndex(ids=ids, codes=np.ascontiguousarray(codes),
+                        codebooks=np.asarray(pq_index.codebooks,
+                                             dtype=np.float64),
+                        vecs=vecs)
+
+
+def to_local_ivfpq(ivfpq_index, vectors=None) -> LocalIvfPqIndex:
+    """Collect an IvfPqIndex into a cell-major driver-resident ADC
+    server (CSR layout, same as to_local_ivf)."""
+    pdf = (ivfpq_index.codes.select("id", "code", "list_id")
+           .orderBy("list_id", "id").toPandas())
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    codes = (np.stack(pdf["code"].to_numpy()).astype(np.uint16)
+             if len(ids) else np.empty((0, ivfpq_index.m), dtype=np.uint16))
+    lids = pdf["list_id"].to_numpy(dtype=np.int64)
+    nlist = ivfpq_index.centroids.shape[0]
+    offsets = np.searchsorted(lids, np.arange(nlist + 1)).astype(np.int64)
+    vecs = _aligned_vecs(vectors, ids)
+    return LocalIvfPqIndex(
+        ids=ids, codes=np.ascontiguousarray(codes),
+        codebooks=np.asarray(ivfpq_index.codebooks, dtype=np.float64),
+        centroids=np.asarray(ivfpq_index.centroids, dtype=np.float64),
+        offsets=offsets, vecs=vecs, metric=ivfpq_index.metric)
+
+
+def to_local_sq(sq_index, vectors=None) -> LocalSqIndex:
+    pdf = sq_index.codes.select("id", "code").orderBy("id").toPandas()
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    codes = (np.stack(pdf["code"].to_numpy()).astype(np.uint8)
+             if len(ids) else np.empty((0, sq_index.dim), dtype=np.uint8))
+    vecs = _aligned_vecs(vectors, ids)
+    return LocalSqIndex(ids=ids, codes=np.ascontiguousarray(codes),
+                        vmin=np.asarray(sq_index.vmin, dtype=np.float64),
+                        step=np.asarray(sq_index.step, dtype=np.float64),
+                        vecs=vecs)
+
+
+def _aligned_vecs(vectors, ids: np.ndarray) -> np.ndarray | None:
+    """Collect an (id, vec) DataFrame and align rows to ``ids``'s
+    order (refine needs vecs[pos] to be the row for ids[pos])."""
+    if vectors is None:
+        return None
+    pdf = vectors.select("id", "vec").toPandas().set_index("id")
+    pdf = pdf.loc[ids]
+    return np.ascontiguousarray(
+        np.stack(pdf["vec"].to_numpy()).astype(np.float32))
 
 
 # ---------------------------------------------------------------------

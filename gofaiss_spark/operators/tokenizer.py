@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["apply_bpe", "train_bpe", "word_frequency_table"]
+__all__ = [
+    "apply_bpe",
+    "max_remaining_pair_freq",
+    "train_bpe",
+    "word_frequency_table",
+]
 
 END_OF_WORD = "</w>"
 
@@ -130,6 +135,32 @@ def train_bpe(
     return spark.createDataFrame(
         rows, "rank INT, left STRING, right STRING, merged STRING, pair_freq BIGINT"
     )
+
+
+def max_remaining_pair_freq(
+    word_counts: list[tuple[str, int]],
+    merges: list[tuple[str, str]],
+) -> int:
+    """Max adjacent-pair frequency left after applying a merge table
+    to a word-frequency table (0 when every word is fully merged).
+
+    Used by the driver oracle to verify that an EARLY-exhausted
+    training run (fewer merges than requested) stopped because the
+    data ran out of pairs, not because of a loop bug: re-derives the
+    final state through the greedy ENCODER path (_encode_word — a
+    different code path from the training loop's rewrite) and counts
+    what remains."""
+    rank_of = {(lt, rt): i for i, (lt, rt) in enumerate(merges)}
+    best = 0
+    pair_freq: dict[tuple[str, str], int] = {}
+    for word, cnt in word_counts:
+        syms = _encode_word(word, rank_of)
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_freq[p] = pair_freq.get(p, 0) + cnt
+    if pair_freq:
+        best = max(pair_freq.values())
+    return best
 
 
 def _encode_word(word: str, rank_of: dict[tuple[str, str], int]) -> list[str]:

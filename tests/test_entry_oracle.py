@@ -139,3 +139,47 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"query_id", "id", "distance"}
+
+
+def test_bpe_merges_oracle_survives_early_exhaustion(spark, tmp_path):
+    """The r5 ADVICE edge: a corpus that exhausts the merge loop
+    before BPE_N_MERGES must still hash-match its oracle (the old
+    formulation assumed exactly N rows and needed a loud assert).
+    This corpus supports exactly 3 merges — far fewer than
+    BPE_N_MERGES=20."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "aa b"), (2, "aa aa b")], "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    sdf = QUERIES["doc_bpe_merges"](spark, sf)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    assert len(s_rows) == 1 and s_rows[0][2] is True  # ok == True
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"  # Spark writes a dir
+    )
+    cur = con.execute(ORACLES["doc_bpe_merges"])
+    d_cols = [d[0] for d in cur.description]
+    d_rows = cur.fetchall()
+    con.close()
+    assert _norm_rows(s_cols, s_rows) == _norm_rows(d_cols, d_rows)
+
+
+def test_bpe_merges_ok_false_on_illegitimate_early_stop(spark, monkeypatch):
+    """If the loop stops early while mergeable pairs REMAIN (a loop
+    bug, simulated by capping the loop), ok must flip false — the
+    exhaustion check is a real gate, not a rubber stamp."""
+    from gofaiss_spark.operators import tokenizer as tok
+
+    real_loop = tok._bpe_merge_loop
+    monkeypatch.setattr(
+        tok, "_bpe_merge_loop",
+        lambda wc, n, min_pair_freq: real_loop(wc, 3, min_pair_freq),
+    )
+    sdf = QUERIES["doc_bpe_merges"](spark, "/root/testdata/sf0.001")
+    row = sdf.collect()[0]
+    assert row["ok"] is False

@@ -119,6 +119,110 @@ class TestLocalIvf:
         assert np.all(np.diff(local.offsets) >= 0)
 
 
+class TestLocalQuantized:
+    """LocalPqIndex / LocalIvfPqIndex / LocalSqIndex: the in-memory
+    ADC kernels must report the same distances as the DataFrame
+    search paths (same tables, same gather-sum, same sqrt), and
+    refine-all must reduce to the exact flat result bit-for-bit."""
+
+    def test_local_pq_matches_search_pq(self, spark, vq):
+        from gofaiss_spark.operators.local_serve import to_local_pq
+        from gofaiss_spark.operators.pq import build_pq, search_pq
+
+        v, q = vq
+        idx = build_pq(v, m=8, seed=42)
+        idx.codes.cache().count()
+        dist = {
+            (r.query_id, r.rank): (r.id, round(r.distance, 5))
+            for r in search_pq(idx, q, k=7).collect()
+        }
+        local = to_local_pq(idx)
+        qp = q.orderBy("query_id").toPandas()
+        qids = qp["query_id"].to_numpy()
+        qmat = np.stack(qp["qvec"].to_numpy())
+        ids, d = local.search(qmat, k=7)
+        for row, qid in enumerate(qids):
+            for rank in range(7):
+                assert dist[(qid, rank + 1)] == (
+                    ids[row, rank], round(float(d[row, rank]), 5))
+
+    def test_local_ivfpq_matches_search_ivfpq(self, spark, vq):
+        from gofaiss_spark.operators.ivfpq import build_ivfpq, search_ivfpq
+        from gofaiss_spark.operators.local_serve import to_local_ivfpq
+
+        v, q = vq
+        idx = build_ivfpq(v, nlist=8, m=8, seed=42)
+        idx.codes.cache().count()
+        local = to_local_ivfpq(idx)
+        qp = q.orderBy("query_id").toPandas()
+        qids = qp["query_id"].to_numpy()
+        qmat = np.stack(qp["qvec"].to_numpy())
+        for npr in (3, 8):
+            dist = {
+                (r.query_id, r.rank): (r.id, round(r.distance, 5))
+                for r in search_ivfpq(idx, q, k=5, nprobe=npr).collect()
+            }
+            ids, d = local.search(qmat, k=5, nprobe=npr)
+            agree = total = 0
+            for row, qid in enumerate(qids):
+                for rank in range(5):
+                    total += 1
+                    got = (ids[row, rank], round(float(d[row, rank]), 5))
+                    if dist.get((qid, rank + 1)) == got:
+                        agree += 1
+            # identical ADC values; tolerate rare exact-ADC-tie order
+            assert agree / total >= 0.99
+
+    def test_local_sq_matches_search_sq(self, spark, vq):
+        from gofaiss_spark.operators.local_serve import to_local_sq
+        from gofaiss_spark.operators.sq import build_sq, search_sq
+
+        v, q = vq
+        idx = build_sq(v)
+        idx.codes.cache().count()
+        dist = {
+            (r.query_id, r.rank): (r.id, round(r.distance, 5))
+            for r in search_sq(idx, q, k=7).collect()
+        }
+        local = to_local_sq(idx)
+        qp = q.orderBy("query_id").toPandas()
+        qids = qp["query_id"].to_numpy()
+        qmat = np.stack(qp["qvec"].to_numpy())
+        ids, d = local.search(qmat, k=7)
+        for row, qid in enumerate(qids):
+            for rank in range(7):
+                assert dist[(qid, rank + 1)] == (
+                    ids[row, rank], round(float(d[row, rank]), 5))
+
+    def test_pq_refine_all_equals_flat(self, spark, vq):
+        import math
+
+        from gofaiss_spark.operators.local_serve import to_local, to_local_pq
+        from gofaiss_spark.operators.pq import build_pq
+
+        v, q = vq
+        n = v.count()
+        idx = build_pq(v, m=8, seed=42)
+        idx.codes.cache().count()
+        local = to_local_pq(idx, vectors=v)
+        qp = q.orderBy("query_id").toPandas()
+        qmat = np.stack(qp["qvec"].to_numpy())
+        ids, d = local.search(qmat, k=5, refine=math.ceil(n / 5) + 1)
+        fids, fd = to_local(v).search(qmat, k=5)
+        np.testing.assert_array_equal(ids, fids)
+        np.testing.assert_array_equal(d, fd)
+
+    def test_refine_requires_vectors(self, spark, vq):
+        from gofaiss_spark.operators.local_serve import to_local_pq
+        from gofaiss_spark.operators.pq import build_pq
+
+        v, q = vq
+        idx = build_pq(v.limit(50), m=8, nbits=4, seed=42)
+        local = to_local_pq(idx)
+        with pytest.raises(ValueError, match="vectors"):
+            local.search(np.zeros((1, 64), dtype=np.float32), k=3, refine=2)
+
+
 class TestServerPool:
     """LocalServerPool — process-parallel serving: block-split output
     must be bit-identical to the in-process kernels (no Spark

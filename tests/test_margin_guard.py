@@ -51,13 +51,19 @@ def _near_tie_corpus(metric: str, n: int = 240, seed: int = 7):
 
 
 def _dup_corpus(n_dup: int = 120, n_other: int = 80, seed: int = 3):
-    """n_dup EXACT duplicates nearest the query (ties must break by
-    ascending id across a boundary far beyond the +16 buffer) plus
-    well-separated fill rows."""
+    """n_dup EXACT duplicates BEST-ranked under every metric (ties
+    must break by ascending id across a boundary far beyond the +16
+    buffer) plus well-separated fill rows. The fill is scaled DOWN
+    (×0.01): tiny rows are far from q in l2, near-orthogonal in
+    cosine, AND carry negligible inner products — so under MIPS the
+    duplicates (dot ≈ |v|² ≈ 32 vs fill ≈ 0.06) still sit at the
+    selection boundary; large fill rows would dominate the dot top-k
+    and the guard would correctly stay quiet (the r5 test-design
+    bug)."""
     rng = np.random.default_rng(seed)
     v = rng.normal(size=DIM).astype(np.float32)
     dup = np.repeat(v[None, :], n_dup, axis=0)
-    other = (rng.normal(size=(n_other, DIM)) * 50.0).astype(np.float32)
+    other = (rng.normal(size=(n_other, DIM)) * 0.01).astype(np.float32)
     base = np.concatenate([dup, other]).astype(np.float64)
     q = (v + np.float32(0.01)).astype(np.float64)[None, :]
     return base, q

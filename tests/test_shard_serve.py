@@ -184,3 +184,250 @@ class TestHostShmLifecycle:
     def test_seg_name_deterministic(self):
         assert _seg_name("abc", 3, "vecs") == _seg_name("abc", 3, "vecs")
         assert _seg_name("abc", 3, "vecs") != _seg_name("abc", 4, "vecs")
+
+
+class TestRefresh:
+    """refresh_sharded: atomic generation swap — a long-lived searcher
+    follows the pointer per batch and never sees a torn index (r5
+    verdict item 8; reference analogue hnsw.go:97-139's add-under-
+    mutex, one tier up)."""
+
+    def test_swap_serves_new_generation(self, spark, vectors, qmat,
+                                        tmp_path_factory):
+        import glob as _glob
+
+        from gofaiss_spark.operators.local_serve import to_local
+        from gofaiss_spark.operators.shard_serve import refresh_sharded
+
+        root = str(tmp_path_factory.mktemp("shard") / "refresh_root")
+        a = vectors.filter(F.col("id") % 2 == 0).cache()
+        b = vectors.cache()
+        m1 = refresh_sharded(a, root, num_shards=2)
+        srv = ShardedSearcher(spark, root)
+        try:
+            ids1, d1 = srv.search(qmat, k=5)
+            la, lda = to_local(a).search(qmat, k=5)
+            np.testing.assert_array_equal(ids1, la)
+            np.testing.assert_array_equal(d1, lda)
+
+            m2 = refresh_sharded(b, root, num_shards=2)
+            assert m2["build_id"] != m1["build_id"]
+            # the same searcher follows the pointer to the new gen
+            ids2, d2 = srv.search(qmat, k=5)
+            lb, ldb = to_local(b).search(qmat, k=5)
+            np.testing.assert_array_equal(ids2, lb)
+            np.testing.assert_array_equal(d2, ldb)
+            # old generation's segments were released on this host
+            assert _glob.glob(f"/dev/shm/*{m1['build_id']}*") == []
+        finally:
+            srv.close()
+
+    def test_unpublished_staging_is_invisible(self, spark, vectors, qmat,
+                                              tmp_path_factory):
+        import os
+
+        from gofaiss_spark.operators.local_serve import to_local
+        from gofaiss_spark.operators.shard_serve import refresh_sharded
+
+        root = str(tmp_path_factory.mktemp("shard") / "refresh_root2")
+        refresh_sharded(vectors, root, num_shards=2)
+        srv = ShardedSearcher(spark, root)
+        try:
+            # a torn/incomplete writer: a generation directory exists
+            # but the pointer was never swapped → must be invisible
+            os.makedirs(os.path.join(root, "gen-deadbeef"))
+            ids, d = srv.search(qmat, k=5)
+            lids, ld = to_local(vectors).search(qmat, k=5)
+            np.testing.assert_array_equal(ids, lids)
+            np.testing.assert_array_equal(d, ld)
+        finally:
+            srv.close()
+
+    def test_failed_refresh_leaves_current_intact(self, spark, vectors,
+                                                  qmat, tmp_path_factory):
+        from gofaiss_spark.operators.shard_serve import refresh_sharded
+
+        root = str(tmp_path_factory.mktemp("shard") / "refresh_root3")
+        m1 = refresh_sharded(vectors, root, num_shards=2)
+        with pytest.raises(ValueError):
+            refresh_sharded(vectors, root, num_shards=0)  # invalid
+        srv = ShardedSearcher(spark, root)
+        try:
+            assert srv.meta["build_id"] == m1["build_id"]
+            ids, _ = srv.search(qmat, k=3)
+            assert ids.shape == (len(qmat), 3)
+        finally:
+            srv.close()
+
+
+class TestQuantizedSharded:
+    """PQ/IVFPQ/SQ sharded serving (r5 verdict item 4): per-shard ADC
+    must merge bit-identically to the single-node local quantized
+    kernels, and full-probe + refine-all must reduce to exact flat."""
+
+    def test_pq_sharded_vs_local(self, spark, vectors, qmat,
+                                 tmp_path_factory):
+        from gofaiss_spark.operators.local_serve import to_local_pq
+        from gofaiss_spark.operators.pq import build_pq
+
+        idx = build_pq(vectors, m=8, seed=42)
+        idx.codes.cache().count()
+        path = str(tmp_path_factory.mktemp("shard") / "pq3")
+        save_sharded(idx, path, num_shards=3)
+        with ShardedSearcher(spark, path) as srv:
+            assert srv.meta["kind"] == "pq"
+            sids, sd = srv.search(qmat, k=10)
+        lids, ld = to_local_pq(idx).search(qmat, k=10)
+        np.testing.assert_array_equal(sids, lids)
+        np.testing.assert_array_equal(sd, ld)
+
+    def test_ivfpq_sharded_vs_local(self, spark, vectors, qmat,
+                                    tmp_path_factory):
+        from gofaiss_spark.operators.ivfpq import build_ivfpq
+        from gofaiss_spark.operators.local_serve import to_local_ivfpq
+
+        idx = build_ivfpq(vectors, nlist=8, m=8, seed=42)
+        idx.codes.cache().count()
+        path = str(tmp_path_factory.mktemp("shard") / "ivfpq3")
+        save_sharded(idx, path, num_shards=3)
+        local = to_local_ivfpq(idx)
+        with ShardedSearcher(spark, path) as srv:
+            for npr in (3, 8):
+                sids, sd = srv.search(qmat, k=5, nprobe=npr)
+                lids, ld = local.search(qmat, k=5, nprobe=npr)
+                np.testing.assert_array_equal(sids, lids)
+                np.testing.assert_array_equal(sd, ld)
+
+    def test_sq_sharded_vs_local(self, spark, vectors, qmat,
+                                 tmp_path_factory):
+        from gofaiss_spark.operators.local_serve import to_local_sq
+        from gofaiss_spark.operators.sq import build_sq
+
+        idx = build_sq(vectors)
+        idx.codes.cache().count()
+        path = str(tmp_path_factory.mktemp("shard") / "sq2")
+        save_sharded(idx, path, num_shards=2)
+        with ShardedSearcher(spark, path) as srv:
+            sids, sd = srv.search(qmat, k=10)
+        lids, ld = to_local_sq(idx).search(qmat, k=10)
+        np.testing.assert_array_equal(sids, lids)
+        np.testing.assert_array_equal(sd, ld)
+
+    def test_ivfpq_fullprobe_refine_all_equals_flat(self, spark, vectors,
+                                                    qmat, tmp_path_factory):
+        import math
+
+        from gofaiss_spark.operators.ivfpq import build_ivfpq
+        from gofaiss_spark.operators.local_serve import to_local
+
+        n = vectors.count()
+        idx = build_ivfpq(vectors, nlist=8, m=8, seed=42)
+        idx.codes.cache().count()
+        path = str(tmp_path_factory.mktemp("shard") / "ivfpq_ref")
+        save_sharded(idx, path, num_shards=3, vectors=vectors)
+        with ShardedSearcher(spark, path) as srv:
+            assert srv.meta["has_vectors"]
+            sids, sd = srv.search(qmat, k=10, nprobe=8,
+                                  refine=math.ceil(n / 10) + 1)
+        fids, fd = to_local(vectors).search(qmat, k=10)
+        np.testing.assert_array_equal(sids, fids)
+        np.testing.assert_array_equal(sd, fd)
+
+    def test_refine_without_vectors_rejected(self, spark, vectors, qmat,
+                                             tmp_path_factory):
+        from gofaiss_spark.operators.pq import build_pq
+
+        idx = build_pq(vectors, m=8, seed=42)
+        path = str(tmp_path_factory.mktemp("shard") / "pq_noref")
+        save_sharded(idx, path, num_shards=2)
+        with ShardedSearcher(spark, path) as srv:
+            with pytest.raises(ValueError, match="vectors"):
+                srv.search(qmat, k=5, refine=2)
+
+    def test_vectors_rejected_for_flat(self, spark, vectors):
+        with pytest.raises(ValueError, match="quantized"):
+            save_sharded(vectors, "/tmp/never_written_gfs", num_shards=2,
+                         vectors=vectors)
+
+
+class TestRobustness:
+    """The ADVICE-r5 failure modes: validly-empty shards (partitionBy
+    writes no directory), torn sentinels (reader attaches between
+    segment creation and payload write), and object-store paths the
+    POSIX sidecar plumbing can't serve."""
+
+    def test_empty_shard_is_served_not_crashed(self, spark, vectors, qmat,
+                                               tmp_path_factory):
+        # all-even ids with num_shards=2 → shard 1 has ZERO rows and
+        # partitionBy writes no shard_id=1 directory; the artifact is
+        # still valid and search must equal the local index
+        import os
+
+        even = vectors.filter(F.col("id") % 2 == 0).cache()
+        even.count()
+        path = str(tmp_path_factory.mktemp("shard") / "flat_sparse")
+        meta = save_sharded(even, path, num_shards=2)
+        assert meta["shard_rows"][1] == 0
+        assert not os.path.isdir(f"{path}/shards/shard_id=1")
+        with ShardedSearcher(spark, path) as srv:
+            sids, sd = srv.search(qmat, k=10)
+            st = srv.stats()
+        assert st["n_vectors"] == even.count()
+        lids, ld = to_local(even).search(qmat, k=10)
+        np.testing.assert_array_equal(sids, lids)
+        np.testing.assert_array_equal(sd, ld)
+
+    def test_empty_ivf_shard(self, spark, vectors, qmat, tmp_path_factory):
+        # num_shards > nlist → shards with no list assigned are empty
+        idx = build_ivf(vectors, nlist=3, seed=42)
+        idx.assignments.cache().count()
+        path = str(tmp_path_factory.mktemp("shard") / "ivf_sparse")
+        meta = save_sharded(idx, path, num_shards=5)
+        assert sorted(meta["shard_rows"], reverse=True)[3:] == [0, 0]
+        local = to_local_ivf(idx)
+        with ShardedSearcher(spark, path) as srv:
+            sids, sd = srv.search(qmat, k=10, nprobe=3)
+        lids, ld = local.search(qmat, k=10, nprobe=3)
+        np.testing.assert_array_equal(sids, lids)
+        np.testing.assert_array_equal(sd, ld)
+
+    def test_torn_sentinel_recovers(self, spark, vectors, qmat,
+                                    tmp_path_factory):
+        # simulate the publish race: sentinel segment exists but its
+        # JSON payload was never written — attach must route to the
+        # flock rebuild, not die on JSONDecodeError
+        from gofaiss_spark.operators import shard_serve as ss
+
+        path = str(tmp_path_factory.mktemp("shard") / "flat_torn")
+        meta = save_sharded(vectors, path, num_shards=1)
+        torn = ss._shm_open(
+            _seg_name(meta["build_id"], 0, "ok"), create=True, size=64)
+        torn.close()  # all-zero payload: json.loads(b"") → ValueError
+        try:
+            idx = ss._load_shard(path, meta["build_id"], 0, meta)
+            lids, ld = to_local(vectors).search(qmat, k=5)
+            sids, sd = idx.search(qmat, k=5)
+            np.testing.assert_array_equal(sids, lids)
+            np.testing.assert_array_equal(sd, ld)
+        finally:
+            ss._CACHE.clear()
+            ss._unlink_shard_segments(meta["build_id"], 0)
+
+    def test_object_store_path_rejected(self, spark, vectors):
+        with pytest.raises(ValueError, match="POSIX"):
+            save_sharded(vectors, "s3a://bucket/key", num_shards=2)
+
+    def test_torn_artifact_detected(self, spark, vectors, qmat,
+                                    tmp_path_factory):
+        # manifest says shard 1 has rows but its directory is gone →
+        # must fail loudly, not serve silently-partial results
+        import shutil
+
+        from gofaiss_spark.operators import shard_serve as ss
+
+        path = str(tmp_path_factory.mktemp("shard") / "flat_torn2")
+        meta = save_sharded(vectors, path, num_shards=2)
+        assert meta["shard_rows"][1] > 0
+        shutil.rmtree(f"{path}/shards/shard_id=1")
+        with pytest.raises(FileNotFoundError, match="torn"):
+            ss._read_shard_arrays(path, 1, meta)
