@@ -643,6 +643,66 @@ def main() -> None:
             }
             bivfpq_t.codes.unpersist()
 
+        # QUANTIZED executor-sharded serving (r5 verdict item 4): the
+        # same IVFPQ index sharded by list with original rows stored,
+        # served from host shm with per-shard residual ADC + exact
+        # refine, 10k-query batch — codes-in-memory serving one tier
+        # past single-node RAM, at 32× less resident vector data than
+        # the flat shards
+        if big:
+            import shutil as _shq
+            import tempfile as _tfq
+
+            import numpy as np
+
+            from gofaiss_spark.operators.shard_serve import (
+                ShardedSearcher as _ShSq,
+            )
+            from gofaiss_spark.operators.shard_serve import (
+                save_sharded as _ssq,
+            )
+
+            rngq_q = np.random.default_rng(45)
+            lq10k_q = rngq_q.random((10_000, 128), dtype=np.float32)
+            qshard_dir = _tfq.mkdtemp(prefix="gofaiss_bench_shards_pq_")
+            try:
+                t0 = time.monotonic()
+                _ssq(bivfpq, qshard_dir, num_shards=8, vectors=bvec)
+                qsh_write = round(time.monotonic() - t0, 4)
+                qsrv = _ShSq(spark, qshard_dir)
+                try:
+                    qsrv.search(lq10k_q[:128], k=K, nprobe=50,
+                                refine=10)  # cold
+                    qsrv.search(lq10k_q[:128], k=K, nprobe=50,
+                                refine=10)  # warm
+                    best = float("inf")
+                    for _ in range(3):
+                        t0 = time.monotonic()
+                        qids_sh, _dq = qsrv.search(
+                            lq10k_q, k=K, nprobe=50, refine=10)
+                        best = min(best, time.monotonic() - t0)
+                    # exact truth (full probe + refine-all ≡ flat)
+                    trq, _tq = qsrv.search(
+                        lq10k_q[:1000], k=K, nprobe=bl_nlist,
+                        refine=baseline_n // K + 1)
+                finally:
+                    qsrv.close()
+                rec = float(np.mean([
+                    len(set(qids_sh[i]) & set(trq[i])) / K
+                    for i in range(1000)
+                ]))
+                baseline["ivfpq_shard_exec_batch10k"] = {
+                    "search_sec": round(best, 4),
+                    "qps_batch": round(len(lq10k_q) / best, 1),
+                    "recall": round(rec, 4),
+                    "nlist": bl_nlist, "m": 8, "nbits": 8,
+                    "nprobe": 50, "refine": 10,
+                    "n_queries": len(lq10k_q), "num_shards": 8,
+                    "artifact_write_sec": qsh_write,
+                }
+            finally:
+                _shq.rmtree(qshard_dir, ignore_errors=True)
+
         # measured @100k: L=4 + multiprobe=1 → recall 0.9999 at
         # higher QPS and smaller footprint than L=8 plain (0.991) —
         # probing ±1 neighbor buckets buys ~3 tables' recall for free
@@ -1022,6 +1082,123 @@ def main() -> None:
             **ratios,
         }
 
+    # --- 10M-vector anchor (r5 verdict item 7): the second decade
+    # step, so the 100 TB extrapolation is two-point-calibrated
+    # (1M→10M ratio measured in ONE throttle window) instead of
+    # extrapolated from a single decade. Rows: distributed flat
+    # (interleaved 1M re-measure), IVF on a persisted-style build,
+    # executor-sharded serving at 16 shards (5 GB of CSR arrays in
+    # host shm — past the comfortable single-collect regime), LSH.
+    if baseline_n >= 100_000 and os.environ.get(
+            "SPARK_GRAFT_BASELINE_10M", "1") != "0":
+        import math
+
+        import numpy as np
+
+        n10m = 10_000_000
+        bvec10m = generate_random_vectors(spark, n10m, 128, 62).cache()
+        bvec10m.count()
+        # regenerate the 1M arm fresh (the earlier one is unpersisted)
+        # and time it IN THIS WINDOW for the honest decade ratio
+        bvec1m_i = generate_random_vectors(spark, 1_000_000, 128, 52).cache()
+        bvec1m_i.count()
+        sec1m_i, _r = bsearch(lambda: search_flat(bvec1m_i, bq, k=K))
+        sec, truth10m = bsearch(lambda: search_flat(bvec10m, bq, k=K))
+        baseline["flat_10m"] = {
+            "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+            "recall": 1.0, "n_vectors": n10m,
+            "flat_1m_interleaved_sec": sec1m_i,
+            "memory_mb": round(n10m * 128 * 4 / 2**20, 2),
+        }
+        bvec1m_i.unpersist()
+        t0 = time.monotonic()
+        bivf10m = build_ivf(bvec10m, nlist=1000, seed=42,
+                            train_fraction=5000.0 / n10m)
+        bivf10m.assignments.cache().count()
+        b10m_build = round(time.monotonic() - t0, 4)
+        sec, res = bsearch(lambda: search_ivf(bivf10m, bq, k=K, nprobe=100))
+        baseline["ivf_10m_np100"] = {
+            "build_sec": b10m_build, "search_sec": sec,
+            "qps_batch": round(bn_q / sec, 1),
+            "recall": brec(res, truth10m),
+            "nlist": 1000, "nprobe": 100, "n_vectors": n10m,
+        }
+        # executor-sharded serving at 10M/16 shards: the design case
+        # one decade past the single-node pool's comfort zone
+        import shutil as _sh10
+        import tempfile as _tf10
+
+        from gofaiss_spark.operators.shard_serve import (
+            ShardedSearcher as _ShS10,
+        )
+        from gofaiss_spark.operators.shard_serve import (
+            save_sharded as _ssh10,
+        )
+
+        rngq10 = np.random.default_rng(44)
+        lq10k_10m = rngq10.random((10_000, 128), dtype=np.float32)
+        shard_dir10m = _tf10.mkdtemp(prefix="gofaiss_bench_shards10m_")
+        try:
+            t0 = time.monotonic()
+            _ssh10(bivf10m, shard_dir10m, num_shards=16)
+            sh10m_write = round(time.monotonic() - t0, 4)
+            srv10m = _ShS10(spark, shard_dir10m)
+            try:
+                srv10m.search(lq10k_10m[:128], k=K, nprobe=100)  # cold
+                srv10m.search(lq10k_10m[:128], k=K, nprobe=100)  # warm
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.monotonic()
+                    shids10m, _d10 = srv10m.search(
+                        lq10k_10m, k=K, nprobe=100)
+                    best = min(best, time.monotonic() - t0)
+                # exact truth for the first 1k queries via full probe
+                tr10, _t10 = srv10m.search(
+                    lq10k_10m[:1000], k=K, nprobe=1000)
+            finally:
+                srv10m.close()
+            rec = float(np.mean([
+                len(set(shids10m[i]) & set(tr10[i])) / K
+                for i in range(1000)
+            ]))
+            baseline["ivf_shard_exec_10m_batch10k"] = {
+                "search_sec": round(best, 4),
+                "qps_batch": round(len(lq10k_10m) / best, 1),
+                "recall": round(rec, 4),
+                "nlist": 1000, "nprobe": 100,
+                "n_queries": len(lq10k_10m), "n_vectors": n10m,
+                "num_shards": 16, "slices_per_shard": srv10m.slices,
+                "artifact_write_sec": sh10m_write,
+                "shm_mb": round(n10m * 128 * 4 / 2**20, 1),
+            }
+        finally:
+            _sh10.rmtree(shard_dir10m, ignore_errors=True)
+        t0 = time.monotonic()
+        blsh10m = build_lsh(bvec10m, num_hash_tables=4)
+        blsh10m.buckets.cache().count()
+        lsh10m_build = round(time.monotonic() - t0, 4)
+        sec, res = bsearch(lambda: search_lsh(blsh10m, bq, k=K, multiprobe=1))
+        baseline["lsh_10m"] = {
+            "build_sec": lsh10m_build, "search_sec": sec,
+            "qps_batch": round(bn_q / sec, 1),
+            "recall": brec(res, truth10m),
+            "num_hash_tables": 4, "multiprobe": 1, "n_vectors": n10m,
+        }
+        blsh10m.buckets.unpersist()
+        bivf10m.assignments.unpersist()
+        bvec10m.unpersist()
+        r10 = baseline["flat_10m"]["search_sec"] / max(1e-9, sec1m_i)
+        baseline["scaling_10m"] = {
+            "note": "second decade (10M vs 1M), flat interleaved in "
+                    "one window; with scaling_1m this two-point-"
+                    "calibrates the 100 TB extrapolation. Linear "
+                    "work = ratio 10 (exponent 1).",
+            "flat_interleaved": {
+                "time_ratio_10m_vs_1m": round(r10, 2),
+                "exponent_per_decade": round(math.log10(max(1e-9, r10)), 3),
+            },
+        }
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     total = round(sum(timings.values()), 4)
@@ -1084,15 +1261,16 @@ def main() -> None:
         "ivf_local_mp_clustered_batch10k",
         "ivf_local_mp_clustered_np2_batch10k",
         "ivf_shard_exec_batch10k", "ivf_shard_exec_1m_batch10k",
-        "flat_1m",
+        "flat_1m", "flat_10m", "ivf_shard_exec_10m_batch10k",
+        "ivfpq_shard_exec_batch10k",
     ]
     extras = {
         "legend": "b=build_sec br=build range s=search_sec q=qps_batch "
                   "r=recall np=nprobe rf=refine mp=multiprobe "
                   "nq=n_queries(default 1000) sub=substituted_by",
         "baseline_extra": {
-            # scaling_1m has no standard row keys — pass it verbatim
-            k: (v if k == "scaling_1m" else _compact_row(v))
+            # scaling_* rows have no standard row keys — pass verbatim
+            k: (v if k.startswith("scaling_") else _compact_row(v))
             for k, v in baseline.items()
             if k not in HEADLINE and k != "workload"
         },

@@ -23,6 +23,7 @@ everything larger goes through the distributed search paths.
 
 from __future__ import annotations
 
+import threading as _threading
 from dataclasses import dataclass
 
 import numpy as np
@@ -34,11 +35,14 @@ from gofaiss_spark.functions.distance import (
 
 __all__ = [
     "LocalFlatIndex",
+    "LocalHnswRoutedIndex",
     "LocalIvfIndex",
     "LocalIvfPqIndex",
     "LocalPqIndex",
     "LocalServerPool",
     "LocalSqIndex",
+    "hnsw_routed_to_local",
+    "hnsw_to_local",
     "to_local",
     "to_local_ivf",
     "to_local_ivfpq",
@@ -90,15 +94,11 @@ def _fanout(default_cap: int = 16) -> int:
 # workers (do_block/do_final) and += on a module global is a
 # read-modify-write that would otherwise drop counts.
 GUARD_FALLBACKS = 0
-_GUARD_LOCK = None
+_GUARD_LOCK = _threading.Lock()
 
 
 def _count_fallback() -> None:
-    global GUARD_FALLBACKS, _GUARD_LOCK
-    if _GUARD_LOCK is None:
-        import threading
-
-        _GUARD_LOCK = threading.Lock()
+    global GUARD_FALLBACKS
     with _GUARD_LOCK:
         GUARD_FALLBACKS += 1
 
@@ -1060,6 +1060,284 @@ _WORKER_INDEX = None
 _WORKER_SHM: list = []
 
 
+# ---------------------------------------------------------------- HNSW tier
+#
+# The reference's headline serving number is HNSW (hnsw.go:142-187,
+# BASELINE.md 24,086 QPS @100k) measured in-process. The driver-
+# colocated tier below serves the SAME graphs the distributed builds
+# produce (hnsw.py `_build_graph` / cluster-routed cells) with zero
+# per-batch scheduling: route on the centroid table, run the shared
+# `_search_graph_batch` kernel per probed cell, merge by
+# (distance, id) — bit-identical to `search_hnsw_routed`'s plan.
+
+_METRIC_CODES = {"l2": 0, "cosine": 1, "dot": 2}
+_METRIC_NAMES = {v: k for k, v in _METRIC_CODES.items()}
+
+
+@dataclass
+class LocalHnswRoutedIndex:
+    """Driver/replica-RAM HNSW serving: one graph per routing cell
+    (a plain ``HnswIndex`` is the 1-cell case). ``graphs[i]`` may be
+    None for a validly-empty k-means cell — the centroid row is kept
+    so probe selection matches the distributed searcher exactly.
+    """
+
+    graphs: list  # list[HnswGraph | None], index-aligned to centroids
+    centroids: np.ndarray  # (G, dim)
+    metric: str
+    ef_search: int = 200
+    default_nprobe: int = 10
+
+    def __post_init__(self) -> None:
+        validate_metric(self.metric)
+        if len(self.graphs) != int(self.centroids.shape[0]):
+            raise ValueError(
+                f"graphs/centroids length mismatch: "
+                f"{len(self.graphs)} vs {self.centroids.shape[0]}"
+            )
+        self.n_total = int(
+            sum(g.n() for g in self.graphs if g is not None)
+        )
+
+    def set_ef_search(self, ef: int) -> None:
+        self.ef_search = int(ef)
+
+    def search(
+        self,
+        qmat: np.ndarray,
+        k: int = 10,
+        nprobe: int | None = None,
+        ef_search: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batch search → (ids (nq,k'), distances (nq,k')) with
+        k' = min(k, n_total); rows are (distance, id)-ordered exactly
+        like `topk` ranks the distributed results."""
+        import pandas as pd
+
+        from gofaiss_spark.functions.distance import np_distance_matrix
+        from gofaiss_spark.operators.hnsw import (
+            _prep,
+            _search_graph_batch,
+        )
+
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        q = np.ascontiguousarray(qmat, dtype=np.float32)
+        nq = int(q.shape[0])
+        k_eff = min(int(k), self.n_total)
+        if nq == 0 or k_eff == 0:
+            return (
+                np.empty((nq, k_eff), dtype=np.int64),
+                np.empty((nq, k_eff), dtype=np.float64),
+            )
+        ef = int(ef_search if ef_search is not None else self.ef_search)
+        G = len(self.graphs)
+        np_ = int(nprobe) if nprobe is not None else int(self.default_nprobe)
+        if np_ <= 0 or np_ > G:
+            np_ = G
+        # routing: raw f32 queries against the f64 centroid table —
+        # the same inputs search_hnsw_routed feeds np_distance_matrix,
+        # so the probed SET is identical
+        if np_ < G:
+            dmat = np_distance_matrix(self.centroids, q, self.metric)
+            sel = np.argpartition(dmat, np_ - 1, axis=0)[:np_, :]
+        else:
+            sel = np.broadcast_to(np.arange(G)[:, None], (G, nq))
+        qp = _prep(q, self.metric)
+        # scan-once probe map (same shape as the distributed searcher)
+        qcols = np.broadcast_to(np.arange(nq)[None, :], sel.shape).ravel()
+        order = np.argsort(sel.ravel(), kind="stable")
+        flat_cells = sel.ravel()[order]
+        flat_qidx = qcols[order].astype(np.int64)
+        bounds = np.searchsorted(flat_cells, np.arange(G + 1), side="left")
+        frames = []
+        for cell in np.unique(flat_cells):
+            g = self.graphs[int(cell)]
+            if g is None:
+                continue
+            idx = flat_qidx[bounds[cell]:bounds[cell + 1]]
+            frames.append(_search_graph_batch(g, qp[idx], idx, k_eff, ef))
+        allf = pd.concat(frames, ignore_index=True)
+        allf = allf.sort_values(
+            ["query_id", "distance", "id"], kind="mergesort"
+        )
+        top = allf.groupby("query_id", sort=True).head(k_eff)
+        qarr = top["query_id"].to_numpy(dtype=np.int64)
+        pos = np.arange(len(qarr)) - np.searchsorted(qarr, qarr)
+        ids = np.full((nq, k_eff), -1, dtype=np.int64)
+        dists = np.full((nq, k_eff), np.inf, dtype=np.float64)
+        ids[qarr, pos] = top["id"].to_numpy(dtype=np.int64)
+        dists[qarr, pos] = top["distance"].to_numpy(dtype=np.float64)
+        return ids, dists
+
+    def stats(self) -> dict:
+        built = [g for g in self.graphs if g is not None]
+        return {
+            "index_type": "hnsw_routed_local",
+            "total_vectors": self.n_total,
+            "dimension": int(self.centroids.shape[1]),
+            "memory_mb": round(
+                sum(
+                    g.vecs.nbytes
+                    + sum(e.nbytes for lv in g.edges for e in lv.values())
+                    for g in built
+                )
+                / 1e6
+                + self.centroids.nbytes / 1e6,
+                3,
+            ),
+            "extra": {
+                "metric": self.metric,
+                "ef_search": self.ef_search,
+                "default_nprobe": self.default_nprobe,
+                "cells": len(self.graphs),
+                "built_cells": len(built),
+            },
+        }
+
+
+def hnsw_to_local(index, ef_search: int | None = None) -> LocalHnswRoutedIndex:
+    """Wrap a driver-built ``HnswIndex`` as the 1-cell routed case."""
+    g = index.graph
+    return LocalHnswRoutedIndex(
+        graphs=[g],
+        centroids=np.zeros((1, g.dim)),
+        metric=g.metric,
+        ef_search=int(ef_search if ef_search is not None else index.ef_search),
+        default_nprobe=1,
+    )
+
+
+def hnsw_routed_to_local(
+    index,
+    ef_search: int | None = None,
+    default_nprobe: int | None = None,
+) -> LocalHnswRoutedIndex:
+    """Collect a Spark-built ``HnswRoutedIndex``'s cell graphs into a
+    serving replica. Bounded by construction: nlist pickled graph
+    blobs ≈ the full index size — the same RAM bound the reference's
+    single process lives under; larger corpora stay on the
+    distributed `search_hnsw_routed` / sharded paths."""
+    import pickle
+
+    graphs: list = [None] * int(index.nlist)
+    for row in index.blobs.select("shard_id", "blob").collect():
+        graphs[int(row["shard_id"])] = pickle.loads(bytes(row["blob"]))
+    return LocalHnswRoutedIndex(
+        graphs=graphs,
+        centroids=np.ascontiguousarray(index.centroids),
+        metric=index.metric,
+        ef_search=int(
+            ef_search if ef_search is not None else index.ef_search
+        ),
+        default_nprobe=int(
+            default_nprobe
+            if default_nprobe is not None
+            else index.default_nprobe
+        ),
+    )
+
+
+def _pack_graphs(graphs: list, centroids: np.ndarray) -> dict:
+    """Flatten routed-cell HNSW graphs into contiguous numpy arrays
+    (shm-exportable for `LocalServerPool` workers). Layout: one
+    consolidated row store (ids/vecs/levels + per-graph offsets) and
+    one CSR edge store (per-adjacency (level,node,count) rows +
+    concatenated neighbor ids)."""
+    G = len(graphs)
+    built = [g for g in graphs if g is not None]
+    if not built:
+        raise ValueError("_pack_graphs: no built graphs")
+    dim = built[0].dim
+    meta = np.zeros((G, 8), dtype=np.int64)
+    voff = np.zeros(G + 1, dtype=np.int64)
+    eoff = np.zeros(G + 1, dtype=np.int64)
+    ids_parts, vec_parts, lvl_parts = [], [], []
+    emeta_rows, nbr_parts = [], []
+    for gi, g in enumerate(graphs):
+        if g is None:
+            voff[gi + 1] = voff[gi]
+            eoff[gi + 1] = eoff[gi]
+            continue
+        meta[gi] = (
+            1, g.n(), g.m, g.ef_construction,
+            g.entry_point, g.max_level, len(g.edges),
+            _METRIC_CODES[g.metric],
+        )
+        voff[gi + 1] = voff[gi] + g.n()
+        ids_parts.append(np.ascontiguousarray(g.ids, dtype=np.int64))
+        vec_parts.append(np.ascontiguousarray(g.vecs, dtype=np.float32))
+        lvl_parts.append(np.ascontiguousarray(g.levels, dtype=np.int32))
+        nlists = 0
+        for lvl, layer in enumerate(g.edges):
+            for node in layer:
+                nbrs = layer[node]
+                emeta_rows.append((lvl, node, len(nbrs)))
+                nbr_parts.append(np.ascontiguousarray(nbrs, dtype=np.int32))
+                nlists += 1
+        eoff[gi + 1] = eoff[gi] + nlists
+    emeta = np.asarray(emeta_rows, dtype=np.int64).reshape(-1, 3)
+    enoff = np.zeros(emeta.shape[0] + 1, dtype=np.int64)
+    if emeta.shape[0]:
+        np.cumsum(emeta[:, 2], out=enoff[1:])
+    return {
+        "hmeta": meta,
+        "hvoff": voff,
+        "heoff": eoff,
+        "hids": np.concatenate(ids_parts) if ids_parts
+        else np.empty(0, dtype=np.int64),
+        "hvecs": np.concatenate(vec_parts) if vec_parts
+        else np.empty((0, dim), dtype=np.float32),
+        "hlevels": np.concatenate(lvl_parts) if lvl_parts
+        else np.empty(0, dtype=np.int32),
+        "hemeta": emeta,
+        "henoff": enoff,
+        "henbrs": np.concatenate(nbr_parts) if nbr_parts
+        else np.empty(0, dtype=np.int32),
+        "hcents": np.ascontiguousarray(centroids),
+    }
+
+
+def _unpack_graphs(arrays: dict) -> tuple[list, np.ndarray]:
+    """Inverse of `_pack_graphs`; vector/edge payloads stay views onto
+    the consolidated arrays (zero-copy when those live in shm)."""
+    from gofaiss_spark.operators.hnsw import HnswGraph
+
+    meta = arrays["hmeta"]
+    voff, eoff = arrays["hvoff"], arrays["heoff"]
+    emeta, enoff, enbrs = (
+        arrays["hemeta"], arrays["henoff"], arrays["henbrs"],
+    )
+    graphs: list = []
+    for gi in range(meta.shape[0]):
+        present, n, m, efc, ep, ml, nlev, mcode = (
+            int(x) for x in meta[gi]
+        )
+        if not present:
+            graphs.append(None)
+            continue
+        s, e = int(voff[gi]), int(voff[gi + 1])
+        edges: list[dict] = [dict() for _ in range(nlev)]
+        for li in range(int(eoff[gi]), int(eoff[gi + 1])):
+            lvl, node, _cnt = (int(x) for x in emeta[li])
+            edges[lvl][node] = enbrs[int(enoff[li]):int(enoff[li + 1])]
+        graphs.append(
+            HnswGraph(
+                metric=_METRIC_NAMES[mcode],
+                dim=int(arrays["hvecs"].shape[1]),
+                m=m,
+                ef_construction=efc,
+                vecs=arrays["hvecs"][s:e],
+                ids=arrays["hids"][s:e],
+                levels=arrays["hlevels"][s:e],
+                edges=edges,
+                entry_point=ep,
+                max_level=ml,
+            )
+        )
+    return graphs, arrays["hcents"]
+
+
 def _shm_export(arr: np.ndarray):
     from multiprocessing import shared_memory
 
@@ -1124,15 +1402,42 @@ def _mp_worker_init(spec: dict) -> None:
         _WORKER_SHM.append(shm)  # keep alive for the process lifetime
         arrays[key] = arr
     _MAX_CHUNKS = int(spec["worker_threads"])
-    if spec["kind"] == "ivf":
+    kind, metric = spec["kind"], spec["metric"]
+    if kind == "ivf":
         _WORKER_INDEX = LocalIvfIndex(
-            ids=arrays["ids"], vecs=arrays["vecs"], metric=spec["metric"],
+            ids=arrays["ids"], vecs=arrays["vecs"], metric=metric,
             centroids=arrays["centroids"], offsets=arrays["offsets"],
             norms_sq=arrays["norms_sq"],
         )
+    elif kind == "ivfpq":
+        _WORKER_INDEX = LocalIvfPqIndex(
+            ids=arrays["ids"], codes=arrays["codes"],
+            codebooks=arrays["codebooks"], centroids=arrays["centroids"],
+            offsets=arrays["offsets"], vecs=arrays.get("vecs"),
+            metric=metric,
+        )
+    elif kind == "pq":
+        _WORKER_INDEX = LocalPqIndex(
+            ids=arrays["ids"], codes=arrays["codes"],
+            codebooks=arrays["codebooks"], vecs=arrays.get("vecs"),
+            metric=metric,
+        )
+    elif kind == "sq":
+        _WORKER_INDEX = LocalSqIndex(
+            ids=arrays["ids"], codes=arrays["codes"],
+            vmin=arrays["vmin"], step=arrays["step"],
+            vecs=arrays.get("vecs"), metric=metric,
+        )
+    elif kind == "hnsw_routed":
+        graphs, cents = _unpack_graphs(arrays)
+        _WORKER_INDEX = LocalHnswRoutedIndex(
+            graphs=graphs, centroids=cents, metric=metric,
+            ef_search=spec["hnsw_opts"]["ef_search"],
+            default_nprobe=spec["hnsw_opts"]["default_nprobe"],
+        )
     else:
         _WORKER_INDEX = LocalFlatIndex(
-            ids=arrays["ids"], vecs=arrays["vecs"], metric=spec["metric"],
+            ids=arrays["ids"], vecs=arrays["vecs"], metric=metric,
             norms_sq=arrays["norms_sq"],
         )
 
@@ -1141,9 +1446,13 @@ def _mp_ping(_: int) -> bool:
     return _WORKER_INDEX is not None
 
 
-def _mp_search(q: np.ndarray, k: int, nprobe):
-    if isinstance(_WORKER_INDEX, LocalIvfIndex):
+def _mp_search(q: np.ndarray, k: int, nprobe, refine=None):
+    if isinstance(_WORKER_INDEX, (LocalIvfIndex, LocalHnswRoutedIndex)):
         return _WORKER_INDEX.search(q, k=k, nprobe=nprobe)
+    if isinstance(_WORKER_INDEX, LocalIvfPqIndex):
+        return _WORKER_INDEX.search(q, k=k, nprobe=nprobe, refine=refine)
+    if isinstance(_WORKER_INDEX, (LocalPqIndex, LocalSqIndex)):
+        return _WORKER_INDEX.search(q, k=k, refine=refine)
     return _WORKER_INDEX.search(q, k=k)
 
 
@@ -1182,6 +1491,25 @@ class LocalServerPool:
                 "norms_sq": index.norms_sq, "centroids": index.centroids,
                 "offsets": index.offsets,
             }
+        elif isinstance(index, LocalIvfPqIndex):
+            kind, named = "ivfpq", {
+                "ids": index.ids, "codes": index.codes,
+                "codebooks": index.codebooks,
+                "centroids": index.centroids, "offsets": index.offsets,
+            }
+        elif isinstance(index, LocalPqIndex):
+            kind, named = "pq", {
+                "ids": index.ids, "codes": index.codes,
+                "codebooks": index.codebooks,
+            }
+        elif isinstance(index, LocalSqIndex):
+            kind, named = "sq", {
+                "ids": index.ids, "codes": index.codes,
+                "vmin": index.vmin, "step": index.step,
+            }
+        elif isinstance(index, LocalHnswRoutedIndex):
+            kind = "hnsw_routed"
+            named = _pack_graphs(index.graphs, index.centroids)
         elif isinstance(index, LocalFlatIndex):
             kind, named = "flat", {
                 "ids": index.ids, "vecs": index.vecs,
@@ -1189,9 +1517,14 @@ class LocalServerPool:
             }
         else:
             raise TypeError(
-                f"LocalServerPool serves LocalFlatIndex/LocalIvfIndex, "
-                f"got {type(index).__name__}"
+                f"LocalServerPool serves LocalFlatIndex/LocalIvfIndex/"
+                f"LocalPqIndex/LocalIvfPqIndex/LocalSqIndex/"
+                f"LocalHnswRoutedIndex, got {type(index).__name__}"
             )
+        # refine needs the stored rows in every worker too
+        if getattr(index, "vecs", None) is not None and kind in (
+                "pq", "ivfpq", "sq"):
+            named["vecs"] = index.vecs
         self.kind = kind
         spec_arrays = {}
         for key, arr in named.items():
@@ -1200,6 +1533,11 @@ class LocalServerPool:
             spec_arrays[key] = meta
         spec = {"kind": kind, "metric": index.metric,
                 "arrays": spec_arrays, "worker_threads": worker_threads}
+        if kind == "hnsw_routed":
+            spec["hnsw_opts"] = {
+                "ef_search": int(index.ef_search),
+                "default_nprobe": int(index.default_nprobe),
+            }
         # children read BLAS thread env at numpy import — set it for
         # the spawn window only, restore the parent's env after
         env_keys = ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
@@ -1237,7 +1575,8 @@ class LocalServerPool:
                     _os.environ[kk] = vv
 
     def search(self, qmat: np.ndarray, k: int = 10,
-               nprobe: int | None = 10) -> tuple[np.ndarray, np.ndarray]:
+               nprobe: int | None = 10,
+               refine: int | None = None) -> tuple[np.ndarray, np.ndarray]:
         q = np.ascontiguousarray(qmat)
         nq = q.shape[0]
         if nq == 0:
@@ -1246,7 +1585,7 @@ class LocalServerPool:
         nchunks = max(1, min(self.workers * 2, nq))
         edges = np.linspace(0, nq, nchunks + 1, dtype=np.int64)
         futs = [
-            self._exe.submit(_mp_search, q[s:e], k, nprobe)
+            self._exe.submit(_mp_search, q[s:e], k, nprobe, refine)
             for s, e in zip(edges[:-1], edges[1:]) if e > s
         ]
         parts = [f.result() for f in futs]

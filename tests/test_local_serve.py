@@ -223,6 +223,59 @@ class TestLocalQuantized:
             local.search(np.zeros((1, 64), dtype=np.float32), k=3, refine=2)
 
 
+class TestQuantizedKernelProperties:
+    """Numpy-only pins: the serving kernels against a brute-force
+    re-derivation of the ADC math (no Spark)."""
+
+    def test_pq_kernel_vs_bruteforce(self):
+        from gofaiss_spark.operators.local_serve import LocalPqIndex
+
+        rng = np.random.default_rng(5)
+        m, ksub, dsub, n = 4, 8, 5, 500  # dim 20
+        books = rng.normal(size=(m, ksub, dsub))
+        codes = rng.integers(0, ksub, size=(n, m)).astype(np.uint16)
+        idx = LocalPqIndex(
+            ids=np.arange(n, dtype=np.int64),
+            codes=np.ascontiguousarray(codes), codebooks=books)
+        q = rng.normal(size=(7, 20))
+        ids, d = idx.search(q.astype(np.float32), k=5)
+        # brute force: decode each row from its codebook entries and
+        # measure squared L2 per subspace against the f32-cast query
+        q64 = q.astype(np.float32).astype(np.float64)
+        recon = books[np.arange(m)[None, :], codes.astype(np.int64), :]
+        recon = recon.reshape(n, m * dsub)  # (n, dim)
+        diff = recon[None, :, :] - q64[:, None, :]
+        bf = np.sqrt(np.maximum(0.0, np.einsum("qnd,qnd->qn", diff, diff)))
+        for qi in range(7):
+            order = np.lexsort((np.arange(n), bf[qi]))[:5]
+            np.testing.assert_array_equal(ids[qi], order)
+            np.testing.assert_allclose(d[qi], bf[qi][order],
+                                       rtol=0, atol=1e-9)
+
+    def test_sq_kernel_vs_bruteforce(self):
+        from gofaiss_spark.operators.local_serve import LocalSqIndex
+
+        rng = np.random.default_rng(6)
+        n, dim = 400, 12
+        vmin = rng.normal(size=dim)
+        step = rng.random(dim) * 0.01 + 1e-4
+        codes = rng.integers(0, 256, size=(n, dim)).astype(np.uint8)
+        idx = LocalSqIndex(
+            ids=np.arange(n, dtype=np.int64),
+            codes=np.ascontiguousarray(codes), vmin=vmin, step=step)
+        q = rng.normal(size=(5, dim))
+        ids, d = idx.search(q.astype(np.float32), k=4)
+        recon = vmin + codes.astype(np.float64) * step
+        q64 = q.astype(np.float32).astype(np.float64)
+        diff = recon[None, :, :] - q64[:, None, :]
+        bf = np.sqrt(np.einsum("qnd,qnd->qn", diff, diff))
+        for qi in range(5):
+            order = np.lexsort((np.arange(n), bf[qi]))[:4]
+            np.testing.assert_array_equal(ids[qi], order)
+            np.testing.assert_allclose(d[qi], bf[qi][order],
+                                       rtol=0, atol=1e-9)
+
+
 class TestServerPool:
     """LocalServerPool — process-parallel serving: block-split output
     must be bit-identical to the in-process kernels (no Spark
@@ -296,6 +349,92 @@ class TestServerPool:
         finally:
             pool.close()
         pool.close()  # idempotent
+
+    def test_pq_pool_bit_identical(self):
+        from gofaiss_spark.operators.local_serve import (
+            LocalPqIndex,
+            LocalServerPool,
+        )
+
+        rng = np.random.default_rng(12)
+        m, ksub, dsub = 4, 16, 6  # dim 24
+        books = rng.normal(size=(m, ksub, dsub))
+        codes = rng.integers(0, ksub, size=(3000, m)).astype(np.uint16)
+        vecs = rng.random((3000, 24), dtype=np.float32)
+        idx = LocalPqIndex(
+            ids=np.arange(3000, dtype=np.int64),
+            codes=np.ascontiguousarray(codes),
+            codebooks=books, vecs=vecs,
+        )
+        q = rng.random((200, 24), dtype=np.float32)
+        with LocalServerPool(idx, workers=3) as pool:
+            i_mp, d_mp = pool.search(q, k=5, nprobe=None)
+            ri_mp, rd_mp = pool.search(q, k=5, nprobe=None, refine=3)
+        i_sp, d_sp = idx.search(q, k=5)
+        ri_sp, rd_sp = idx.search(q, k=5, refine=3)
+        np.testing.assert_array_equal(i_mp, i_sp)
+        np.testing.assert_array_equal(d_mp, d_sp)
+        np.testing.assert_array_equal(ri_mp, ri_sp)
+        np.testing.assert_array_equal(rd_mp, rd_sp)
+
+    def test_ivfpq_pool_bit_identical(self):
+        from gofaiss_spark.operators.local_serve import (
+            LocalIvfPqIndex,
+            LocalServerPool,
+        )
+
+        rng = np.random.default_rng(13)
+        m, ksub, dsub, nlist, n = 4, 16, 6, 8, 3000  # dim 24
+        books = rng.normal(size=(m, ksub, dsub))
+        cents = rng.normal(size=(nlist, 24))
+        cell = np.sort(rng.integers(0, nlist, size=n))
+        offsets = np.searchsorted(
+            cell, np.arange(nlist + 1)).astype(np.int64)
+        codes = rng.integers(0, ksub, size=(n, m)).astype(np.uint16)
+        vecs = rng.random((n, 24), dtype=np.float32)
+        idx = LocalIvfPqIndex(
+            ids=np.arange(n, dtype=np.int64),
+            codes=np.ascontiguousarray(codes), codebooks=books,
+            centroids=cents, offsets=offsets, vecs=vecs,
+        )
+        q = rng.random((150, 24), dtype=np.float32)
+        with LocalServerPool(idx, workers=3) as pool:
+            i_mp, d_mp = pool.search(q, k=5, nprobe=3)
+            ri_mp, rd_mp = pool.search(q, k=5, nprobe=3, refine=4)
+        i_sp, d_sp = idx.search(q, k=5, nprobe=3)
+        ri_sp, rd_sp = idx.search(q, k=5, nprobe=3, refine=4)
+        np.testing.assert_array_equal(i_mp, i_sp)
+        np.testing.assert_array_equal(d_mp, d_sp)
+        np.testing.assert_array_equal(ri_mp, ri_sp)
+        np.testing.assert_array_equal(rd_mp, rd_sp)
+
+    def test_sq_pool_bit_identical(self):
+        from gofaiss_spark.operators.local_serve import (
+            LocalServerPool,
+            LocalSqIndex,
+        )
+
+        rng = np.random.default_rng(14)
+        n, dim = 2500, 16
+        vmin = rng.normal(size=dim)
+        step = rng.random(dim) * 0.01 + 1e-4
+        codes = rng.integers(0, 256, size=(n, dim)).astype(np.uint8)
+        vecs = rng.random((n, dim), dtype=np.float32)
+        idx = LocalSqIndex(
+            ids=np.arange(n, dtype=np.int64),
+            codes=np.ascontiguousarray(codes),
+            vmin=vmin, step=step, vecs=vecs,
+        )
+        q = rng.random((120, dim), dtype=np.float32)
+        with LocalServerPool(idx, workers=2) as pool:
+            i_mp, d_mp = pool.search(q, k=4, nprobe=None)
+            ri_mp, rd_mp = pool.search(q, k=4, nprobe=None, refine=3)
+        i_sp, d_sp = idx.search(q, k=4)
+        ri_sp, rd_sp = idx.search(q, k=4, refine=3)
+        np.testing.assert_array_equal(i_mp, i_sp)
+        np.testing.assert_array_equal(d_mp, d_sp)
+        np.testing.assert_array_equal(ri_mp, ri_sp)
+        np.testing.assert_array_equal(rd_mp, rd_sp)
 
     def test_pool_rejects_unknown_index(self):
         from gofaiss_spark.operators.local_serve import LocalServerPool
