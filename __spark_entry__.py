@@ -1892,6 +1892,59 @@ def _hnsw_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_invariants(res, v, queries=q, truth=search_flat(v, q, k=TOPK_K))
 
 
+def _hnsw_local_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-colocated routed-HNSW serving tier
+    (``LocalHnswRoutedIndex``): serve the SAME Spark-built index from
+    replica RAM and hard-check per-rank BIT-EQUALITY (id and f64
+    distance) with the distributed ``search_hnsw_routed`` plan —
+    routing table, per-cell graph kernel, and (distance, id) merge
+    are shared code, so any divergence flips ok=false and fails the
+    hash. Reference analogue: hnsw.go:142-187 in-process serving."""
+    import numpy as np
+
+    from gofaiss_spark.operators.hnsw import (
+        build_hnsw_routed,
+        search_hnsw_routed,
+    )
+    from gofaiss_spark.operators.local_serve import hnsw_routed_to_local
+
+    v = _vectors(spark, sf_dir)
+    q = _queries_df(spark, sf_dir, N_ANN_QUERIES)
+    idx = build_hnsw_routed(v, nlist=4, m=16, ef_construction=100, seed=42)
+    dist_rows = (
+        search_hnsw_routed(idx, q, k=TOPK_K, nprobe=2, ef_search=100)
+        .select("query_id", "rank", "id", "distance")
+        .collect()
+    )
+    qrows = q.orderBy("query_id").collect()
+    qids = [int(r["query_id"]) for r in qrows]
+    qmat = np.stack([np.asarray(r["qvec"], dtype=np.float32) for r in qrows])
+    local = hnsw_routed_to_local(idx)
+    lids, ldists = local.search(qmat, k=TOPK_K, nprobe=2, ef_search=100)
+    want = {
+        (qids[i], r + 1): (int(lids[i, r]), float(ldists[i, r]))
+        for i in range(len(qids))
+        for r in range(lids.shape[1])
+    }
+    # row-set equality is part of the check: a missing/extra row on
+    # either side flips every boolean
+    sets_equal = len(want) == len(dist_rows)
+    out = []
+    for row in dist_rows:
+        key = (int(row["query_id"]), int(row["rank"]))
+        got = want.get(key)
+        ok = (
+            sets_equal
+            and got is not None
+            and got[0] == int(row["id"])
+            and got[1] == float(row["distance"])
+        )
+        out.append((key[0], key[1], bool(ok)))
+    return spark.createDataFrame(
+        out, schema="query_id long, rank int, ok boolean"
+    )
+
+
 def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN (the HNSW role-player) as hard-checked invariants
     (exact re-ranked distances → lower bound + honesty apply)."""
@@ -4420,6 +4473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sf0.001 DuckDB oracle suite (tests/test_entry_oracle.py)."""
     return {
         # --- new round-6 queries (prepended per the standing rule) ---
+        "hnsw_local_topk": _hnsw_local_topk,
         "ivfpq_sharded_exec_topk": _ivfpq_sharded_exec_topk,
         # --- stale-15: last driver-checked r2, kernel rewritten r4/r5 ---
         "flat_topk_l2": _flat_topk("l2"),
@@ -4676,6 +4730,7 @@ GROUP BY label, g.i
         "sq_topk": _ANN_OK_SQL,
         "ivfsq_topk": _ANN_OK_SQL,
         "lsh_topk": _ANN_OK_SQL,
+        "hnsw_local_topk": _ANN_OK_SQL,
         "hnsw_topk": _ANN_OK_SQL,
         "hnsw_sharded_topk": _ANN_OK_SQL,
         "hnsw_routed_topk": _ANN_OK_SQL,

@@ -893,6 +893,47 @@ def main() -> None:
                     "workload": "mixture-of-100-Gaussians (sigma=0.05)",
                 }
             cpool.close()
+
+            # pool-served routed HNSW — the reference's headline
+            # serving shape (in-process graph search; BASELINE.md
+            # 24,086 QPS) through the driver-colocated tier, same
+            # graphs as the distributed hnsw_routed rows above.
+            # Expected outcome, recorded honestly: Python graph
+            # traversal loses to the per-cell BLAS GEMM at ~1k-row
+            # cells, so this row trails the ivf_local_mp rows — the
+            # engine's fast path for this regime is the IVF kernel
+            # (which beats the reference's HNSW outright); this row
+            # is HNSW-artifact serving parity, not the fast path.
+            from gofaiss_spark.operators.local_serve import (
+                hnsw_routed_to_local,
+            )
+
+            t0 = time.monotonic()
+            hlocal = hnsw_routed_to_local(brt, ef_search=50)
+            h_collect = round(time.monotonic() - t0, 4)
+            hpool = LocalServerPool(hlocal)
+            try:
+                hpool.search(cq10k[:256], k=K, nprobe=4)  # warm
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.monotonic()
+                    hids, _ = hpool.search(cq10k, k=K, nprobe=4)
+                    best = min(best, time.monotonic() - t0)
+            finally:
+                hpool.close()
+            rec = float(np.mean([
+                len(set(hids[i]) & set(ct10k[i])) / K
+                for i in range(len(cq10k))
+            ]))
+            baseline["hnsw_local_mp_clustered_batch10k"] = {
+                "search_sec": round(best, 4),
+                "qps_batch": round(len(cq10k) / best, 1),
+                "recall": round(rec, 4),
+                "nlist": n_cl, "nprobe": 4, "ef_search": 50,
+                "n_queries": len(cq10k), "workers": hpool.workers,
+                "collect_sec": h_collect,
+                "workload": "mixture-of-100-Gaussians (sigma=0.05)",
+            }
             civf.assignments.unpersist()
 
         # HNSW, single-graph: driver-side fidelity path. The insert

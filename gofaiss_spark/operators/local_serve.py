@@ -1343,8 +1343,8 @@ def _shm_export(arr: np.ndarray):
 
     arr = np.ascontiguousarray(arr)
     # SharedMemory(size=0) is invalid — allocate 1 byte for empty
-    # arrays (e.g. an empty index, or the l2-only norms_sq slot) so
-    # they round-trip; _shm_attach reconstructs shape (0, ...) views.
+    # arrays (e.g. an empty index, or an HNSW pack with no edge rows)
+    # so they round-trip; _shm_attach reconstructs shape (0,...) views.
     shm = shared_memory.SharedMemory(create=True, size=max(1, arr.nbytes))
     view = np.ndarray(arr.shape, dtype=arr.dtype, buffer=shm.buf)
     view[:] = arr
