@@ -284,16 +284,28 @@ def main() -> None:
             """Warm once (plan + codegen + python workers), then take
             the best of two timed runs — the single-JVM box is noisy
             (GC pauses swung identical searches 2×) and the reference
-            also reports the steady-state of a timed loop."""
+            also reports the steady-state of a timed loop.
+
+            HONESTY FIX (round 6): each timed run UNPERSISTS the
+            previous run's cache first. ``.cache()`` registers the
+            analyzed plan with Spark's CacheManager, so the second
+            identical ``fn()`` used to read run 1's InMemoryRelation
+            instead of searching (measured 8×: 0.41 s cache read vs
+            3.28 s real compute at 50k; the round-5 ``flat_1m`` row's
+            0.17 s was this artifact, not a 1M-row search). Rows from
+            earlier rounds that went through bsearch may therefore
+            under-report search_sec; this round's artifact is the
+            honest baseline."""
             fn().count()
             best, res = float("inf"), None
             for _ in range(2):
+                if res is not None:
+                    res.unpersist(blocking=True)
                 t0 = time.monotonic()
-                r = fn().cache()
-                r.count()
+                res = fn().cache()
+                res.count()
                 sec = time.monotonic() - t0
-                if sec < best:
-                    best, res = sec, r
+                best = min(best, sec)
             return round(best, 4), res
 
         def brec(res, truth) -> float:
@@ -1135,110 +1147,161 @@ def main() -> None:
         import math
 
         import numpy as np
+        from pyspark import StorageLevel
 
-        n10m = 10_000_000
-        bvec10m = generate_random_vectors(spark, n10m, 128, 62).cache()
-        bvec10m.count()
-        # regenerate the 1M arm fresh (the earlier one is unpersisted)
-        # and time it IN THIS WINDOW for the honest decade ratio
-        bvec1m_i = generate_random_vectors(spark, 1_000_000, 128, 52).cache()
-        bvec1m_i.count()
-        sec1m_i, _r = bsearch(lambda: search_flat(bvec1m_i, bq, k=K))
-        sec, truth10m = bsearch(lambda: search_flat(bvec10m, bq, k=K))
-        baseline["flat_10m"] = {
-            "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
-            "recall": 1.0, "n_vectors": n10m,
-            "flat_1m_interleaved_sec": sec1m_i,
-            "memory_mb": round(n10m * 128 * 4 / 2**20, 2),
-        }
-        bvec1m_i.unpersist()
-        t0 = time.monotonic()
-        bivf10m = build_ivf(bvec10m, nlist=1000, seed=42,
-                            train_fraction=5000.0 / n10m)
-        bivf10m.assignments.cache().count()
-        b10m_build = round(time.monotonic() - t0, 4)
-        sec, res = bsearch(lambda: search_ivf(bivf10m, bq, k=K, nprobe=100))
-        baseline["ivf_10m_np100"] = {
-            "build_sec": b10m_build, "search_sec": sec,
-            "qps_batch": round(bn_q / sec, 1),
-            "recall": brec(res, truth10m),
-            "nlist": 1000, "nprobe": 100, "n_vectors": n10m,
-        }
-        # executor-sharded serving at 10M/16 shards: the design case
-        # one decade past the single-node pool's comfort zone
-        import shutil as _sh10
-        import tempfile as _tf10
-
-        from gofaiss_spark.operators.shard_serve import (
-            ShardedSearcher as _ShS10,
-        )
-        from gofaiss_spark.operators.shard_serve import (
-            save_sharded as _ssh10,
-        )
-
-        rngq10 = np.random.default_rng(44)
-        lq10k_10m = rngq10.random((10_000, 128), dtype=np.float32)
-        shard_dir10m = _tf10.mkdtemp(prefix="gofaiss_bench_shards10m_")
+        # Memory discipline (round-6 OOM post-mortem: cache() of the
+        # 10M corpus + repeated wide Arrow passes OOM-killed the JVM
+        # at 56 GB RSS on the 125 GB box): the 10M tables persist
+        # DISK_ONLY — spark.range+rand regenerates deterministically,
+        # the OS page cache serves re-reads, and the JVM stayed
+        # ≤ 19 GB across the whole section when probed this way.
         try:
+            n10m = 10_000_000
+            bvec10m = generate_random_vectors(spark, n10m, 128, 62) \
+                .persist(StorageLevel.DISK_ONLY)
+            bvec10m.count()
+            # regenerate the 1M arm fresh (the earlier one is
+            # unpersisted) and time it IN THIS WINDOW for the honest
+            # decade ratio
+            bvec1m_i = generate_random_vectors(spark, 1_000_000, 128, 52) \
+                .persist(StorageLevel.DISK_ONLY)
+            bvec1m_i.count()
+            sec1m_i, _r = bsearch(lambda: search_flat(bvec1m_i, bq, k=K))
+            # throttle guard: the warm pass is ~35-40 s un-throttled;
+            # a 4-20× throttled box would turn the remaining section
+            # into an hour — record the skip instead of garbage rows
             t0 = time.monotonic()
-            _ssh10(bivf10m, shard_dir10m, num_shards=16)
-            sh10m_write = round(time.monotonic() - t0, 4)
-            srv10m = _ShS10(spark, shard_dir10m)
-            try:
-                srv10m.search(lq10k_10m[:128], k=K, nprobe=100)  # cold
-                srv10m.search(lq10k_10m[:128], k=K, nprobe=100)  # warm
-                best = float("inf")
-                for _ in range(3):
-                    t0 = time.monotonic()
-                    shids10m, _d10 = srv10m.search(
-                        lq10k_10m, k=K, nprobe=100)
-                    best = min(best, time.monotonic() - t0)
-                # exact truth for the first 1k queries via full probe
-                tr10, _t10 = srv10m.search(
-                    lq10k_10m[:1000], k=K, nprobe=1000)
-            finally:
-                srv10m.close()
-            rec = float(np.mean([
-                len(set(shids10m[i]) & set(tr10[i])) / K
-                for i in range(1000)
-            ]))
-            baseline["ivf_shard_exec_10m_batch10k"] = {
-                "search_sec": round(best, 4),
-                "qps_batch": round(len(lq10k_10m) / best, 1),
-                "recall": round(rec, 4),
-                "nlist": 1000, "nprobe": 100,
-                "n_queries": len(lq10k_10m), "n_vectors": n10m,
-                "num_shards": 16, "slices_per_shard": srv10m.slices,
-                "artifact_write_sec": sh10m_write,
-                "shm_mb": round(n10m * 128 * 4 / 2**20, 1),
+            search_flat(bvec10m, bq, k=K).count()
+            warm10m = time.monotonic() - t0
+            if warm10m > 240:
+                raise RuntimeError(
+                    f"skipped: flat warm pass took {warm10m:.0f}s "
+                    f"(>240s — box throttled this window)"
+                )
+            sec, truth10m = bsearch(lambda: search_flat(bvec10m, bq, k=K))
+            baseline["flat_10m"] = {
+                "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+                "recall": 1.0, "n_vectors": n10m,
+                "flat_1m_interleaved_sec": sec1m_i,
+                "memory_mb": round(n10m * 128 * 4 / 2**20, 2),
             }
-        finally:
-            _sh10.rmtree(shard_dir10m, ignore_errors=True)
-        t0 = time.monotonic()
-        blsh10m = build_lsh(bvec10m, num_hash_tables=4)
-        blsh10m.buckets.cache().count()
-        lsh10m_build = round(time.monotonic() - t0, 4)
-        sec, res = bsearch(lambda: search_lsh(blsh10m, bq, k=K, multiprobe=1))
-        baseline["lsh_10m"] = {
-            "build_sec": lsh10m_build, "search_sec": sec,
-            "qps_batch": round(bn_q / sec, 1),
-            "recall": brec(res, truth10m),
-            "num_hash_tables": 4, "multiprobe": 1, "n_vectors": n10m,
-        }
-        blsh10m.buckets.unpersist()
-        bivf10m.assignments.unpersist()
-        bvec10m.unpersist()
-        r10 = baseline["flat_10m"]["search_sec"] / max(1e-9, sec1m_i)
-        baseline["scaling_10m"] = {
-            "note": "second decade (10M vs 1M), flat interleaved in "
-                    "one window; with scaling_1m this two-point-"
-                    "calibrates the 100 TB extrapolation. Linear "
-                    "work = ratio 10 (exponent 1).",
-            "flat_interleaved": {
-                "time_ratio_10m_vs_1m": round(r10, 2),
-                "exponent_per_decade": round(math.log10(max(1e-9, r10)), 3),
-            },
-        }
+            bvec1m_i.unpersist()
+            t0 = time.monotonic()
+            bivf10m = build_ivf(bvec10m, nlist=1000, seed=42,
+                                train_fraction=5000.0 / n10m)
+            bivf10m.assignments.persist(StorageLevel.DISK_ONLY).count()
+            b10m_build = round(time.monotonic() - t0, 4)
+            # the 10M serving row is the SHARDED path below (that is
+            # the architecture at this scale); one distributed
+            # search_ivf pass probed at ~107 s/1k queries — recorded
+            # as build-only here to keep the bench inside its budget
+            baseline["ivf_10m"] = {
+                "build_sec": b10m_build, "nlist": 1000,
+                "n_vectors": n10m,
+                "note": "search served via ivf_shard_exec_10m",
+            }
+            # executor-sharded serving at 10M/16 shards: the design
+            # case one decade past the single-node pool's comfort
+            # zone. 2k-query batches: at nprobe=100/nlist=1000 each
+            # query scans ~10% of 10M rows, and on ONE box all 16
+            # shards share a single memory bus — the cluster design
+            # point gives each shard its own host (SCALE.md §7).
+            import shutil as _sh10
+            import tempfile as _tf10
+
+            from gofaiss_spark.operators.shard_serve import (
+                ShardedSearcher as _ShS10,
+            )
+            from gofaiss_spark.operators.shard_serve import (
+                save_sharded as _ssh10,
+            )
+
+            rngq10 = np.random.default_rng(44)
+            lq2k_10m = rngq10.random((2_000, 128), dtype=np.float32)
+            shard_dir10m = _tf10.mkdtemp(prefix="gofaiss_bench_shards10m_")
+            try:
+                t0 = time.monotonic()
+                _ssh10(bivf10m, shard_dir10m, num_shards=16)
+                sh10m_write = round(time.monotonic() - t0, 4)
+                srv10m = _ShS10(spark, shard_dir10m)
+                try:
+                    srv10m.search(lq2k_10m[:128], k=K, nprobe=100)  # cold
+                    best = float("inf")
+                    for _ in range(2):
+                        t0 = time.monotonic()
+                        shids10m, _d10 = srv10m.search(
+                            lq2k_10m, k=K, nprobe=100)
+                        best = min(best, time.monotonic() - t0)
+                    # recall vs the flat truth on bq's 1000 queries
+                    # (same queries, exact top-k already computed)
+                    bqrows = bq.orderBy("query_id").collect()
+                    bqmat = np.stack([
+                        np.asarray(r["qvec"], dtype=np.float32)
+                        for r in bqrows
+                    ])
+                    sids_bq, _d = srv10m.search(bqmat, k=K, nprobe=100)
+                    tmap = {}
+                    for r in truth10m.collect():
+                        tmap.setdefault(int(r["query_id"]), set()).add(
+                            int(r["id"]))
+                    rec = float(np.mean([
+                        len(set(sids_bq[i])
+                            & tmap[int(bqrows[i]["query_id"])]) / K
+                        for i in range(len(bqrows))
+                    ]))
+                finally:
+                    srv10m.close()
+                baseline["ivf_shard_exec_10m_batch2k"] = {
+                    "search_sec": round(best, 4),
+                    "qps_batch": round(len(lq2k_10m) / best, 1),
+                    "recall": round(rec, 4),
+                    "nlist": 1000, "nprobe": 100,
+                    "n_queries": len(lq2k_10m), "n_vectors": n10m,
+                    "num_shards": 16, "slices_per_shard": srv10m.slices,
+                    "artifact_write_sec": sh10m_write,
+                    "shm_mb": round(n10m * 128 * 4 / 2**20, 1),
+                    "note": "16 shards share one memory bus on this "
+                            "box; cluster design point = shard/host",
+                }
+            finally:
+                _sh10.rmtree(shard_dir10m, ignore_errors=True)
+            t0 = time.monotonic()
+            blsh10m = build_lsh(bvec10m, num_hash_tables=4)
+            blsh10m.buckets.persist(StorageLevel.DISK_ONLY).count()
+            lsh10m_build = round(time.monotonic() - t0, 4)
+            # single timed run (probed ~156 s/1k queries — a warmed
+            # best-of-2 would double the section for a ±2 s refinement)
+            t0 = time.monotonic()
+            res = search_lsh(blsh10m, bq, k=K, multiprobe=1).cache()
+            res.count()
+            sec = round(time.monotonic() - t0, 4)
+            baseline["lsh_10m"] = {
+                "build_sec": lsh10m_build, "search_sec": sec,
+                "qps_batch": round(bn_q / sec, 1),
+                "recall": brec(res, truth10m),
+                "num_hash_tables": 4, "multiprobe": 1,
+                "n_vectors": n10m, "n_runs": 1,
+            }
+            blsh10m.buckets.unpersist()
+            bivf10m.assignments.unpersist()
+            bvec10m.unpersist()
+            r10 = baseline["flat_10m"]["search_sec"] / max(1e-9, sec1m_i)
+            baseline["scaling_10m"] = {
+                "note": "second decade (10M vs 1M), flat interleaved "
+                        "in one window; with scaling_1m this two-"
+                        "point-calibrates the 100 TB extrapolation. "
+                        "Linear work = ratio 10 (exponent 1).",
+                "flat_interleaved": {
+                    "time_ratio_10m_vs_1m": round(r10, 2),
+                    "exponent_per_decade": round(
+                        math.log10(max(1e-9, r10)), 3),
+                },
+            }
+        except Exception as e:  # record the skip, never lose the run
+            baseline["scaling_10m"] = {
+                "note": f"10M anchor aborted: "
+                        f"{type(e).__name__}: {e}"[:300],
+            }
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -1302,7 +1365,7 @@ def main() -> None:
         "ivf_local_mp_clustered_batch10k",
         "ivf_local_mp_clustered_np2_batch10k",
         "ivf_shard_exec_batch10k", "ivf_shard_exec_1m_batch10k",
-        "flat_1m", "flat_10m", "ivf_shard_exec_10m_batch10k",
+        "flat_1m", "flat_10m", "ivf_shard_exec_10m_batch2k",
         "ivfpq_shard_exec_batch10k",
     ]
     extras = {

@@ -854,7 +854,33 @@ def release_shards(spark, path: str, meta: dict | None = None) -> int:
     each worker's handle cache so the freed memory unmaps promptly."""
     meta = meta or _read_shard_meta(path)
     build_id, w = meta["build_id"], meta["num_shards"]
-    par = max(1, spark.sparkContext.defaultParallelism)
+
+    def _local_release() -> int:
+        # free THIS host's segments directly (works from any process:
+        # segments are addressed by build_id-derived names, no Spark
+        # needed). The crashed-JVM escape hatch: a 10M-vector artifact
+        # pins ~5 GB of /dev/shm, and close() must not leak it just
+        # because the session died first. Remote hosts' segments are
+        # reclaimed by the next attach (stale-generation rebuild) or
+        # a fresh release_shards call from a live session.
+        for key in list(_CACHE):
+            if key[1] == build_id:
+                _, handles = _CACHE.pop(key)
+                for h in handles:
+                    h.close()
+        return sum(_unlink_shard_segments(build_id, s) for s in range(w))
+
+    try:
+        par = max(1, spark.sparkContext.defaultParallelism)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            "release_shards: SparkSession unusable (JVM gone?); "
+            "unlinked this host's segments only",
+            RuntimeWarning,
+        )
+        return _local_release()
     n_tasks = max(w, par * 4)
 
     def rel(it):
@@ -875,7 +901,17 @@ def release_shards(spark, path: str, meta: dict | None = None) -> int:
                 n += _unlink_shard_segments(build_id, s)
         yield pd.DataFrame({"n": [n]})
 
-    total = (spark.range(0, n_tasks, 1, n_tasks)
-             .mapInPandas(rel, schema="n long")
-             .toPandas()["n"].sum())
+    try:
+        total = (spark.range(0, n_tasks, 1, n_tasks)
+                 .mapInPandas(rel, schema="n long")
+                 .toPandas()["n"].sum())
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            "release_shards: cluster-wide unlink job failed; "
+            "unlinked this host's segments only",
+            RuntimeWarning,
+        )
+        return _local_release()
     return int(total)

@@ -169,6 +169,32 @@ class TestHostShmLifecycle:
         np.testing.assert_array_equal(a[1], b[1])
         srv.close()
 
+    def test_close_with_dead_session_frees_local_segments(
+            self, spark, vectors, qmat, tmp_path_factory):
+        """A crashed/stopped JVM must not leak /dev/shm on this host:
+        close() falls back to a direct local unlink (a 10M artifact
+        pins ~5 GB — the round-6 bench OOM left 288 segments behind
+        before this fallback existed)."""
+
+        class _DeadSparkContext:
+            @property
+            def defaultParallelism(self):
+                raise RuntimeError("JVM gone")
+
+        class _DeadSpark:
+            sparkContext = _DeadSparkContext()
+
+        path = str(tmp_path_factory.mktemp("shard") / "flat_dead")
+        meta = save_sharded(vectors, path, num_shards=2)
+        srv = ShardedSearcher(spark, path)
+        srv.search(qmat, k=5)
+        assert len(self._segs(meta["build_id"])) >= 2 * 4
+        srv.spark = _DeadSpark()
+        with pytest.warns(RuntimeWarning, match="JVM gone"):
+            removed = srv.close()
+        assert removed >= 2 * 4
+        assert self._segs(meta["build_id"]) == []
+
     def test_rewrite_same_path_new_build_id(self, spark, vectors, qmat,
                                             tmp_path_factory):
         path = str(tmp_path_factory.mktemp("shard") / "flat_shm3")
