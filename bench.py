@@ -987,8 +987,16 @@ def main() -> None:
         bvec1m = generate_random_vectors(spark, n1m, 128, 52).cache()
         bvec1m.count()
         # interleaved 100k re-measure in the SAME window so the
-        # scaling ratio below isn't two different throttle states
-        sec100, _r100 = bsearch(lambda: search_flat(bvec, bq, k=K))
+        # scaling ratio below isn't two different throttle states.
+        # FRESH seed: re-timing search_flat(bvec, bq) would match the
+        # still-cached `truth` plan in the CacheManager and read the
+        # InMemoryRelation (0.2 s) instead of searching (~1 s) — the
+        # same class of artifact bsearch guards against internally.
+        bvec100_i = generate_random_vectors(spark, baseline_n, 128, 142) \
+            .cache()
+        bvec100_i.count()
+        sec100, _r100 = bsearch(lambda: search_flat(bvec100_i, bq, k=K))
+        bvec100_i.unpersist()
         sec, truth1m = bsearch(lambda: search_flat(bvec1m, bq, k=K))
         baseline["flat_1m"] = {
             "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
@@ -1162,8 +1170,11 @@ def main() -> None:
             bvec10m.count()
             # regenerate the 1M arm fresh (the earlier one is
             # unpersisted) and time it IN THIS WINDOW for the honest
-            # decade ratio
-            bvec1m_i = generate_random_vectors(spark, 1_000_000, 128, 52) \
+            # decade ratio. FRESH seed — seed 52 would plan-match the
+            # 1M section's still-cached truth1m and read the cache
+            # instead of searching (the 194× "ratio" a contaminated
+            # run reported was 33 s real / 0.17 s cache read).
+            bvec1m_i = generate_random_vectors(spark, 1_000_000, 128, 152) \
                 .persist(StorageLevel.DISK_ONLY)
             bvec1m_i.count()
             sec1m_i, _r = bsearch(lambda: search_flat(bvec1m_i, bq, k=K))
