@@ -1444,6 +1444,67 @@ def _ivf_sharded_exec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _ivf_sharded_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest → serving refresh recipe driver gate
+    (``refresh_sharded``, the cluster analogue of the reference's
+    add-under-mutex, hnsw.go:97-139): generation 1 serves HALF the
+    corpus, a refresh publishes the FULL corpus behind an atomic
+    ``_current.json`` pointer swap, and the SAME long-lived searcher's
+    next batch must equal exact flat search over the full corpus
+    (nprobe = nlist ⇒ the flat SQL oracle applies). A stale pointer,
+    a torn generation, or mixed-generation shards would surface
+    half-corpus ids or wrong distances and fail the hash."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from gofaiss_spark.operators.ivf import build_ivf
+    from gofaiss_spark.operators.shard_serve import (
+        ShardedSearcher,
+        refresh_sharded,
+    )
+
+    v = _vectors(spark, sf_dir)
+    half = v.filter(F.col("id") % 2 == 0)
+    tmp = tempfile.mkdtemp(prefix="gofaiss_refresh_topk_")
+    try:
+        refresh_sharded(
+            build_ivf(half, nlist=10, metric="l2", seed=42), tmp,
+            num_shards=3,
+        )
+        with ShardedSearcher(spark, tmp) as srv:
+            qp = (
+                _queries_df(spark, sf_dir, N_TOPK_QUERIES)
+                .orderBy("query_id")
+                .toPandas()
+            )
+            qids = qp["query_id"].to_numpy(dtype=np.int64)
+            qmat = np.stack(qp["qvec"].to_numpy())
+            # attach generation 1 (half corpus) with a real batch
+            srv.search(qmat[:4], k=TOPK_K, nprobe=srv.meta["nlist"])
+            # publish generation 2 = the full corpus; the searcher
+            # must follow the pointer on its next batch
+            refresh_sharded(
+                build_ivf(v, nlist=10, metric="l2", seed=42), tmp,
+                num_shards=3,
+            )
+            ids, d = srv.search(qmat, k=TOPK_K, nprobe=srv.meta["nlist"])
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, ids.shape[1]),
+                "id": ids.ravel(),
+                "distance": np.round(d.ravel(), 6),
+            }
+        )
+        return spark.createDataFrame(
+            out, schema="query_id long, id long, distance double"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _ivfpq_sharded_exec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUANTIZED executor-colocated sharded serving (r5 verdict item
     4; reference's biggest index is IVFPQ, ivfpq.go:57-76): the IVFPQ
@@ -4473,6 +4534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sf0.001 DuckDB oracle suite (tests/test_entry_oracle.py)."""
     return {
         # --- new round-6 queries (prepended per the standing rule) ---
+        "ivf_sharded_refresh_topk": _ivf_sharded_refresh_topk,
         "hnsw_local_topk": _hnsw_local_topk,
         "ivfpq_sharded_exec_topk": _ivfpq_sharded_exec_topk,
         # --- stale-15: last driver-checked r2, kernel rewritten r4/r5 ---
@@ -4758,5 +4820,6 @@ GROUP BY label, g.i
         "ivf_sharded_exec_topk": _flat_topk_sql("l2"),
         # quantized sharded serving at full probe + refine-all ≡
         # exact flat (every row ADC-scanned and f64 re-scored)
+        "ivf_sharded_refresh_topk": _flat_topk_sql("l2"),
         "ivfpq_sharded_exec_topk": _flat_topk_sql("l2"),
     }

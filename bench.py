@@ -712,6 +712,32 @@ def main() -> None:
                     "n_queries": len(lq10k_q), "num_shards": 8,
                     "artifact_write_sec": qsh_write,
                 }
+                # deeper exact re-rank: refine=50 trades ~25% QPS for
+                # the recall the m=8 codes can't carry at refine=10
+                qsrv2 = _ShSq(spark, qshard_dir)
+                try:
+                    qsrv2.search(lq10k_q[:128], k=K, nprobe=50,
+                                 refine=50)  # warm
+                    best50 = float("inf")
+                    for _ in range(2):
+                        t0 = time.monotonic()
+                        qids50, _dq = qsrv2.search(
+                            lq10k_q, k=K, nprobe=50, refine=50)
+                        best50 = min(best50, time.monotonic() - t0)
+                finally:
+                    qsrv2.close()
+                rec50 = float(np.mean([
+                    len(set(qids50[i]) & set(trq[i])) / K
+                    for i in range(1000)
+                ]))
+                baseline["ivfpq_shard_exec_rf50_batch10k"] = {
+                    "search_sec": round(best50, 4),
+                    "qps_batch": round(len(lq10k_q) / best50, 1),
+                    "recall": round(rec50, 4),
+                    "nlist": bl_nlist, "m": 8, "nbits": 8,
+                    "nprobe": 50, "refine": 50,
+                    "n_queries": len(lq10k_q), "num_shards": 8,
+                }
             finally:
                 _shq.rmtree(qshard_dir, ignore_errors=True)
 
@@ -1378,6 +1404,7 @@ def main() -> None:
         "ivf_shard_exec_batch10k", "ivf_shard_exec_1m_batch10k",
         "flat_1m", "flat_10m", "ivf_shard_exec_10m_batch2k",
         "ivfpq_shard_exec_batch10k",
+        "hnsw_local_mp_clustered_batch10k",
     ]
     extras = {
         "legend": "b=build_sec br=build range s=search_sec q=qps_batch "
