@@ -788,11 +788,26 @@ def main() -> None:
         t0 = time.monotonic()
         bhs = build_hnsw_sharded(bvec, m=16, ef_construction=200)
         build_s = round(time.monotonic() - t0, 4)
+        hbuild_times = [build_s]
+        if big:
+            # second build, fresh seed (defeats shuffle reuse), same
+            # window: this row's single-build number has been flagged
+            # twice as a "regression" that interleaved A/Bs
+            # (BENCH_AB.json hnsw_sharded_build_ab, 25.3-31.2 s)
+            # adjudicated as host throttle — record the range
+            # in-artifact like ivf's build_sec_range
+            bhs.blobs.unpersist()
+            t0 = time.monotonic()
+            bhs = build_hnsw_sharded(bvec, m=16, ef_construction=200,
+                                     seed=43)
+            hbuild_times.append(round(time.monotonic() - t0, 4))
         sec, res = bsearch(
             lambda: search_hnsw_sharded(bhs, bq, k=K, ef_search=50)
         )
         baseline["hnsw_sharded"] = {
-            "build_sec": build_s, "search_sec": sec,
+            "build_sec": min(hbuild_times),
+            "build_sec_range": [min(hbuild_times), max(hbuild_times)],
+            "search_sec": sec,
             "qps_batch": round(bn_q / sec, 1), "recall": brec(res, truth),
             "m": 16, "ef_construction": 200, "ef_search": 50,
             "num_shards": bhs.num_shards, "memory_mb": mem_mb(bhs),
