@@ -294,7 +294,12 @@ class LocalFlatIndex:
                 qn64 = np.linalg.norm(qb64, axis=1)
                 err = f32_select_margin(
                     self.metric, qb.shape[1], self._bmax(), qn64)
-                for r in np.flatnonzero(pmax - tk <= 2.0 * err):
+                # inf - inf = nan when a row is underfull; the mask
+                # already excludes those rows, so suppress the
+                # RuntimeWarning the throwaway subtraction would emit
+                with np.errstate(invalid="ignore"):
+                    unsafe = np.isfinite(pmax) & (pmax - tk <= 2.0 * err)
+                for r in np.flatnonzero(unsafe):
                     pos = _exact_scan_topk(
                         self.vecs, self.ids, self.metric,
                         qb64[r], k2)
@@ -662,7 +667,12 @@ class LocalIvfIndex:
                 qn64 = np.linalg.norm(q64[s:e], axis=1)
                 err = f32_select_margin(
                     self.metric, q64.shape[1], self._bmax(), qn64)
-                unsafe = np.isfinite(pmax) & (pmax - tk <= 2.0 * err)
+                # pmax/tk are inf on rows whose probed cells held
+                # fewer than k candidates; the isfinite mask drops
+                # them but the subtraction itself would still warn
+                # (inf - inf) on every underfull batch — silence it
+                with np.errstate(invalid="ignore"):
+                    unsafe = np.isfinite(pmax) & (pmax - tk <= 2.0 * err)
                 for r in np.flatnonzero(unsafe):
                     g = s + r
                     cs_p = cells[g][pc[g]]
@@ -791,9 +801,14 @@ class LocalPqIndex:
                tile: int = 262144) -> tuple[np.ndarray, np.ndarray]:
         from gofaiss_spark.operators.pq import adc_tables
 
-        if refine is not None and self.vecs is None:
-            raise ValueError("refine requires stored vectors "
-                             "(save/serve with vectors=)")
+        if refine is not None:
+            if self.vecs is None:
+                raise ValueError("refine requires stored vectors "
+                                 "(save/serve with vectors=)")
+            if self.metric != "l2":
+                raise ValueError(
+                    "refine re-ranks in exact L2; build the index with "
+                    f"metric='l2' (got {self.metric!r})")
         q64 = np.ascontiguousarray(qmat, dtype=np.float64)
         nq, n = q64.shape[0], len(self.ids)
         k = min(k, n) if k > 0 else n
@@ -939,9 +954,14 @@ class LocalSqIndex:
     def search(self, qmat: np.ndarray, k: int = 10,
                refine: int | None = None,
                tile: int = 131072) -> tuple[np.ndarray, np.ndarray]:
-        if refine is not None and self.vecs is None:
-            raise ValueError("refine requires stored vectors "
-                             "(save/serve with vectors=)")
+        if refine is not None:
+            if self.vecs is None:
+                raise ValueError("refine requires stored vectors "
+                                 "(save/serve with vectors=)")
+            if self.metric != "l2":
+                raise ValueError(
+                    "refine re-ranks in exact L2; build the index with "
+                    f"metric='l2' (got {self.metric!r})")
         q64 = np.ascontiguousarray(qmat, dtype=np.float64)
         nq, n = q64.shape[0], len(self.ids)
         k = min(k, n) if k > 0 else n
@@ -1157,6 +1177,13 @@ class LocalHnswRoutedIndex:
                 continue
             idx = flat_qidx[bounds[cell]:bounds[cell + 1]]
             frames.append(_search_graph_batch(g, qp[idx], idx, k_eff, ef))
+        ids = np.full((nq, k_eff), -1, dtype=np.int64)
+        dists = np.full((nq, k_eff), np.inf, dtype=np.float64)
+        if not frames:
+            # every probed cell was a validly-empty (None) graph —
+            # return the padding rows, mirroring what the distributed
+            # search_hnsw_routed yields for such queries
+            return ids, dists
         allf = pd.concat(frames, ignore_index=True)
         allf = allf.sort_values(
             ["query_id", "distance", "id"], kind="mergesort"
@@ -1164,8 +1191,6 @@ class LocalHnswRoutedIndex:
         top = allf.groupby("query_id", sort=True).head(k_eff)
         qarr = top["query_id"].to_numpy(dtype=np.int64)
         pos = np.arange(len(qarr)) - np.searchsorted(qarr, qarr)
-        ids = np.full((nq, k_eff), -1, dtype=np.int64)
-        dists = np.full((nq, k_eff), np.inf, dtype=np.float64)
         ids[qarr, pos] = top["id"].to_numpy(dtype=np.int64)
         dists[qarr, pos] = top["distance"].to_numpy(dtype=np.float64)
         return ids, dists

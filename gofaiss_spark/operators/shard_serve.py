@@ -179,9 +179,20 @@ def save_sharded(index_or_vectors, path: str, num_shards: int,
             raise ValueError(
                 "vectors= is for quantized kinds (flat/ivf shards "
                 "already store the vectors)")
+        # LEFT join + fail fast: an inner join would silently DROP
+        # code rows whose ids are missing from `vectors`, shrinking
+        # the served corpus with no error (refine would then silently
+        # exclude those rows). An incomplete vectors frame is a bug
+        # in the caller's pipeline — surface it loudly.
         df = df.join(
             vectors.select(F.col(id_col).alias("id"),
-                           F.col(vec_col).alias("vec")), "id")
+                           F.col(vec_col).alias("vec")), "id", "left")
+        n_missing = df.filter(F.col("vec").isNull()).count()
+        if n_missing:
+            raise ValueError(
+                f"vectors= is missing {n_missing} id(s) present in the "
+                "index codes — refine would silently exclude those rows; "
+                "pass the full base-vector DataFrame")
         cols = cols + ["vec"]
 
     spark = df.sparkSession
@@ -319,6 +330,28 @@ def refresh_sharded(index_or_vectors, path: str, num_shards: int,
                 release_shards(spark, old_path)
         if drop_old:
             shutil.rmtree(old_path, ignore_errors=True)
+    elif os.path.exists(os.path.join(path, SHARD_META)):
+        # first refresh over a plain save_sharded artifact at the
+        # root: before the pointer existed, searchers resolved the
+        # root itself, so the ROOT artifact is the old generation —
+        # release its host-shm segments (otherwise up to the full
+        # index size stays pinned in /dev/shm on every serving host)
+        # and honor drop_old for its on-disk files. The root meta is
+        # left in place unless drop_old: it is harmless (readers now
+        # follow the pointer) and keeps the pre-refresh artifact
+        # loadable for rollback.
+        if release_old:
+            spark = _spark_of(index_or_vectors, vectors)
+            if spark is not None:
+                release_shards(spark, path)
+        if drop_old:
+            for leaf in ("shards", "centroids", "codebooks.npy",
+                         SHARD_META):
+                p = os.path.join(path, leaf)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                elif os.path.exists(p):
+                    os.remove(p)
     return meta
 
 

@@ -222,3 +222,52 @@ class TestHnswPool:
             pool.close()
         np.testing.assert_array_equal(ids0, ids1)
         np.testing.assert_array_equal(d0, d1)
+
+
+class TestEmptyCellRouting:
+    """ADVICE r6 (medium): a batch whose every probed cell is a
+    validly-empty (None) graph must return the (-1, inf) padding rows
+    instead of crashing in pd.concat — the distributed
+    search_hnsw_routed simply yields no rows for such queries."""
+
+    def _mk(self):
+        g = _mk_graph(50, 8, 9)
+        cents = np.stack([
+            g.vecs.mean(axis=0).astype(np.float64),
+            np.full(8, 100.0),  # far centroid, validly-empty cell
+        ])
+        return g, LocalHnswRoutedIndex(
+            graphs=[g, None], centroids=cents, metric="l2",
+            ef_search=40, default_nprobe=1)
+
+    def test_all_probed_cells_empty_returns_padding(self):
+        _, local = self._mk()
+        # the single query sits on the EMPTY cell's centroid →
+        # nprobe=1 probes only the None graph → frames == []
+        q = np.full((1, 8), 100.0, dtype=np.float32)
+        ids, dists = local.search(q, k=5, nprobe=1)
+        assert ids.shape == (1, 5)
+        assert (ids[0] == -1).all()
+        assert np.isinf(dists[0]).all()
+
+    def test_mixed_batch_pads_only_empty_routed_rows(self):
+        g, local = self._mk()
+        q = np.stack([
+            np.full(8, 100.0, dtype=np.float32),       # → empty cell
+            g.vecs.mean(axis=0).astype(np.float32),    # → built cell
+        ])
+        ids, dists = local.search(q, k=5, nprobe=1)
+        assert (ids[0] == -1).all() and np.isinf(dists[0]).all()
+        assert (ids[1] >= 0).all() and np.isfinite(dists[1]).all()
+
+    def test_full_probe_ignores_empty_cell(self):
+        g, local = self._mk()
+        rng = np.random.default_rng(3)
+        q = rng.random((4, 8)).astype(np.float32)
+        full_ids, full_d = local.search(q, k=5, nprobe=2)
+        solo = LocalHnswRoutedIndex(
+            graphs=[g], centroids=local.centroids[:1], metric="l2",
+            ef_search=40, default_nprobe=1)
+        solo_ids, solo_d = solo.search(q, k=5, nprobe=1)
+        np.testing.assert_array_equal(full_ids, solo_ids)
+        np.testing.assert_allclose(full_d, solo_d, rtol=0, atol=0)

@@ -222,6 +222,36 @@ class TestLocalQuantized:
         with pytest.raises(ValueError, match="vectors"):
             local.search(np.zeros((1, 64), dtype=np.float32), k=3, refine=2)
 
+    def test_pq_sq_refine_rejects_non_l2_metric(self):
+        """ADVICE r6: LocalPqIndex/LocalSqIndex refine re-ranks in
+        exact L2 and must reject other metrics loudly — the same
+        guard LocalIvfPqIndex.search already has (the shard/pool
+        paths propagate meta['metric'] verbatim, so a non-l2 build
+        would otherwise get silently L2-refined results)."""
+        from gofaiss_spark.operators.local_serve import (
+            LocalPqIndex,
+            LocalSqIndex,
+        )
+
+        rng = np.random.default_rng(2)
+        vecs = rng.random((20, 8), dtype=np.float32)
+        pq = LocalPqIndex(
+            ids=np.arange(20, dtype=np.int64),
+            codes=np.zeros((20, 2), dtype=np.uint16),
+            codebooks=rng.random((2, 4, 4)),
+            vecs=vecs, metric="cosine",
+        )
+        with pytest.raises(ValueError, match="l2"):
+            pq.search(np.zeros((1, 8), dtype=np.float32), k=3, refine=2)
+        sq = LocalSqIndex(
+            ids=np.arange(20, dtype=np.int64),
+            codes=np.zeros((20, 8), dtype=np.uint8),
+            vmin=np.zeros(8), step=np.ones(8),
+            vecs=vecs, metric="dot",
+        )
+        with pytest.raises(ValueError, match="l2"):
+            sq.search(np.zeros((1, 8), dtype=np.float32), k=3, refine=2)
+
 
 class TestQuantizedKernelProperties:
     """Numpy-only pins: the serving kernels against a brute-force

@@ -173,3 +173,33 @@ def to_local_arrays(base) -> local_serve.LocalFlatIndex:
         ids=np.arange(len(base), dtype=np.int64), vecs=v32, metric="l2",
         norms_sq=np.einsum("ij,ij->i", v32, v32),
     )
+
+
+def test_guard_no_warning_on_underfull_pool():
+    """Underfull candidate pools (probed cells hold fewer than k rows)
+    must not emit RuntimeWarning from the margin-guard subtraction —
+    inf - inf = nan spammed production logs (round-6 verdict item 2);
+    the isfinite mask already made the semantics safe, so the
+    subtraction must run silenced."""
+    import warnings
+
+    rng = np.random.default_rng(5)
+    n = 12  # 3 cells x 4 rows — every probed cell is smaller than K
+    base = rng.normal(size=(n, DIM))
+    cell = (np.arange(n) % 3).astype(np.int64)
+    order = np.lexsort((np.arange(n), cell))
+    ids = np.arange(n, dtype=np.int64)[order]
+    vecs = np.ascontiguousarray(base[order].astype(np.float32))
+    cents = np.stack([base[cell == c].mean(0) for c in range(3)])
+    offsets = np.searchsorted(cell[order], np.arange(4)).astype(np.int64)
+    idx = LocalIvfIndex(
+        ids=ids, vecs=vecs, metric="l2", centroids=cents,
+        offsets=offsets, norms_sq=np.einsum("ij,ij->i", vecs, vecs),
+    )
+    q = rng.normal(size=(8, DIM)).astype(np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got_ids, got_d = idx.search(q, k=K, nprobe=1)  # 4 rows < k=10
+    assert got_ids.shape[0] == 8
+    # the returned rows themselves are the probed cells' exact top-k
+    assert np.isfinite(got_d[:, 0]).all()

@@ -269,6 +269,60 @@ class TestRefresh:
         finally:
             srv.close()
 
+    def test_refresh_over_root_artifact_releases_root(
+            self, spark, vectors, qmat, tmp_path_factory):
+        """ADVICE r6: the FIRST refresh over a plain save_sharded
+        artifact at the root (no _current.json yet) must treat the
+        root artifact as the old generation — release its host-shm
+        segments (otherwise up to the full index stays pinned in
+        /dev/shm on every serving host) and honor drop_old for its
+        on-disk shards."""
+        import glob as _glob
+        import os
+
+        from gofaiss_spark.operators.local_serve import to_local
+        from gofaiss_spark.operators.shard_serve import refresh_sharded
+
+        root = str(tmp_path_factory.mktemp("shard") / "refresh_root4")
+        m0 = save_sharded(vectors, root, num_shards=2)
+        srv = ShardedSearcher(spark, root)
+        try:
+            srv.search(qmat, k=5)  # pins the root artifact's shm
+            assert _glob.glob(f"/dev/shm/*{m0['build_id']}*")
+            m1 = refresh_sharded(vectors, root, num_shards=2,
+                                 drop_old=True)
+            assert m1["build_id"] != m0["build_id"]
+            # root generation released on this host + shards dropped
+            assert _glob.glob(f"/dev/shm/*{m0['build_id']}*") == []
+            assert not os.path.isdir(os.path.join(root, "shards"))
+            # the same searcher follows the pointer to the new gen
+            ids, d = srv.search(qmat, k=5)
+            lids, ld = to_local(vectors).search(qmat, k=5)
+            np.testing.assert_array_equal(ids, lids)
+            np.testing.assert_array_equal(d, ld)
+        finally:
+            srv.close()
+
+    def test_refresh_over_root_artifact_keeps_disk_by_default(
+            self, spark, vectors, qmat, tmp_path_factory):
+        """Without drop_old the root artifact's parquet stays on disk
+        (rollback stays possible) but its shm is still released."""
+        import glob as _glob
+        import os
+
+        from gofaiss_spark.operators.shard_serve import refresh_sharded
+
+        root = str(tmp_path_factory.mktemp("shard") / "refresh_root5")
+        m0 = save_sharded(vectors, root, num_shards=2)
+        srv = ShardedSearcher(spark, root)
+        try:
+            srv.search(qmat, k=5)
+            refresh_sharded(vectors, root, num_shards=2)
+            assert _glob.glob(f"/dev/shm/*{m0['build_id']}*") == []
+            assert os.path.isdir(os.path.join(root, "shards"))
+        finally:
+            srv.close()
+
     def test_failed_refresh_leaves_current_intact(self, spark, vectors,
                                                   qmat, tmp_path_factory):
         from gofaiss_spark.operators.shard_serve import refresh_sharded
@@ -290,6 +344,21 @@ class TestQuantizedSharded:
     """PQ/IVFPQ/SQ sharded serving (r5 verdict item 4): per-shard ADC
     must merge bit-identically to the single-node local quantized
     kernels, and full-probe + refine-all must reduce to exact flat."""
+
+    def test_save_sharded_vectors_missing_ids_raises(
+            self, spark, vectors, tmp_path_factory):
+        """ADVICE r6: an incomplete vectors= DataFrame must be a loud
+        error — the old inner join silently DROPPED code rows whose
+        ids were absent, shrinking the served corpus."""
+        from gofaiss_spark.operators.pq import build_pq
+
+        idx = build_pq(vectors, m=8, seed=42)
+        idx.codes.cache().count()
+        path = str(tmp_path_factory.mktemp("shard") / "pq_missing_vecs")
+        with pytest.raises(ValueError, match="missing"):
+            save_sharded(idx, path, num_shards=2,
+                         vectors=vectors.filter(F.col("id") % 2 == 0))
+        idx.codes.unpersist()
 
     def test_pq_sharded_vs_local(self, spark, vectors, qmat,
                                  tmp_path_factory):
