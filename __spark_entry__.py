@@ -1505,6 +1505,133 @@ def _ivf_sharded_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _flat_local_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-colocated exact COSINE serving (LocalFlatIndex) against
+    the cosine flat SQL oracle — the metric arm where round 5 found a
+    real local-tier exactness bug (r6 verdict item "Add local/sharded-
+    tier cosine driver rows"). The local kernel stores RAW rows and
+    divides by row norms only in the f32 ranking pass, so its exact
+    f64 re-score computes on the same raw values DuckDB scores —
+    hash-equality is achievable, not just approximate. Reference
+    analogue: per-metric search tests,
+    internal/math/distance_test.go:164-216."""
+    import numpy as np
+    import pandas as pd
+
+    from gofaiss_spark.operators.local_serve import to_local
+
+    local = to_local(_vectors(spark, sf_dir), metric="cosine")
+    qp = (
+        _queries_df(spark, sf_dir, N_TOPK_QUERIES)
+        .orderBy("query_id")
+        .toPandas()
+    )
+    qids = qp["query_id"].to_numpy(dtype=np.int64)
+    qmat = np.stack(qp["qvec"].to_numpy())
+    ids, d = local.search(qmat, k=TOPK_K)
+    out = pd.DataFrame(
+        {
+            "query_id": np.repeat(qids, ids.shape[1]),
+            "id": ids.ravel(),
+            "distance": np.round(d.ravel(), 6),
+        }
+    )
+    return spark.createDataFrame(
+        out, schema="query_id long, id long, distance double"
+    )
+
+
+def _ivf_sharded_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-colocated sharded serving under COSINE at nprobe =
+    nlist (every cell of every shard scanned ⇒ provably exact flat
+    cosine, so the cosine flat SQL oracle applies). Closes the r6
+    verdict gap: every sharded driver row was l2-only while the tier
+    round 5 found a cosine bug in had no per-metric driver evidence.
+    Exercises cosine probe routing, the per-shard raw-row ranking
+    kernel, and the cross-shard merge end to end."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from gofaiss_spark.operators.ivf import build_ivf
+    from gofaiss_spark.operators.shard_serve import (
+        ShardedSearcher,
+        save_sharded,
+    )
+
+    idx = build_ivf(
+        _vectors(spark, sf_dir), nlist=10, metric="cosine", seed=42
+    )
+    tmp = tempfile.mkdtemp(prefix="gofaiss_shard_cos_")
+    try:
+        save_sharded(idx, tmp, num_shards=3)
+        with ShardedSearcher(spark, tmp) as srv:
+            qp = (
+                _queries_df(spark, sf_dir, N_TOPK_QUERIES)
+                .orderBy("query_id")
+                .toPandas()
+            )
+            qids = qp["query_id"].to_numpy(dtype=np.int64)
+            qmat = np.stack(qp["qvec"].to_numpy())
+            ids, d = srv.search(qmat, k=TOPK_K, nprobe=srv.meta["nlist"])
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, ids.shape[1]),
+                "id": ids.ravel(),
+                "distance": np.round(d.ravel(), 6),
+            }
+        )
+        return spark.createDataFrame(
+            out, schema="query_id long, id long, distance double"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ivf_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_index driver gate (operators/reconstruct.py:merge_index;
+    reference analogue: cross-index integration tests,
+    test/integration/index_test.go:252-287): two IVF indexes built by
+    assigning DISJOINT halves of the corpus against the same trained
+    centroids (the two-ingest-jobs shape), merged without retraining,
+    then searched at nprobe = nlist — the merged index is provably
+    identical to exact flat search over the full corpus, so the flat
+    SQL oracle applies. A lost/duplicated assignment row, a centroid
+    mismatch slipping the guard, or a broken union would fail the
+    hash."""
+    import dataclasses
+
+    from gofaiss_spark.operators.ivf import (
+        assign_to_centroids,
+        build_ivf,
+        search_ivf,
+    )
+    from gofaiss_spark.operators.reconstruct import merge_index
+
+    v = _vectors(spark, sf_dir)
+    trained = build_ivf(v, nlist=10, metric="l2", seed=42)
+    half_a = assign_to_centroids(
+        v.filter(F.col("id") % 2 == 0), trained.centroids, "l2"
+    )
+    half_b = assign_to_centroids(
+        v.filter(F.col("id") % 2 == 1), trained.centroids, "l2"
+    )
+    a = dataclasses.replace(trained, assignments=half_a)
+    b = dataclasses.replace(trained, assignments=half_b)
+    merged = merge_index(a, b)
+    res = search_ivf(
+        merged,
+        _queries_df(spark, sf_dir, N_TOPK_QUERIES),
+        k=TOPK_K,
+        nprobe=merged.nlist,
+    )
+    return res.select(
+        "query_id", "id", F.round("distance", 6).alias("distance")
+    )
+
+
 def _ivfpq_sharded_exec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUANTIZED executor-colocated sharded serving (r5 verdict item
     4; reference's biggest index is IVFPQ, ivfpq.go:57-76): the IVFPQ
@@ -4525,75 +4652,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     functions/distance.py re-queues the flat/quantized family into the
     window the same round.
 
-    Round-6 window (slots 1-50): the 15 queries whose last green row
-    predates the round-4 f32-select kernel rewrite (the verdict's
-    stale-15 — flat/quantized/TPC-H sentinels), then the serving-path
-    queries re-queued because round 6 touched local_serve.py (cosine
-    exact-f64 fix), then round-6 additions, then the oldest r2-era
-    green rows to fill. All remain regression-guarded by the local
-    sf0.001 DuckDB oracle suite (tests/test_entry_oracle.py)."""
+    Round-7 window (slots 1-50): the three round-7 additions (cosine
+    serving rows + merge gate), then the serving/kernel re-queue —
+    round 7 changed the local/sharded cosine kernels to raw-row
+    semantics (local_serve.py/shard_serve.py), so every query whose
+    path touches those kernels re-enters, with the flat family as
+    sentinels — then the cohort last driver-checked in r5 (the
+    doc/curation/retrieval/sketch family sat out r6 by design). All
+    remain regression-guarded by the local sf0.001 DuckDB oracle
+    suite (tests/test_entry_oracle.py)."""
     return {
-        # --- new round-6 queries (prepended per the standing rule) ---
-        "ivf_sharded_refresh_topk": _ivf_sharded_refresh_topk,
+        # --- new round-7 queries (prepended per the standing rule) ---
+        "flat_local_cosine_topk": _flat_local_cosine_topk,
+        "ivf_sharded_cosine_topk": _ivf_sharded_cosine_topk,
+        "ivf_merged_topk": _ivf_merged_topk,
+        # --- serving/kernel re-queue (r7 touched local_serve.py +
+        #     shard_serve.py: raw-row cosine, guard silencing, refine
+        #     metric guards, refresh root-gen release) ---
+        "ivf_local_topk": _ivf_local_topk,
         "hnsw_local_topk": _hnsw_local_topk,
         "ivfpq_sharded_exec_topk": _ivfpq_sharded_exec_topk,
-        # --- stale-15: last driver-checked r2, kernel rewritten r4/r5 ---
+        "ivf_sharded_refresh_topk": _ivf_sharded_refresh_topk,
+        "ivf_sharded_exec_topk": _ivf_sharded_exec_topk,
+        "ivfpq_refine_topk": _ivfpq_refine_topk,
         "flat_topk_l2": _flat_topk("l2"),
         "flat_topk_cosine": _flat_topk("cosine"),
         "flat_topk_dot": _flat_topk("dot"),
-        "range_search_l2": _range_search_l2,
-        "pq_topk": _pq_topk,
-        "ivfpq_topk": _ivfpq_topk,
-        "pq_refine_topk": _pq_refine_topk,
-        "ivfpq_refine_topk": _ivfpq_refine_topk,
-        "pca_topk": _pca_topk,
-        "sql_topk": _sql_topk,
-        "binary_topk": _binary_topk,
-        "filtered_topk": _filtered_topk,
-        "ivf_topk_nprobe": _ivf_topk_nprobe,
-        "tpch_q1": _tpch_q1,
-        "tpch_q18": _tpch_q18,
-        # --- serving-path re-queue (round 6 touched local_serve.py) ---
-        "ivf_local_topk": _ivf_local_topk,
-        "stream_flat_topk": _stream_flat_topk,
-        "ivf_sharded_exec_topk": _ivf_sharded_exec_topk,
-        "ivf_fullprobe_topk": _ivf_fullprobe_topk,
-        # --- oldest green rows fill the remaining slots ---
-        "vector_norms": _vector_norms,
-        "centroid_by_label": _centroid_by_label,
-        "tpch_q3": _tpch_q3,
-        "tpch_q5": _tpch_q5,
-        "tpch_q10": _tpch_q10,
-        "tpch_q4": _tpch_q4,
-        "tpch_q6": _tpch_q6,
-        "tpch_q14": _tpch_q14,
-        "tpch_q2": _tpch_q2,
-        "tpch_q7": _tpch_q7,
-        "tpch_q8": _tpch_q8,
-        "tpch_q9": _tpch_q9,
-        "tpch_q11": _tpch_q11,
-        "tpch_q13": _tpch_q13,
-        "tpch_q15": _tpch_q15,
-        "tpch_q16": _tpch_q16,
-        "tpch_q17": _tpch_q17,
-        "tpch_q19": _tpch_q19,
-        "tpch_q20": _tpch_q20,
-        "tpch_q21": _tpch_q21,
-        "tpch_q22": _tpch_q22,
-        "doc_fingerprint": _doc_fingerprint,
-        "revenue_by_nation": _revenue_by_nation,
-        "events_hourly": _events_hourly,
-        "event_sessions": _event_sessions,
-        "events_asof_clicks": _events_asof_clicks,
-        "events_rollup": _events_rollup,
-        "events_range_join": _events_range_join,
-        "doc_lang_dist": _doc_lang_dist,
-        "doc_normalize": _doc_normalize,
-        # ---- window boundary (slot 50) under no r6 additions ----
-        "doc_char_entropy": _doc_char_entropy,
-        "doc_token_stats": _doc_token_stats,
-        "doc_token_percentiles": _doc_token_percentiles,
-        # --- r5-verified green ---
+        # --- r5 cohort: last driver-checked r5, sat out the r6 window ---
         "stream_event_windows": _stream_event_windows,
         "doc_ppl_buckets": _doc_ppl_buckets,
         "doc_dsir_resample": _doc_dsir_resample,
@@ -4632,6 +4717,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": _events_cohort_retention,
         "customer_running_total": _customer_running_total,
         "events_value_histogram": _events_value_histogram,
+        # ---- window boundary (slot 50) ----
+        # --- r6-verified green ---
+        "pq_refine_topk": _pq_refine_topk,
+        "stream_flat_topk": _stream_flat_topk,
+        "ivf_fullprobe_topk": _ivf_fullprobe_topk,
+        "range_search_l2": _range_search_l2,
+        "pq_topk": _pq_topk,
+        "ivfpq_topk": _ivfpq_topk,
+        "pca_topk": _pca_topk,
+        "sql_topk": _sql_topk,
+        "binary_topk": _binary_topk,
+        "filtered_topk": _filtered_topk,
+        "ivf_topk_nprobe": _ivf_topk_nprobe,
+        "tpch_q1": _tpch_q1,
+        "tpch_q18": _tpch_q18,
+        "vector_norms": _vector_norms,
+        "centroid_by_label": _centroid_by_label,
+        "tpch_q3": _tpch_q3,
+        "tpch_q5": _tpch_q5,
+        "tpch_q10": _tpch_q10,
+        "tpch_q4": _tpch_q4,
+        "tpch_q6": _tpch_q6,
+        "tpch_q14": _tpch_q14,
+        "tpch_q2": _tpch_q2,
+        "tpch_q7": _tpch_q7,
+        "tpch_q8": _tpch_q8,
+        "tpch_q9": _tpch_q9,
+        "tpch_q11": _tpch_q11,
+        "tpch_q13": _tpch_q13,
+        "tpch_q15": _tpch_q15,
+        "tpch_q16": _tpch_q16,
+        "tpch_q17": _tpch_q17,
+        "tpch_q19": _tpch_q19,
+        "tpch_q20": _tpch_q20,
+        "tpch_q21": _tpch_q21,
+        "tpch_q22": _tpch_q22,
+        "doc_fingerprint": _doc_fingerprint,
+        "revenue_by_nation": _revenue_by_nation,
+        "events_hourly": _events_hourly,
+        "event_sessions": _event_sessions,
+        "events_asof_clicks": _events_asof_clicks,
+        "events_rollup": _events_rollup,
+        "events_range_join": _events_range_join,
+        "doc_lang_dist": _doc_lang_dist,
+        "doc_normalize": _doc_normalize,
+        "doc_char_entropy": _doc_char_entropy,
+        "doc_token_stats": _doc_token_stats,
+        "doc_token_percentiles": _doc_token_percentiles,
         "doc_pii_redaction": _doc_pii_redaction,
         "doc_chunks": _doc_chunks,
         "doc_hash_sample": _doc_hash_sample,
@@ -4664,6 +4797,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # round-7 additions: the cosine serving rows reduce to exact
+        # flat cosine (raw-row kernels; sharded row runs at
+        # nprobe=nlist), the merged index reduces to exact flat l2
+        # (full probe over the union of disjoint halves)
+        "flat_local_cosine_topk": _flat_topk_sql("cosine"),
+        "ivf_sharded_cosine_topk": _flat_topk_sql("cosine"),
+        "ivf_merged_topk": _flat_topk_sql("l2"),
         "flat_topk_l2": _flat_topk_sql("l2"),
         "filtered_topk": _FILTERED_TOPK_SQL.format(n_ann=N_ANN_QUERIES),
         "sql_topk": _flat_topk_sql("l2"),

@@ -37,6 +37,21 @@ def main() -> None:
     spark = get_spark("gofaiss_spark_bench", cpus=CPUS)
     timings: dict[str, float] = {}
 
+    # Wall-clock budget (r6 verdict item 1: BENCH_r06 was rc=124 with
+    # parsed=null because the un-time-boxed 1M/10M anchors outran the
+    # driver's window on a throttled box). The anchors check the
+    # budget BEFORE starting and record a skip note instead of
+    # running; the flat warm-pass throttle guard inside the 10M
+    # section stays as a second line of defense.
+    t_run0 = time.monotonic()
+    # 2160 s (36 min) default: fits the driver's observed window with
+    # margin while still reaching the 10M quantized row un-throttled;
+    # the canonical full run raises it (SCALE.md §7 recipe).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2160"))
+
+    def elapsed() -> float:
+        return time.monotonic() - t_run0
+
     def timed(name: str, fn):
         t0 = time.monotonic()
         out = fn()
@@ -47,6 +62,129 @@ def main() -> None:
     n_vec = vectors.count()
     queries = load_query_vectors(spark, SF_DIR, min(N_QUERIES, n_vec)).cache()
     queries.count()
+
+    baseline: dict[str, dict] = {}
+    baseline_n = int(os.environ.get("SPARK_GRAFT_BASELINE_N", "100000"))
+
+    def emit_summary() -> None:
+        """Write the cumulative BENCH_full.json and print the compact
+        two-line summary. Called after EVERY major section (r6 verdict
+        item 1a) so a timeout/kill degrades to a partial-but-parseable
+        artifact instead of `parsed: null` — the last printed headline
+        line always reflects everything measured so far."""
+        m = re.search(r"sf([0-9.]+)", SF_DIR)
+        sf = float(m.group(1)) if m else None
+        total = round(sum(timings.values()), 4)
+        full = {
+            "metric": "e2e_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "n_vectors": n_vec,
+            "k": K,
+            "n_queries": min(N_QUERIES, n_vec),
+            "cpus": CPUS,
+            "elapsed_wall_sec": round(elapsed(), 1),
+            "budget_sec": budget,
+            "baseline": {
+                "workload": "uniform random, dim=128, l2, k=10, "
+                f"n={baseline_n}, "
+                f"{1000 if baseline_n >= 100_000 else 100}-query batch, "
+                f"seed 42 (BASELINE.md "
+                f"{'100k' if baseline_n >= 100_000 else '10k'} table "
+                "config)",
+                **baseline,
+            },
+        }
+        # Full results go to a FILE (the reference writes
+        # benchmark_results_*.json too, benchmark_comparison.go:562-573):
+        # the driver tail-captures only the last ~2k chars of output, so
+        # the printed line must be compact or it is truncated mid-JSON
+        # (that is exactly what nulled BENCH_r02's "parsed").
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+        tmp_path = out_path + ".tmp"
+        with open(tmp_path, "w") as f:
+            json.dump(full, f, indent=1)
+        os.replace(tmp_path, out_path)  # never a torn artifact
+
+        def _compact_row(row: dict) -> dict:
+            keep = {"build_sec": "b", "build_sec_range": "br",
+                    "search_sec": "s", "qps_batch": "q",
+                    "recall": "r", "nprobe": "np", "refine": "rf",
+                    "multiprobe": "mp", "n_queries": "nq",
+                    "substituted_by": "sub"}
+            out = {}
+            for k, short in keep.items():
+                if k in row:
+                    v = row[k]
+                    if isinstance(v, float):
+                        v = round(v, 2)
+                    elif isinstance(v, list):
+                        v = [round(x, 1) for x in v]
+                    out[short] = v
+            return out
+
+        # The driver records only the LAST ~2000 chars of stdout; a
+        # line longer than that loses its opening brace and "parsed"
+        # lands as null (r2 and r3 both did). So the tail is TWO
+        # lines: an extras line first (sacrificial — may be cut from
+        # the front), then a final pure-JSON headline line budgeted
+        # well under 2000 chars.
+        HEADLINE = [
+            "flat", "flat_batch10k", "ivf", "ivf_tuned", "pq",
+            "ivfpq", "ivfpq_tuned_refined100", "lsh", "hnsw",
+            "hnsw_sharded", "hnsw_sharded_tuned", "hnsw_routed_cl_np8",
+            "ivf_local", "ivf_local_mp_batch10k",
+            "ivf_local_mp_clustered_batch10k",
+            "ivf_local_mp_clustered_np2_batch10k",
+            "ivf_shard_exec_batch10k", "ivf_shard_exec_1m_batch10k",
+            "flat_1m", "flat_10m", "ivf_shard_exec_10m_batch2k",
+            "ivfpq_shard_exec_10m_batch2k",
+            "ivfpq_shard_exec_batch10k",
+            "hnsw_local_mp_clustered_batch10k",
+        ]
+        extras = {
+            "legend": "b=build_sec br=build range s=search_sec "
+                      "q=qps_batch r=recall np=nprobe rf=refine "
+                      "mp=multiprobe nq=n_queries(default 1000) "
+                      "sub=substituted_by",
+            "baseline_extra": {
+                # scaling_* rows have no standard row keys — verbatim
+                k: (v if k.startswith("scaling_") else _compact_row(v))
+                for k, v in baseline.items()
+                if k not in HEADLINE and k != "workload"
+            },
+        }
+        compact = {
+            "metric": "e2e_total_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "cpus": CPUS,
+            "queries": {
+                "n": len(timings),
+                "total_sec": total,
+                "full": "BENCH_full.json",
+            },
+            "baseline_n": baseline_n,
+            "baseline": {
+                k: _compact_row(baseline[k])
+                for k in HEADLINE if k in baseline
+            },
+        }
+        print(json.dumps(extras, separators=(",", ":")))
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1900:  # hard budget: never overflow the tail
+            compact["baseline"] = {
+                k: _compact_row(baseline[k]) for k in HEADLINE[:10]
+                if k in baseline
+            }
+            compact["baseline_truncated"] = True
+            line = json.dumps(compact, separators=(",", ":"))
+        print(line)
+        sys.stdout.flush()
 
     # --- vector search -------------------------------------------------
     from gofaiss_spark.operators.ivf import build_ivf, default_nlist, search_ivf
@@ -261,8 +399,10 @@ def main() -> None:
     # (benchmark_comparison.go:258-263); we mirror both. QPS is
     # batch-native: the query set is one distributed plan (BatchSearch
     # is the reference loop; Spark amortizes the scan).
-    baseline: dict[str, dict] = {}
-    baseline_n = int(os.environ.get("SPARK_GRAFT_BASELINE_N", "100000"))
+    # core per-query timings are complete — flush the first checkpoint
+    # (baseline sections append to the same artifact incrementally)
+    emit_summary()
+
     if baseline_n:
         from gofaiss_spark.bench_util import recall_at_k
         from gofaiss_spark.cli import generate_random_vectors
@@ -295,9 +435,16 @@ def main() -> None:
             0.17 s was this artifact, not a 1M-row search). Rows from
             earlier rounds that went through bsearch may therefore
             under-report search_sec; this round's artifact is the
-            honest baseline."""
+            honest baseline.
+
+            Every timed run lands in ``bs_runs`` so rows can record
+            ``search_sec_range`` next to the best-of-2 (r6 verdict
+            item 5: the artifact alone must tell the throttle story —
+            SCALE.md's best-of tables reproducible from
+            BENCH_full.json with no prose needed)."""
             fn().count()
             best, res = float("inf"), None
+            bs_runs.clear()
             for _ in range(2):
                 if res is not None:
                     res.unpersist(blocking=True)
@@ -305,8 +452,15 @@ def main() -> None:
                 res = fn().cache()
                 res.count()
                 sec = time.monotonic() - t0
+                bs_runs.append(round(sec, 4))
                 best = min(best, sec)
             return round(best, 4), res
+
+        bs_runs: list[float] = []
+
+        def bs_range() -> list[float]:
+            """[min, max] of the LAST bsearch's timed runs."""
+            return [min(bs_runs), max(bs_runs)]
 
         def brec(res, truth) -> float:
             return round(recall_at_k(res, truth, K), 4)
@@ -316,6 +470,7 @@ def main() -> None:
 
         sec, truth = bsearch(lambda: search_flat(bvec, bq, k=K))
         baseline["flat"] = {"search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+            "search_sec_range": bs_range(),
                             "recall": 1.0,
                             "memory_mb": round(baseline_n * 128 * 4 / 2**20, 2)}
 
@@ -336,6 +491,7 @@ def main() -> None:
             sec10, _ = bsearch(lambda: search_flat(bvec, bq10, k=K))
             baseline["flat_batch10k"] = {
                 "search_sec": sec10,
+                "search_sec_range": bs_range(),
                 "qps_batch": round(10_000 / sec10, 1),
                 "recall": 1.0,
                 "n_queries": 10_000,
@@ -361,14 +517,16 @@ def main() -> None:
             lq10k = rngq.random((10_000, 128), dtype=np.float32)
             blocal.search(lq1k, k=K)  # warm
             for lq, tag in ((lq1k, "flat_local"), (lq10k, "flat_local_batch10k")):
-                best = float("inf")
+                best, runs = float("inf"), []
                 for _ in range(2):
                     t0 = time.monotonic()
                     blocal.search(lq, k=K)
-                    best = min(best, time.monotonic() - t0)
+                    runs.append(round(time.monotonic() - t0, 4))
+                    best = min(best, runs[-1])
                 baseline[tag] = {
                     "search_sec": round(best, 4),
-                    "qps_batch": round(len(lq) / best, 1),
+                    "search_sec_range": [min(runs), max(runs)],
+                                        "qps_batch": round(len(lq) / best, 1),
                     "recall": 1.0,
                     "n_queries": len(lq),
                 }
@@ -389,13 +547,15 @@ def main() -> None:
 
             fpool = LocalServerPool(blocal)
             fpool.search(lq10k, k=K, nprobe=None)  # warm
-            best = float("inf")
+            best, runs = float("inf"), []
             for _ in range(3):
                 t0 = time.monotonic()
                 fpool.search(lq10k, k=K, nprobe=None)
-                best = min(best, time.monotonic() - t0)
+                runs.append(round(time.monotonic() - t0, 4))
+                best = min(best, runs[-1])
             baseline["flat_local_mp_batch10k"] = {
                 "search_sec": round(best, 4),
+                "search_sec_range": [min(runs), max(runs)],
                 "qps_batch": round(len(lq10k) / best, 1),
                 "recall": 1.0,
                 "n_queries": len(lq10k),
@@ -420,6 +580,7 @@ def main() -> None:
         baseline["ivf"] = {"build_sec": min(build_times),
                            "build_sec_range": [min(build_times), max(build_times)],
                            "search_sec": sec,
+                           "search_sec_range": bs_range(),
                            "qps_batch": round(bn_q / sec, 1), "recall": brec(res, truth),
                            "nlist": bl_nlist, "nprobe": 10, "memory_mb": mem_mb(bivf)}
 
@@ -428,6 +589,7 @@ def main() -> None:
         # same index, wider probe
         sec, res = bsearch(lambda: search_ivf(bivf, bq, k=K, nprobe=50))
         baseline["ivf_tuned"] = {"search_sec": sec,
+            "search_sec_range": bs_range(),
                                  "qps_batch": round(bn_q / sec, 1),
                                  "recall": brec(res, truth),
                                  "nlist": bl_nlist, "nprobe": 50,
@@ -451,18 +613,20 @@ def main() -> None:
             blivf.search(lq1k[:128], k=K, nprobe=50)  # warm
             for lq, tt, tag in ((lq1k, t1k, "ivf_local"),
                                 (lq10k, t10k, "ivf_local_batch10k")):
-                best = float("inf")
+                best, runs = float("inf"), []
                 for _ in range(3):
                     t0 = time.monotonic()
                     lids, _ = blivf.search(lq, k=K, nprobe=50)
-                    best = min(best, time.monotonic() - t0)
+                    runs.append(round(time.monotonic() - t0, 4))
+                    best = min(best, runs[-1])
                 rec = float(np.mean([
                     len(set(lids[i]) & set(tt[i])) / K
                     for i in range(len(lq))
                 ]))
                 baseline[tag] = {
                     "search_sec": round(best, 4),
-                    "qps_batch": round(len(lq) / best, 1),
+                    "search_sec_range": [min(runs), max(runs)],
+                                        "qps_batch": round(len(lq) / best, 1),
                     "recall": round(rec, 4),
                     "nlist": bl_nlist, "nprobe": 50,
                     "n_queries": len(lq),
@@ -487,17 +651,19 @@ def main() -> None:
             lpool = LocalServerPool(blivf)
             pool_up = round(time.monotonic() - t0, 4)
             lpool.search(lq10k, k=K, nprobe=50)  # warm
-            best = float("inf")
+            best, runs = float("inf"), []
             for _ in range(3):
                 t0 = time.monotonic()
                 pids, _ = lpool.search(lq10k, k=K, nprobe=50)
-                best = min(best, time.monotonic() - t0)
+                runs.append(round(time.monotonic() - t0, 4))
+                best = min(best, runs[-1])
             rec = float(np.mean([
                 len(set(pids[i]) & set(t10k[i])) / K
                 for i in range(len(lq10k))
             ]))
             baseline["ivf_local_mp_batch10k"] = {
                 "search_sec": round(best, 4),
+                "search_sec_range": [min(runs), max(runs)],
                 "qps_batch": round(len(lq10k) / best, 1),
                 "recall": round(rec, 4),
                 "nlist": bl_nlist, "nprobe": 50,
@@ -537,11 +703,12 @@ def main() -> None:
                 try:
                     srv.search(lq10k[:128], k=K, nprobe=50)  # cold load
                     srv.search(lq10k[:128], k=K, nprobe=50)  # warm
-                    best = float("inf")
+                    best, runs = float("inf"), []
                     for _ in range(3):
                         t0 = time.monotonic()
                         shids, _d = srv.search(lq10k, k=K, nprobe=50)
-                        best = min(best, time.monotonic() - t0)
+                        runs.append(round(time.monotonic() - t0, 4))
+                        best = min(best, runs[-1])
                 finally:
                     srv.close()  # unlink the host shm shard cache
                 rec = float(np.mean([
@@ -550,6 +717,7 @@ def main() -> None:
                 ]))
                 baseline["ivf_shard_exec_batch10k"] = {
                     "search_sec": round(best, 4),
+                    "search_sec_range": [min(runs), max(runs)],
                     "qps_batch": round(len(lq10k) / best, 1),
                     "recall": round(rec, 4),
                     "nlist": bl_nlist, "nprobe": 50,
@@ -577,6 +745,7 @@ def main() -> None:
         build_s = round(time.monotonic() - t0, 4)
         sec, res = bsearch(lambda: search_pq(bpq, bq, k=K))
         baseline["pq"] = {"build_sec": build_s, "search_sec": sec,
+            "search_sec_range": bs_range(),
                           "qps_batch": round(bn_q / sec, 1), "recall": brec(res, truth),
                           "m": 16, "nbits": 8, "memory_mb": mem_mb(bpq)}
 
@@ -588,6 +757,7 @@ def main() -> None:
         build_s = round(time.monotonic() - t0, 4)
         sec, res = bsearch(lambda: search_ivfpq(bivfpq, bq, k=K, nprobe=10))
         baseline["ivfpq"] = {"build_sec": build_s, "search_sec": sec,
+            "search_sec_range": bs_range(),
                              "qps_batch": round(bn_q / sec, 1), "recall": brec(res, truth),
                              "nlist": bl_nlist, "m": 8, "nbits": 8, "nprobe": 10,
                              "memory_mb": mem_mb(bivfpq)}
@@ -601,6 +771,7 @@ def main() -> None:
             lambda: search_ivfpq(bivfpq, bq, k=K, nprobe=50, refine=10, base=bvec)
         )
         baseline["ivfpq_refined"] = {"search_sec": sec,
+            "search_sec_range": bs_range(),
                                      "qps_batch": round(bn_q / sec, 1),
                                      "recall": brec(res, truth),
                                      "nlist": bl_nlist, "m": 8, "nbits": 8,
@@ -621,6 +792,7 @@ def main() -> None:
             build_s = round(time.monotonic() - t0, 4)
             sec, res = bsearch(lambda: search_ivfpq(bivfpq_t, bq, k=K, nprobe=50))
             baseline["ivfpq_tuned"] = {"build_sec": build_s, "search_sec": sec,
+                "search_sec_range": bs_range(),
                                        "qps_batch": round(bn_q / sec, 1),
                                        "recall": brec(res, truth),
                                        "nlist": bl_nlist, "m": 16, "nbits": 8,
@@ -638,6 +810,7 @@ def main() -> None:
             )
             baseline["ivfpq_tuned_refined"] = {
                 "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+                "search_sec_range": bs_range(),
                 "recall": brec(res, truth),
                 "nlist": bl_nlist, "m": 16, "nbits": 8,
                 "nprobe": 50, "refine": 30,
@@ -649,6 +822,7 @@ def main() -> None:
             )
             baseline["ivfpq_tuned_refined100"] = {
                 "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+                "search_sec_range": bs_range(),
                 "recall": brec(res, truth),
                 "nlist": bl_nlist, "m": 16, "nbits": 8,
                 "nprobe": 50, "refine": 100, "target_recall": 0.90,
@@ -687,12 +861,13 @@ def main() -> None:
                                 refine=10)  # cold
                     qsrv.search(lq10k_q[:128], k=K, nprobe=50,
                                 refine=10)  # warm
-                    best = float("inf")
+                    best, runs = float("inf"), []
                     for _ in range(3):
                         t0 = time.monotonic()
                         qids_sh, _dq = qsrv.search(
                             lq10k_q, k=K, nprobe=50, refine=10)
-                        best = min(best, time.monotonic() - t0)
+                        runs.append(round(time.monotonic() - t0, 4))
+                        best = min(best, runs[-1])
                     # exact truth (full probe + refine-all ≡ flat)
                     trq, _tq = qsrv.search(
                         lq10k_q[:1000], k=K, nprobe=bl_nlist,
@@ -705,6 +880,7 @@ def main() -> None:
                 ]))
                 baseline["ivfpq_shard_exec_batch10k"] = {
                     "search_sec": round(best, 4),
+                    "search_sec_range": [min(runs), max(runs)],
                     "qps_batch": round(len(lq10k_q) / best, 1),
                     "recall": round(rec, 4),
                     "nlist": bl_nlist, "m": 8, "nbits": 8,
@@ -718,12 +894,13 @@ def main() -> None:
                 try:
                     qsrv2.search(lq10k_q[:128], k=K, nprobe=50,
                                  refine=50)  # warm
-                    best50 = float("inf")
+                    best50, runs = float("inf"), []
                     for _ in range(2):
                         t0 = time.monotonic()
                         qids50, _dq = qsrv2.search(
                             lq10k_q, k=K, nprobe=50, refine=50)
-                        best50 = min(best50, time.monotonic() - t0)
+                        runs.append(round(time.monotonic() - t0, 4))
+                        best50 = min(best50, runs[-1])
                 finally:
                     qsrv2.close()
                 rec50 = float(np.mean([
@@ -732,6 +909,7 @@ def main() -> None:
                 ]))
                 baseline["ivfpq_shard_exec_rf50_batch10k"] = {
                     "search_sec": round(best50, 4),
+                    "search_sec_range": [min(runs), max(runs)],
                     "qps_batch": round(len(lq10k_q) / best50, 1),
                     "recall": round(rec50, 4),
                     "nlist": bl_nlist, "m": 8, "nbits": 8,
@@ -753,6 +931,7 @@ def main() -> None:
         build_s = round(time.monotonic() - t0, 4)
         sec, res = bsearch(lambda: search_lsh(blsh, bq, k=K, multiprobe=bl_mp))
         baseline["lsh"] = {"build_sec": build_s, "search_sec": sec,
+            "search_sec_range": bs_range(),
                            "qps_batch": round(bn_q / sec, 1), "recall": brec(res, truth),
                            "num_hash_tables": bl_L, "multiprobe": bl_mp,
                            "memory_mb": mem_mb(blsh),
@@ -774,6 +953,7 @@ def main() -> None:
             truth10.count()
             baseline["lsh_batch10k"] = {
                 "search_sec": sec10,
+                "search_sec_range": bs_range(),
                 "qps_batch": round(10_000 / sec10, 1),
                 "recall": round(recall_at_k(res10, truth10, K), 4),
                 "num_hash_tables": bl_L, "multiprobe": bl_mp,
@@ -801,6 +981,17 @@ def main() -> None:
             bhs = build_hnsw_sharded(bvec, m=16, ef_construction=200,
                                      seed=43)
             hbuild_times.append(round(time.monotonic() - t0, 4))
+        if big and min(hbuild_times) > 27.0:
+            # third arm (r6 verdict item 8): the reference's own +50%
+            # build gate sits at 27.1 s (18.1 s × 1.5); when both arms
+            # land above it the window is likely throttled — one more
+            # same-window arm decides steady-state vs throttle inside
+            # the canonical artifact instead of a separate A/B file
+            bhs.blobs.unpersist()
+            t0 = time.monotonic()
+            bhs = build_hnsw_sharded(bvec, m=16, ef_construction=200,
+                                     seed=44)
+            hbuild_times.append(round(time.monotonic() - t0, 4))
         sec, res = bsearch(
             lambda: search_hnsw_sharded(bhs, bq, k=K, ef_search=50)
         )
@@ -808,6 +999,7 @@ def main() -> None:
             "build_sec": min(hbuild_times),
             "build_sec_range": [min(hbuild_times), max(hbuild_times)],
             "search_sec": sec,
+            "search_sec_range": bs_range(),
             "qps_batch": round(bn_q / sec, 1), "recall": brec(res, truth),
             "m": 16, "ef_construction": 200, "ef_search": 50,
             "num_shards": bhs.num_shards, "memory_mb": mem_mb(bhs),
@@ -822,6 +1014,7 @@ def main() -> None:
             )
             baseline["hnsw_sharded_tuned"] = {
                 "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+                "search_sec_range": bs_range(),
                 "recall": brec(res, truth),
                 "m": 16, "ef_construction": 200, "ef_search": 200,
                 "target_recall": 0.95,
@@ -871,6 +1064,7 @@ def main() -> None:
                 )
                 row = {
                     "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+                    "search_sec_range": bs_range(),
                     "recall": round(recall_at_k(res, ctruth, K), 4),
                     "nprobe": npr, "nlist": n_cl,
                     "workload": "mixture-of-100-Gaussians (sigma=0.05)",
@@ -898,18 +1092,20 @@ def main() -> None:
                 (cq10k, ct10k, 4, "ivf_local_clustered_batch10k"),
                 (cq10k, ct10k, 2, "ivf_local_clustered_np2_batch10k"),
             ):
-                best = float("inf")
+                best, runs = float("inf"), []
                 for _ in range(3):
                     t0 = time.monotonic()
                     lids, _ = clocal.search(lq, k=K, nprobe=npr)
-                    best = min(best, time.monotonic() - t0)
+                    runs.append(round(time.monotonic() - t0, 4))
+                    best = min(best, runs[-1])
                 rec = float(np.mean([
                     len(set(lids[i]) & set(tt[i])) / K
                     for i in range(len(lq))
                 ]))
                 baseline[tag] = {
                     "search_sec": round(best, 4),
-                    "qps_batch": round(len(lq) / best, 1),
+                    "search_sec_range": [min(runs), max(runs)],
+                                        "qps_batch": round(len(lq) / best, 1),
                     "recall": round(rec, 4),
                     "nlist": 316, "nprobe": npr, "n_queries": len(lq),
                     "workload": "mixture-of-100-Gaussians (sigma=0.05)",
@@ -927,17 +1123,19 @@ def main() -> None:
                 (4, "ivf_local_mp_clustered_batch10k"),
                 (2, "ivf_local_mp_clustered_np2_batch10k"),
             ):
-                best = float("inf")
+                best, runs = float("inf"), []
                 for _ in range(3):
                     t0 = time.monotonic()
                     lids, _ = cpool.search(cq10k, k=K, nprobe=npr)
-                    best = min(best, time.monotonic() - t0)
+                    runs.append(round(time.monotonic() - t0, 4))
+                    best = min(best, runs[-1])
                 rec = float(np.mean([
                     len(set(lids[i]) & set(ct10k[i])) / K
                     for i in range(len(cq10k))
                 ]))
                 baseline[tag] = {
                     "search_sec": round(best, 4),
+                    "search_sec_range": [min(runs), max(runs)],
                     "qps_batch": round(len(cq10k) / best, 1),
                     "recall": round(rec, 4),
                     "nlist": 316, "nprobe": npr,
@@ -967,11 +1165,12 @@ def main() -> None:
             hpool = LocalServerPool(hlocal)
             try:
                 hpool.search(cq10k[:256], k=K, nprobe=4)  # warm
-                best = float("inf")
+                best, runs = float("inf"), []
                 for _ in range(3):
                     t0 = time.monotonic()
                     hids, _ = hpool.search(cq10k, k=K, nprobe=4)
-                    best = min(best, time.monotonic() - t0)
+                    runs.append(round(time.monotonic() - t0, 4))
+                    best = min(best, runs[-1])
             finally:
                 hpool.close()
             rec = float(np.mean([
@@ -980,6 +1179,7 @@ def main() -> None:
             ]))
             baseline["hnsw_local_mp_clustered_batch10k"] = {
                 "search_sec": round(best, 4),
+                "search_sec_range": [min(runs), max(runs)],
                 "qps_batch": round(len(cq10k) / best, 1),
                 "recall": round(rec, 4),
                 "nlist": n_cl, "nprobe": 4, "ef_search": 50,
@@ -1000,6 +1200,7 @@ def main() -> None:
             build_s = round(time.monotonic() - t0, 4)
             sec, res = bsearch(lambda: search_hnsw(bh, bq, k=K, ef_search=50))
             baseline["hnsw"] = {"build_sec": build_s, "search_sec": sec,
+                "search_sec_range": bs_range(),
                                 "qps_batch": round(bn_q / sec, 1), "recall": brec(res, truth),
                                 "m": 16, "ef_construction": 200, "ef_search": 50}
         else:
@@ -1010,11 +1211,26 @@ def main() -> None:
                           "(same per-shard insert/search algorithm)",
             }
 
+    # 100k baseline section complete — checkpoint before the anchors
+    emit_summary()
+
     # --- 1M-vector anchor rows (verify the 100k→100 TB extrapolation
     # with a real order-of-magnitude step; the scale where the
     # reference's 16 GB box gives out). Same workload shape, n=1M.
-    if baseline_n >= 100_000 and os.environ.get(
-            "SPARK_GRAFT_BASELINE_1M", "1") != "0":
+    # Budget-gated (r6 verdict item 1b): on a throttled box the
+    # anchors are skipped WITH a recorded note instead of outrunning
+    # the driver's window.
+    want_1m = baseline_n >= 100_000 and os.environ.get(
+        "SPARK_GRAFT_BASELINE_1M", "1") != "0"
+    if want_1m and elapsed() + 240 > budget:
+        baseline["scaling_1m"] = {
+            "note": f"1M anchor skipped: {elapsed():.0f}s elapsed + "
+                    f"~240s section would exceed the {budget:.0f}s "
+                    "budget (SPARK_GRAFT_BENCH_BUDGET_SEC; box "
+                    "throttled this window)",
+        }
+        want_1m = False
+    if want_1m:
         import math
 
         import numpy as np
@@ -1041,6 +1257,7 @@ def main() -> None:
         sec, truth1m = bsearch(lambda: search_flat(bvec1m, bq, k=K))
         baseline["flat_1m"] = {
             "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+            "search_sec_range": bs_range(),
             "recall": 1.0, "n_vectors": n1m,
             "flat_100k_interleaved_sec": sec100,
             "memory_mb": round(n1m * 128 * 4 / 2**20, 2),
@@ -1053,6 +1270,7 @@ def main() -> None:
         sec, res = bsearch(lambda: search_ivf(bivf1m, bq, k=K, nprobe=10))
         baseline["ivf_1m"] = {
             "build_sec": b1m_build, "search_sec": sec,
+            "search_sec_range": bs_range(),
             "qps_batch": round(bn_q / sec, 1),
             "recall": brec(res, truth1m),
             "nlist": 1000, "nprobe": 10, "n_vectors": n1m,
@@ -1060,6 +1278,7 @@ def main() -> None:
         sec, res = bsearch(lambda: search_ivf(bivf1m, bq, k=K, nprobe=100))
         baseline["ivf_1m_np100"] = {
             "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+            "search_sec_range": bs_range(),
             "recall": brec(res, truth1m),
             "nlist": 1000, "nprobe": 100, "n_vectors": n1m,
         }
@@ -1071,11 +1290,12 @@ def main() -> None:
         rngq = np.random.default_rng(43)
         lq10k_1m = rngq.random((10_000, 128), dtype=np.float32)
         p1m.search(lq10k_1m[:128], k=K, nprobe=100)  # warm
-        best = float("inf")
+        best, runs = float("inf"), []
         for _ in range(3):
             t0 = time.monotonic()
             pids, _pd_ = p1m.search(lq10k_1m, k=K, nprobe=100)
-            best = min(best, time.monotonic() - t0)
+            runs.append(round(time.monotonic() - t0, 4))
+            best = min(best, runs[-1])
         # exact recall on the first 1k queries (full probe = exact)
         tr_ids, _tr = p1m.search(lq10k_1m[:1000], k=K, nprobe=l1m.nlist)
         rec = float(np.mean([
@@ -1083,7 +1303,8 @@ def main() -> None:
         ]))
         baseline["ivf_local_mp_1m_batch10k"] = {
             "search_sec": round(best, 4),
-            "qps_batch": round(len(lq10k_1m) / best, 1),
+            "search_sec_range": [min(runs), max(runs)],
+                        "qps_batch": round(len(lq10k_1m) / best, 1),
             "recall": round(rec, 4),
             "nlist": 1000, "nprobe": 100, "n_queries": len(lq10k_1m),
             "n_vectors": n1m, "collect_sec": collect_s,
@@ -1113,11 +1334,12 @@ def main() -> None:
             try:
                 srv1m.search(lq10k_1m[:128], k=K, nprobe=100)  # cold
                 srv1m.search(lq10k_1m[:128], k=K, nprobe=100)  # warm
-                best = float("inf")
+                best, runs = float("inf"), []
                 for _ in range(3):
                     t0 = time.monotonic()
                     shids1m, _d1 = srv1m.search(lq10k_1m, k=K, nprobe=100)
-                    best = min(best, time.monotonic() - t0)
+                    runs.append(round(time.monotonic() - t0, 4))
+                    best = min(best, runs[-1])
             finally:
                 srv1m.close()
             rec = float(np.mean([
@@ -1126,6 +1348,7 @@ def main() -> None:
             ]))
             baseline["ivf_shard_exec_1m_batch10k"] = {
                 "search_sec": round(best, 4),
+                "search_sec_range": [min(runs), max(runs)],
                 "qps_batch": round(len(lq10k_1m) / best, 1),
                 "recall": round(rec, 4),
                 "nlist": 1000, "nprobe": 100,
@@ -1142,6 +1365,7 @@ def main() -> None:
         sec, res = bsearch(lambda: search_lsh(blsh1m, bq, k=K, multiprobe=1))
         baseline["lsh_1m"] = {
             "build_sec": lsh1m_build, "search_sec": sec,
+            "search_sec_range": bs_range(),
             "qps_batch": round(bn_q / sec, 1),
             "recall": brec(res, truth1m),
             "num_hash_tables": 4, "multiprobe": 1, "n_vectors": n1m,
@@ -1184,15 +1408,30 @@ def main() -> None:
             **ratios,
         }
 
+    # 1M anchor complete — checkpoint before the 10M anchor
+    emit_summary()
+
     # --- 10M-vector anchor (r5 verdict item 7): the second decade
     # step, so the 100 TB extrapolation is two-point-calibrated
     # (1M→10M ratio measured in ONE throttle window) instead of
     # extrapolated from a single decade. Rows: distributed flat
-    # (interleaved 1M re-measure), IVF on a persisted-style build,
-    # executor-sharded serving at 16 shards (5 GB of CSR arrays in
-    # host shm — past the comfortable single-collect regime), LSH.
-    if baseline_n >= 100_000 and os.environ.get(
-            "SPARK_GRAFT_BASELINE_10M", "1") != "0":
+    # (interleaved 1M re-measure), quantized sharded serving (r6
+    # verdict item 4 — codes in shm, refine against shard rows), IVF
+    # sharded serving at 16 shards (5 GB of CSR arrays in host shm —
+    # past the comfortable single-collect regime), LSH. Sub-sections
+    # are individually budget-gated, highest-value-first, so a slow
+    # window degrades to fewer rows instead of a driver timeout.
+    want_10m = baseline_n >= 100_000 and os.environ.get(
+        "SPARK_GRAFT_BASELINE_10M", "1") != "0"
+    if want_10m and elapsed() + 420 > budget:
+        baseline["scaling_10m"] = {
+            "note": f"10M anchor skipped: {elapsed():.0f}s elapsed + "
+                    f"~420s minimum section would exceed the "
+                    f"{budget:.0f}s budget "
+                    "(SPARK_GRAFT_BENCH_BUDGET_SEC)",
+        }
+        want_10m = False
+    if want_10m:
         import math
 
         import numpy as np
@@ -1233,31 +1472,15 @@ def main() -> None:
             sec, truth10m = bsearch(lambda: search_flat(bvec10m, bq, k=K))
             baseline["flat_10m"] = {
                 "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+                "search_sec_range": bs_range(),
                 "recall": 1.0, "n_vectors": n10m,
                 "flat_1m_interleaved_sec": sec1m_i,
                 "memory_mb": round(n10m * 128 * 4 / 2**20, 2),
             }
             bvec1m_i.unpersist()
-            t0 = time.monotonic()
-            bivf10m = build_ivf(bvec10m, nlist=1000, seed=42,
-                                train_fraction=5000.0 / n10m)
-            bivf10m.assignments.persist(StorageLevel.DISK_ONLY).count()
-            b10m_build = round(time.monotonic() - t0, 4)
-            # the 10M serving row is the SHARDED path below (that is
-            # the architecture at this scale); one distributed
-            # search_ivf pass probed at ~107 s/1k queries — recorded
-            # as build-only here to keep the bench inside its budget
-            baseline["ivf_10m"] = {
-                "build_sec": b10m_build, "nlist": 1000,
-                "n_vectors": n10m,
-                "note": "search served via ivf_shard_exec_10m",
-            }
-            # executor-sharded serving at 10M/16 shards: the design
-            # case one decade past the single-node pool's comfort
-            # zone. 2k-query batches: at nprobe=100/nlist=1000 each
-            # query scans ~10% of 10M rows, and on ONE box all 16
-            # shards share a single memory bus — the cluster design
-            # point gives each shard its own host (SCALE.md §7).
+
+            # shared by both sharded rows: the 2k serving batch and
+            # the exact flat truth on bq's 1000 queries
             import shutil as _sh10
             import tempfile as _tf10
 
@@ -1270,72 +1493,187 @@ def main() -> None:
 
             rngq10 = np.random.default_rng(44)
             lq2k_10m = rngq10.random((2_000, 128), dtype=np.float32)
-            shard_dir10m = _tf10.mkdtemp(prefix="gofaiss_bench_shards10m_")
-            try:
-                t0 = time.monotonic()
-                _ssh10(bivf10m, shard_dir10m, num_shards=16)
-                sh10m_write = round(time.monotonic() - t0, 4)
-                srv10m = _ShS10(spark, shard_dir10m)
-                try:
-                    srv10m.search(lq2k_10m[:128], k=K, nprobe=100)  # cold
-                    best = float("inf")
-                    for _ in range(2):
-                        t0 = time.monotonic()
-                        shids10m, _d10 = srv10m.search(
-                            lq2k_10m, k=K, nprobe=100)
-                        best = min(best, time.monotonic() - t0)
-                    # recall vs the flat truth on bq's 1000 queries
-                    # (same queries, exact top-k already computed)
-                    bqrows = bq.orderBy("query_id").collect()
-                    bqmat = np.stack([
-                        np.asarray(r["qvec"], dtype=np.float32)
-                        for r in bqrows
-                    ])
-                    sids_bq, _d = srv10m.search(bqmat, k=K, nprobe=100)
-                    tmap = {}
-                    for r in truth10m.collect():
-                        tmap.setdefault(int(r["query_id"]), set()).add(
-                            int(r["id"]))
-                    rec = float(np.mean([
-                        len(set(sids_bq[i])
-                            & tmap[int(bqrows[i]["query_id"])]) / K
-                        for i in range(len(bqrows))
-                    ]))
-                finally:
-                    srv10m.close()
-                baseline["ivf_shard_exec_10m_batch2k"] = {
-                    "search_sec": round(best, 4),
-                    "qps_batch": round(len(lq2k_10m) / best, 1),
-                    "recall": round(rec, 4),
-                    "nlist": 1000, "nprobe": 100,
-                    "n_queries": len(lq2k_10m), "n_vectors": n10m,
-                    "num_shards": 16, "slices_per_shard": srv10m.slices,
-                    "artifact_write_sec": sh10m_write,
-                    "shm_mb": round(n10m * 128 * 4 / 2**20, 1),
-                    "note": "16 shards share one memory bus on this "
-                            "box; cluster design point = shard/host",
+            bqrows = bq.orderBy("query_id").collect()
+            bqmat = np.stack([
+                np.asarray(r["qvec"], dtype=np.float32) for r in bqrows
+            ])
+            tmap = {}
+            for r in truth10m.collect():
+                tmap.setdefault(int(r["query_id"]), set()).add(
+                    int(r["id"]))
+
+            def _rec_vs_flat(sids) -> float:
+                return float(np.mean([
+                    len(set(sids[i])
+                        & tmap[int(bqrows[i]["query_id"])]) / K
+                    for i in range(len(bqrows))
+                ]))
+
+            # QUANTIZED sharded serving at 10M (r6 verdict item 4):
+            # codes + codebooks + refine rows in host shm. The codes
+            # themselves are 64× smaller than the raw vectors
+            # (m=8 × 1 byte vs 128 × 4 bytes) — the measured proof of
+            # SCALE.md's corpus-per-host claim; the refine rows are
+            # the optional exactness tier a deployment can keep on
+            # flash instead. Runs FIRST among the index rows: it is
+            # the round's new evidence, so a slow window sheds the
+            # already-established ivf/lsh rows before this one.
+            if elapsed() + 540 > budget:
+                baseline["ivfpq_shard_exec_10m_batch2k"] = {
+                    "note": f"skipped: {elapsed():.0f}s elapsed + "
+                            f"~540s sub-section > {budget:.0f}s "
+                            "budget",
                 }
-            finally:
-                _sh10.rmtree(shard_dir10m, ignore_errors=True)
-            t0 = time.monotonic()
-            blsh10m = build_lsh(bvec10m, num_hash_tables=4)
-            blsh10m.buckets.persist(StorageLevel.DISK_ONLY).count()
-            lsh10m_build = round(time.monotonic() - t0, 4)
-            # single timed run (probed ~156 s/1k queries — a warmed
-            # best-of-2 would double the section for a ±2 s refinement)
-            t0 = time.monotonic()
-            res = search_lsh(blsh10m, bq, k=K, multiprobe=1).cache()
-            res.count()
-            sec = round(time.monotonic() - t0, 4)
-            baseline["lsh_10m"] = {
-                "build_sec": lsh10m_build, "search_sec": sec,
-                "qps_batch": round(bn_q / sec, 1),
-                "recall": brec(res, truth10m),
-                "num_hash_tables": 4, "multiprobe": 1,
-                "n_vectors": n10m, "n_runs": 1,
-            }
-            blsh10m.buckets.unpersist()
-            bivf10m.assignments.unpersist()
+            else:
+                from gofaiss_spark.operators.ivfpq import build_ivfpq
+
+                t0 = time.monotonic()
+                bivfpq10m = build_ivfpq(
+                    bvec10m, nlist=1000, m=8, nbits=8, seed=42,
+                    train_fraction=5000.0 / n10m)
+                bivfpq10m.codes.persist(StorageLevel.DISK_ONLY).count()
+                pq10_build = round(time.monotonic() - t0, 4)
+                qshard10 = _tf10.mkdtemp(
+                    prefix="gofaiss_bench_shards10m_pq_")
+                try:
+                    t0 = time.monotonic()
+                    _ssh10(bivfpq10m, qshard10, num_shards=16,
+                           vectors=bvec10m)
+                    pq10_write = round(time.monotonic() - t0, 4)
+                    qsrv10 = _ShS10(spark, qshard10)
+                    try:
+                        qsrv10.search(lq2k_10m[:128], k=K, nprobe=100,
+                                      refine=10)  # cold
+                        best, runs = float("inf"), []
+                        for _ in range(2):
+                            t0 = time.monotonic()
+                            qsrv10.search(lq2k_10m, k=K, nprobe=100,
+                                          refine=10)
+                            runs.append(round(time.monotonic() - t0, 4))
+                            best = min(best, runs[-1])
+                        sids_q, _dq = qsrv10.search(
+                            bqmat, k=K, nprobe=100, refine=10)
+                    finally:
+                        qsrv10.close()
+                    baseline["ivfpq_shard_exec_10m_batch2k"] = {
+                        "build_sec": pq10_build,
+                        "search_sec": round(best, 4),
+                        "search_sec_range": [min(runs), max(runs)],
+                        "qps_batch": round(len(lq2k_10m) / best, 1),
+                        "recall": round(_rec_vs_flat(sids_q), 4),
+                        "nlist": 1000, "m": 8, "nbits": 8,
+                        "nprobe": 100, "refine": 10,
+                        "n_queries": len(lq2k_10m), "n_vectors": n10m,
+                        "num_shards": 16,
+                        "artifact_write_sec": pq10_write,
+                        "shm_mb_codes": round(n10m * 8 / 2**20, 1),
+                        "shm_mb_refine_rows": round(
+                            n10m * 128 * 4 / 2**20, 1),
+                        "note": "codes 64x smaller than raw vectors "
+                                "(8 vs 512 B/vec): one host's shm "
+                                "holds ~64x more corpus codes-only; "
+                                "refine rows optional per deployment",
+                    }
+                finally:
+                    _sh10.rmtree(qshard10, ignore_errors=True)
+                bivfpq10m.codes.unpersist()
+
+            # IVF (uncompressed) sharded serving at 10M/16 shards: the
+            # design case one decade past the single-node pool's
+            # comfort zone. 2k-query batches: at nprobe=100/nlist=1000
+            # each query scans ~10% of 10M rows, and on ONE box all 16
+            # shards share a single memory bus — the cluster design
+            # point gives each shard its own host (SCALE.md §7).
+            bivf10m = None
+            if elapsed() + 360 > budget:
+                baseline["ivf_10m"] = {
+                    "note": f"skipped: {elapsed():.0f}s elapsed + "
+                            f"~360s sub-section > {budget:.0f}s "
+                            "budget",
+                }
+            else:
+                t0 = time.monotonic()
+                bivf10m = build_ivf(bvec10m, nlist=1000, seed=42,
+                                    train_fraction=5000.0 / n10m)
+                bivf10m.assignments.persist(
+                    StorageLevel.DISK_ONLY).count()
+                b10m_build = round(time.monotonic() - t0, 4)
+                # the 10M serving row is the SHARDED path (that is the
+                # architecture at this scale); one distributed
+                # search_ivf pass probed at ~107 s/1k queries —
+                # recorded as build-only here to keep the bench
+                # inside its budget
+                baseline["ivf_10m"] = {
+                    "build_sec": b10m_build, "nlist": 1000,
+                    "n_vectors": n10m,
+                    "note": "search served via ivf_shard_exec_10m",
+                }
+                shard_dir10m = _tf10.mkdtemp(
+                    prefix="gofaiss_bench_shards10m_")
+                try:
+                    t0 = time.monotonic()
+                    _ssh10(bivf10m, shard_dir10m, num_shards=16)
+                    sh10m_write = round(time.monotonic() - t0, 4)
+                    srv10m = _ShS10(spark, shard_dir10m)
+                    try:
+                        srv10m.search(lq2k_10m[:128], k=K,
+                                      nprobe=100)  # cold
+                        best, runs = float("inf"), []
+                        for _ in range(2):
+                            t0 = time.monotonic()
+                            srv10m.search(lq2k_10m, k=K, nprobe=100)
+                            runs.append(round(time.monotonic() - t0, 4))
+                            best = min(best, runs[-1])
+                        sids_bq, _d = srv10m.search(
+                            bqmat, k=K, nprobe=100)
+                    finally:
+                        srv10m.close()
+                    baseline["ivf_shard_exec_10m_batch2k"] = {
+                        "search_sec": round(best, 4),
+                        "search_sec_range": [min(runs), max(runs)],
+                        "qps_batch": round(len(lq2k_10m) / best, 1),
+                        "recall": round(_rec_vs_flat(sids_bq), 4),
+                        "nlist": 1000, "nprobe": 100,
+                        "n_queries": len(lq2k_10m), "n_vectors": n10m,
+                        "num_shards": 16,
+                        "slices_per_shard": srv10m.slices,
+                        "artifact_write_sec": sh10m_write,
+                        "shm_mb": round(n10m * 128 * 4 / 2**20, 1),
+                        "note": "16 shards share one memory bus on "
+                                "this box; cluster design point = "
+                                "shard/host",
+                    }
+                finally:
+                    _sh10.rmtree(shard_dir10m, ignore_errors=True)
+
+            if elapsed() + 300 > budget:
+                baseline["lsh_10m"] = {
+                    "note": f"skipped: {elapsed():.0f}s elapsed + "
+                            f"~300s sub-section > {budget:.0f}s "
+                            "budget",
+                }
+            else:
+                t0 = time.monotonic()
+                blsh10m = build_lsh(bvec10m, num_hash_tables=4)
+                blsh10m.buckets.persist(StorageLevel.DISK_ONLY).count()
+                lsh10m_build = round(time.monotonic() - t0, 4)
+                # single timed run (probed ~156 s/1k queries — a
+                # warmed best-of-2 would double the section for a
+                # ±2 s refinement)
+                t0 = time.monotonic()
+                res = search_lsh(blsh10m, bq, k=K, multiprobe=1).cache()
+                res.count()
+                sec = round(time.monotonic() - t0, 4)
+                baseline["lsh_10m"] = {
+                    "build_sec": lsh10m_build, "search_sec": sec,
+                    "qps_batch": round(bn_q / sec, 1),
+                    "recall": brec(res, truth10m),
+                    "num_hash_tables": 4, "multiprobe": 1,
+                    "n_vectors": n10m, "n_runs": 1,
+                }
+                blsh10m.buckets.unpersist()
+            if bivf10m is not None:
+                bivf10m.assignments.unpersist()
             bvec10m.unpersist()
             r10 = baseline["flat_10m"]["search_sec"] / max(1e-9, sec1m_i)
             baseline["scaling_10m"] = {
@@ -1355,110 +1693,9 @@ def main() -> None:
                         f"{type(e).__name__}: {e}"[:300],
             }
 
-    m = re.search(r"sf([0-9.]+)", SF_DIR)
-    sf = float(m.group(1)) if m else None
-    total = round(sum(timings.values()), 4)
-    full = {
-        "metric": "e2e_total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "n_vectors": n_vec,
-        "k": K,
-        "n_queries": min(N_QUERIES, n_vec),
-        "cpus": CPUS,
-        "baseline": {
-            "workload": "uniform random, dim=128, l2, k=10, "
-            f"n={baseline_n}, "
-            f"{1000 if baseline_n >= 100_000 else 100}-query batch, "
-            f"seed 42 (BASELINE.md "
-            f"{'100k' if baseline_n >= 100_000 else '10k'} table config)",
-            **baseline,
-        },
-    }
-    # Full results go to a FILE (the reference writes
-    # benchmark_results_*.json too, benchmark_comparison.go:562-573):
-    # the driver tail-captures only the last ~2k chars of output, so
-    # the printed line must be compact or it is truncated mid-JSON
-    # (that is exactly what nulled BENCH_r02's "parsed").
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_full.json")
-    with open(out_path, "w") as f:
-        json.dump(full, f, indent=1)
-
-    def _compact_row(row: dict) -> dict:
-        keep = {"build_sec": "b", "build_sec_range": "br",
-                "search_sec": "s", "qps_batch": "q",
-                "recall": "r", "nprobe": "np", "refine": "rf",
-                "multiprobe": "mp", "n_queries": "nq",
-                "substituted_by": "sub"}
-        out = {}
-        for k, short in keep.items():
-            if k in row:
-                v = row[k]
-                if isinstance(v, float):
-                    v = round(v, 2)
-                elif isinstance(v, list):
-                    v = [round(x, 1) for x in v]
-                out[short] = v
-        return out
-
-    # The driver records only the LAST ~2000 chars of stdout; a line
-    # longer than that loses its opening brace and "parsed" lands as
-    # null (r2 and r3 both did). So the tail is TWO lines: an extras
-    # line first (sacrificial — may be cut from the front), then a
-    # final pure-JSON headline line budgeted well under 2000 chars.
-    HEADLINE = [
-        "flat", "flat_batch10k", "ivf", "ivf_tuned", "pq",
-        "ivfpq", "ivfpq_tuned_refined100", "lsh", "hnsw",
-        "hnsw_sharded", "hnsw_sharded_tuned", "hnsw_routed_cl_np8",
-        "ivf_local", "ivf_local_mp_batch10k",
-        "ivf_local_mp_clustered_batch10k",
-        "ivf_local_mp_clustered_np2_batch10k",
-        "ivf_shard_exec_batch10k", "ivf_shard_exec_1m_batch10k",
-        "flat_1m", "flat_10m", "ivf_shard_exec_10m_batch2k",
-        "ivfpq_shard_exec_batch10k",
-        "hnsw_local_mp_clustered_batch10k",
-    ]
-    extras = {
-        "legend": "b=build_sec br=build range s=search_sec q=qps_batch "
-                  "r=recall np=nprobe rf=refine mp=multiprobe "
-                  "nq=n_queries(default 1000) sub=substituted_by",
-        "baseline_extra": {
-            # scaling_* rows have no standard row keys — pass verbatim
-            k: (v if k.startswith("scaling_") else _compact_row(v))
-            for k, v in baseline.items()
-            if k not in HEADLINE and k != "workload"
-        },
-    }
-    compact = {
-        "metric": "e2e_total_sec",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "cpus": CPUS,
-        "queries": {
-            "n": len(timings),
-            "total_sec": total,
-            "full": "BENCH_full.json",
-        },
-        "baseline_n": baseline_n,
-        "baseline": {
-            k: _compact_row(baseline[k]) for k in HEADLINE if k in baseline
-        },
-    }
-    print(json.dumps(extras, separators=(",", ":")))
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # hard budget: never overflow the tail again
-        compact["baseline"] = {
-            k: _compact_row(baseline[k]) for k in HEADLINE[:10]
-            if k in baseline
-        }
-        compact["baseline_truncated"] = True
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
-    sys.stdout.flush()
+    # final checkpoint: the cumulative artifact + the last-word
+    # headline line the driver parses
+    emit_summary()
     shutil.rmtree(art_root, ignore_errors=True)
     spark.stop()
 

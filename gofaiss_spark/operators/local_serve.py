@@ -118,6 +118,16 @@ def _cosine_from_ip(ip: np.ndarray, bnorm: np.ndarray,
     return d
 
 
+def _inv_norms_f32(norms_sq: np.ndarray) -> np.ndarray:
+    """f32 reciprocal norms from squared norms, zero rows → 0 (their
+    cosine ranking score becomes exactly 0 ⇒ distance 1.0, matching
+    np_distance_matrix's zero-vector semantics)."""
+    with np.errstate(divide="ignore"):
+        inv = 1.0 / np.sqrt(norms_sq.astype(np.float32))
+    inv[~np.isfinite(inv)] = 0.0
+    return np.ascontiguousarray(inv)
+
+
 def _exact_scan_topk(vecs: np.ndarray, ids: np.ndarray, metric: str,
                      q64: np.ndarray, kk: int,
                      row_sel: np.ndarray | None = None,
@@ -157,10 +167,18 @@ def _exact_scan_topk(vecs: np.ndarray, ids: np.ndarray, metric: str,
 @dataclass
 class LocalFlatIndex:
     ids: np.ndarray  # (n,) int64
-    vecs: np.ndarray  # (n, dim) float32, rows pre-normalized for cosine
+    # (n, dim) float32 — RAW rows for every metric. Cosine divides by
+    # the row norms inside the ranking pass instead of pre-normalizing
+    # the stored rows: the exact f64 re-score then runs on the same
+    # raw values np_distance_matrix (and a SQL oracle over the parquet
+    # rows) sees, so all three tiers report identical distances — a
+    # pre-normalized copy is perturbed ~1e-7 by the f32 division,
+    # which flips 6dp-rounded values (round-7 cosine driver rows).
+    vecs: np.ndarray
     metric: str
     # (n,) float32 — required for EVERY metric: the l2 surrogate score
-    # reads it, and _bmax() feeds it to the margin guard for dot too
+    # reads it, cosine derives the ranking inv-norms from it, and
+    # _bmax() feeds it to the margin guard for dot
     norms_sq: np.ndarray
 
     def search(self, qmat: np.ndarray, k: int = 10,
@@ -183,17 +201,20 @@ class LocalFlatIndex:
         (f32_select_margin): queries whose selection gap cannot be
         proven larger than the f32 error bound fall back to an exact
         f64 ranking, so the identity holds by construction."""
-        # keep the f64 query for every exact path: for cosine the
-        # query is normalized in f64 and only then cast down — an
-        # f32-normalized query leaking into the "exact f64" re-score
-        # perturbs it by ~1e-7, which flips near-tie rankings (the r5
-        # verdict's exactness bug)
+        # keep the RAW f64 query for every exact path: the re-score and
+        # guard fallbacks then compute on exactly the inputs
+        # np_distance_matrix sees (the distributed kernel's contract).
+        # Cosine normalizes the query in f64 ONLY for the f32 ranking
+        # copy (score magnitudes ~1); an f32-normalized query leaking
+        # into the "exact f64" re-score perturbs it by ~1e-7, which
+        # flips near-tie rankings (the r5 verdict's exactness bug).
         q64full = np.ascontiguousarray(qmat, dtype=np.float64)
         if self.metric == "cosine":
             qn = np.linalg.norm(q64full, axis=1, keepdims=True)
             qn[qn == 0] = 1.0
-            q64full = q64full / qn
-        q = q64full.astype(np.float32)
+            q = (q64full / qn).astype(np.float32)
+        else:
+            q = q64full.astype(np.float32)
         nq = q.shape[0]
         if block is None:
             # measured @100k: small blocks win small batches (more
@@ -224,6 +245,10 @@ class LocalFlatIndex:
                     sc *= -2.0
                     sc += self.norms_sq[None, t0:te]
                 elif self.metric == "cosine":
+                    # raw rows: divide by the row norms here (zero
+                    # rows get inv 0 → sc 0 → distance exactly 1.0,
+                    # the zero-vector contract)
+                    sc *= self._inv_n()[None, t0:te]
                     np.subtract(1.0, sc, out=sc)
                 else:
                     np.negative(sc, out=sc)
@@ -310,10 +335,10 @@ class LocalFlatIndex:
                 diff = cand - qb64[:, None, :]
                 d = np.sqrt(np.einsum("bkd,bkd->bk", diff, diff))
             elif self.metric == "cosine":
-                # divide by the stored rows' f64 norms (≈1 after the
-                # f32 pre-normalization, but NOT exactly 1) so the
-                # reported distance equals a true f64 scan of the
-                # stored rows — np_distance_matrix semantics
+                # raw candidate rows, raw f64 query, f64 row norms —
+                # exactly np_distance_matrix's formula on the same
+                # inputs the distributed kernel (and a SQL oracle
+                # over the parquet rows) scores
                 bn = np.sqrt(np.einsum("bkd,bkd->bk", cand, cand))
                 d = _cosine_from_ip(
                     np.einsum("bkd,bd->bk", cand, qb64), bn,
@@ -338,10 +363,19 @@ class LocalFlatIndex:
             self._vt_cache = np.ascontiguousarray(self.vecs.T)
         return self._vt_cache
 
+    def _inv_n(self) -> np.ndarray:
+        """f32 reciprocal row norms for the cosine ranking pass
+        (zero-norm rows → 0, so their score is exactly 1.0 — the
+        zero-vector contract of np_distance_matrix)."""
+        if getattr(self, "_inv_n_cache", None) is None:
+            self._inv_n_cache = _inv_norms_f32(self.norms_sq)
+        return self._inv_n_cache
+
     def _bmax(self) -> float:
-        """Max base-row norm (margin-guard input). Cosine rows are
-        pre-normalized; norms_sq is computed for every metric at
-        build (to_local / _read_shard_arrays)."""
+        """Max base-row norm (margin-guard input). The cosine margin
+        is norm-independent (ranking scores are normalized); norms_sq
+        is computed for every metric at build (to_local /
+        _read_shard_arrays)."""
         if getattr(self, "_bmax_cache", None) is None:
             if self.metric == "cosine" or len(self.ids) == 0:
                 self._bmax_cache = 1.0
@@ -366,11 +400,9 @@ def to_local(index_or_vectors, vec_col: str = "vec",
     validate_metric(metric)
     pdf = df.select(id_col, vec_col).orderBy(id_col).toPandas()
     ids = pdf[id_col].to_numpy(dtype=np.int64)
+    # RAW rows for every metric — cosine divides by row norms inside
+    # the ranking kernel (LocalFlatIndex.vecs contract)
     vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
-    if metric == "cosine":
-        n = np.linalg.norm(vecs, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        vecs = vecs / n
     norms_sq = np.einsum("ij,ij->i", vecs, vecs)
     return LocalFlatIndex(ids=ids, vecs=np.ascontiguousarray(vecs),
                           metric=metric, norms_sq=norms_sq)
@@ -408,12 +440,15 @@ class LocalIvfIndex:
     """
 
     ids: np.ndarray        # (n,) int64, cell-major
-    vecs: np.ndarray       # (n, dim) f32, cell-major, cosine-normalized
+    vecs: np.ndarray       # (n, dim) f32, cell-major, RAW for every
+    # metric (cosine divides by row norms in the ranking pass — the
+    # LocalFlatIndex.vecs contract: exact paths see the same raw
+    # values the distributed kernel and a SQL oracle score)
     metric: str
-    centroids: np.ndarray  # (nlist, dim) f64
+    centroids: np.ndarray  # (nlist, dim) f64, as trained (not re-normalized)
     offsets: np.ndarray    # (nlist + 1,) int64 CSR cell boundaries
-    # (n,) f32 — required for EVERY metric (l2 surrogate + _bmax's
-    # margin-guard input for dot)
+    # (n,) f32 — required for EVERY metric (l2 surrogate, cosine
+    # ranking inv-norms, _bmax's margin-guard input for dot)
     norms_sq: np.ndarray
 
     @property
@@ -429,6 +464,13 @@ class LocalIvfIndex:
                 self._bmax_cache = float(np.sqrt(self.norms_sq.max()))
         return self._bmax_cache
 
+    def _inv_n(self) -> np.ndarray:
+        """f32 reciprocal row norms for the cosine ranking pass (see
+        LocalFlatIndex._inv_n)."""
+        if getattr(self, "_inv_n_cache", None) is None:
+            self._inv_n_cache = _inv_norms_f32(self.norms_sq)
+        return self._inv_n_cache
+
     def search(self, qmat: np.ndarray, k: int = 10,
                nprobe: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """nprobe-pruned top-k for a query matrix → (ids (q, k),
@@ -437,12 +479,16 @@ class LocalIvfIndex:
         property shared with search_ivf."""
         from gofaiss_spark.functions.distance import np_distance_matrix
 
+        # RAW f64 queries for every exact path (probe selection, the
+        # guard fallbacks, the final re-score) — cosine normalizes
+        # only the f32 ranking copy, mirroring LocalFlatIndex.search
         q64 = np.ascontiguousarray(qmat, dtype=np.float64)
         if self.metric == "cosine":
             qn = np.linalg.norm(q64, axis=1, keepdims=True)
             qn[qn == 0] = 1.0
-            q64 = q64 / qn
-        q = q64.astype(np.float32)
+            q = (q64 / qn).astype(np.float32)
+        else:
+            q = q64.astype(np.float32)
         nq, nlist = q.shape[0], self.nlist
         if nprobe <= 0 or nprobe > nlist:
             nprobe = nlist
@@ -504,6 +550,9 @@ class LocalIvfIndex:
                 sc *= -2.0
                 sc += self.norms_sq[None, s0:s1]
             elif self.metric == "cosine":
+                # raw rows: divide by row norms here (zero rows → 0
+                # → distance exactly 1.0, the zero-vector contract)
+                sc *= self._inv_n()[None, s0:s1]
                 np.subtract(1.0, sc, out=sc)
             else:
                 np.negative(sc, out=sc)
@@ -730,19 +779,16 @@ def to_local_ivf(ivf_index) -> LocalIvfIndex:
         .toPandas()
     )
     ids = pdf["id"].to_numpy(dtype=np.int64)
+    # RAW rows and as-trained centroids for every metric: cosine probe
+    # selection is normalization-invariant (np_distance_matrix
+    # normalizes in f64 internally), and the ranking kernel divides by
+    # row norms itself — so the probed set and reported distances are
+    # bit-identical to the distributed search_ivf on the same index
     vecs = np.stack(pdf["vec"].to_numpy()).astype(np.float32)
     lids = pdf["list_id"].to_numpy(dtype=np.int64)
-    if metric == "cosine":
-        nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        vecs = vecs / nrm
     nlist = ivf_index.centroids.shape[0]
     offsets = np.searchsorted(lids, np.arange(nlist + 1)).astype(np.int64)
     cents = np.asarray(ivf_index.centroids, dtype=np.float64)
-    if metric == "cosine":
-        cn = np.linalg.norm(cents, axis=1, keepdims=True)
-        cn[cn == 0] = 1.0
-        cents = cents / cn
     return LocalIvfIndex(
         ids=ids, vecs=np.ascontiguousarray(vecs), metric=metric,
         centroids=cents, offsets=offsets,

@@ -386,7 +386,6 @@ def _read_shard_arrays(path: str, shard_id: int, meta: dict) -> dict:
     cold path — runs once per host per shard)."""
     import pyarrow.parquet as pq
 
-    metric = meta["metric"]
     kind = meta["kind"]
     quantized = kind in ("pq", "ivfpq", "sq")
     celled = kind in ("ivf", "ivfpq")
@@ -435,14 +434,16 @@ def _read_shard_arrays(path: str, shard_id: int, meta: dict) -> dict:
             arrays["codebooks"] = np.ascontiguousarray(
                 np.load(f"{path}/codebooks.npy"))
     else:
+        # RAW rows + as-trained centroids for every metric: the local
+        # kernels divide by row norms inside the cosine ranking pass
+        # (LocalFlatIndex.vecs contract), so per-shard distances are
+        # bit-identical to the distributed kernel on the same rows —
+        # a pre-normalized copy would perturb them ~1e-7 and sharded
+        # merges would disagree with a flat oracle at 6dp
         if len(ids):
             vecs = np.stack(pdf["vec"].to_numpy()).astype(np.float32)
         else:
             vecs = np.empty((0, meta["dim"]), dtype=np.float32)
-        if metric == "cosine":
-            nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
-            nrm[nrm == 0] = 1.0
-            vecs = vecs / nrm
         vecs = np.ascontiguousarray(vecs)
         arrays["vecs"] = vecs
         arrays["norms_sq"] = np.einsum("ij,ij->i", vecs, vecs)
@@ -450,10 +451,6 @@ def _read_shard_arrays(path: str, shard_id: int, meta: dict) -> dict:
     if celled:
         nlist = meta["nlist"]
         cents = _load_centroids_np(path, nlist, meta["dim"])
-        if metric == "cosine":
-            cn = np.linalg.norm(cents, axis=1, keepdims=True)
-            cn[cn == 0] = 1.0
-            cents = cents / cn
         lids = pdf["list_id"].to_numpy(dtype=np.int64)
         arrays["centroids"] = np.ascontiguousarray(cents)
         arrays["offsets"] = np.searchsorted(

@@ -45,6 +45,10 @@ def get_spark(app_name: str = "gofaiss_spark", cpus: int | None = None) -> Spark
         # Vector payloads are wide; raise broadcast threshold so query
         # batches and centroid/codebook tables broadcast instead of shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # A crashed python worker reports only "exited unexpectedly"
+        # without this; the traceback made the r6 bench stage-3004
+        # crash adjudicable (r6 verdict item 1c). Negligible overhead.
+        .config("spark.python.worker.faulthandler.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

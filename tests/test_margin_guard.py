@@ -90,10 +90,6 @@ def test_local_flat_guard_exact(metric, corpus):
             "ij,ij->i", base.astype(np.float32), base.astype(np.float32)
         ),
     )
-    if metric == "cosine":
-        nrm = np.linalg.norm(idx.vecs, axis=1, keepdims=True)
-        idx.vecs = np.ascontiguousarray(idx.vecs / nrm)
-        idx.norms_sq = np.einsum("ij,ij->i", idx.vecs, idx.vecs)
     before = local_serve.GUARD_FALLBACKS
     ids, d = idx.search(q.astype(np.float32), k=K)
     assert local_serve.GUARD_FALLBACKS > before, (
@@ -101,12 +97,8 @@ def test_local_flat_guard_exact(metric, corpus):
         "is not exercising the fallback path"
     )
     # exact distances must match the f64 oracle computed on the SAME
-    # f32-stored rows (cosine: compare on the pre-normalized rows)
-    if metric == "cosine":
-        exp_ids, exp_d = _oracle(
-            idx.vecs.astype(np.float64),
-            q / np.linalg.norm(q), metric, K)
-        exp_d = 1.0 - np.clip(1.0 - exp_d, -1.0, 1.0)
+    # raw f32-stored rows — every metric, no special cases: the index
+    # stores RAW rows for cosine too (round-7 raw-row contract)
     np.testing.assert_array_equal(ids[0], exp_ids)
     np.testing.assert_allclose(d[0], exp_d, rtol=0, atol=1e-9)
 
