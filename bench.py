@@ -1567,29 +1567,32 @@ def main() -> None:
                     pq10_write = round(time.monotonic() - t0, 4)
                     qsrv10 = _ShS10(spark, qshard10)
                     try:
-                        qsrv10.search(lq2k_10m[:128], k=K, nprobe=100,
-                                      refine=10)  # cold
-                        best, runs = float("inf"), []
-                        for _ in range(2):
-                            t0 = time.monotonic()
-                            qsrv10.search(lq2k_10m, k=K, nprobe=100,
-                                          refine=10)
-                            runs.append(round(time.monotonic() - t0, 4))
-                            best = min(best, runs[-1])
+                        # nprobe=20 (2% corpus scan) + refine=50 + ONE
+                        # timed 1k-query run that doubles as the recall
+                        # pass: the deep-probe arm (nprobe=100, 2×2k
+                        # runs) measured 649 s/run on this box — the
+                        # per-query 1M-row ADC gather is the scan cost
+                        # the row exposes, but at that shape the
+                        # sub-section alone outruns any driver window.
+                        # The r7 canonical artifact carries the
+                        # deep-probe arm once (SCALE.md §7).
+                        qsrv10.search(bqmat[:128], k=K, nprobe=20,
+                                      refine=50)  # cold + warm
+                        t0 = time.monotonic()
                         sids_q, _dq = qsrv10.search(
-                            bqmat, k=K, nprobe=100, refine=10)
+                            bqmat, k=K, nprobe=20, refine=50)
+                        best = time.monotonic() - t0
                     finally:
                         qsrv10.close()
                     baseline["ivfpq_shard_exec_10m_batch2k"] = {
                         "build_sec": pq10_build,
                         "search_sec": round(best, 4),
-                        "search_sec_range": [min(runs), max(runs)],
-                        "qps_batch": round(len(lq2k_10m) / best, 1),
+                        "qps_batch": round(len(bqmat) / best, 1),
                         "recall": round(_rec_vs_flat(sids_q), 4),
                         "nlist": 1000, "m": 8, "nbits": 8,
-                        "nprobe": 100, "refine": 10,
-                        "n_queries": len(lq2k_10m), "n_vectors": n10m,
-                        "num_shards": 16,
+                        "nprobe": 20, "refine": 50,
+                        "n_queries": len(bqmat), "n_vectors": n10m,
+                        "num_shards": 16, "n_runs": 1,
                         "artifact_write_sec": pq10_write,
                         "shm_mb_codes": round(n10m * 8 / 2**20, 1),
                         "shm_mb_refine_rows": round(

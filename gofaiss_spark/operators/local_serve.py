@@ -1455,17 +1455,12 @@ def _mp_worker_init(spec: dict) -> None:
         from threadpoolctl import threadpool_limits
 
         threadpool_limits(limits=int(spec["worker_threads"]))
-    except ImportError:
-        import warnings
-
-        warnings.warn(
-            "threadpoolctl not installed: a LocalServerPool worker "
-            "respawned after the spawn window keeps its inherited "
-            "BLAS thread count (results unaffected; may "
-            "oversubscribe cores)",
-            RuntimeWarning,
-        )
     except Exception:
+        # missing threadpoolctl is advisory-only and the PARENT warns
+        # once per pool (LocalServerPool.__init__); warning from every
+        # spawned worker printed the same line W times per pool (160
+        # repeats in one bench run — log spam trains operators to
+        # ignore warnings)
         pass
     arrays = {}
     for key, meta in spec["arrays"].items():
@@ -1556,6 +1551,20 @@ class LocalServerPool:
         self.workers = workers or max(1, min(32, cpu // max(1, worker_threads)))
         self._shms = []
         self._exe = None
+        try:
+            import threadpoolctl  # noqa: F401
+        except ImportError:
+            import warnings
+
+            # once per pool, from the parent (the workers stay silent:
+            # W identical warnings per pool is log spam)
+            warnings.warn(
+                "threadpoolctl not installed: a LocalServerPool worker "
+                "respawned after the spawn window keeps its inherited "
+                "BLAS thread count (results unaffected; may "
+                "oversubscribe cores)",
+                RuntimeWarning,
+            )
         if isinstance(index, LocalIvfIndex):
             kind, named = "ivf", {
                 "ids": index.ids, "vecs": index.vecs,
