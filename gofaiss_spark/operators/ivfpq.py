@@ -38,6 +38,7 @@ from gofaiss_spark.operators.ivf import (
     train_kmeans_centroids,
 )
 from gofaiss_spark.operators.pq import (
+    adc_accumulate,
     adc_tables,
     encode_pq,
     train_pq_codebooks,
@@ -336,7 +337,6 @@ def search_ivfpq(
     bc = sc.broadcast(
         (query_mat, query_ids, probe_map, index.centroids, index.codebooks)
     )
-    mm = index.m
 
     candidates = index.codes.filter(F.col("list_id").isin(probed_list_ids)).select(
         "list_id", "id", "code"
@@ -370,12 +370,10 @@ def search_ivfpq(
                 b = codes.shape[0]
                 kk = min(k_cand, b) if k_cand > 0 else b
                 # vectorized over the queries probing this list:
-                # M gathers of (nq, b), then one batched top-k
+                # M contiguous-column takes of (nq, b), then one
+                # batched top-k (adc_accumulate: ~2× the fancy gather)
                 nq = qidx.shape[0]
-                d2 = np.zeros((nq, b), dtype=np.float64)
-                for mi in range(mm):
-                    d2 += tabs[:, mi, codes[:, mi]]
-                np.maximum(d2, 0.0, out=d2)
+                d2 = adc_accumulate(tabs, codes)
                 if kk < b:
                     sel = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
                 else:

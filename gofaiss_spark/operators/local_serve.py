@@ -845,7 +845,7 @@ class LocalPqIndex:
     def search(self, qmat: np.ndarray, k: int = 10,
                refine: int | None = None,
                tile: int = 262144) -> tuple[np.ndarray, np.ndarray]:
-        from gofaiss_spark.operators.pq import adc_tables
+        from gofaiss_spark.operators.pq import adc_accumulate, adc_tables
 
         if refine is not None:
             if self.vecs is None:
@@ -860,16 +860,11 @@ class LocalPqIndex:
         k = min(k, n) if k > 0 else n
         kc = min(n, (k * refine if refine else k) + 16)
         tables = adc_tables(self.codebooks, q64)  # (q, M, ksub)
-        mm = self.codes.shape[1]
         best_d = None
         best_pos = None
         for t0 in range(0, n, tile):
             te = min(t0 + tile, n)
-            cb = self.codes[t0:te].astype(np.int64)
-            d2 = np.zeros((nq, te - t0), dtype=np.float64)
-            for mi in range(mm):
-                d2 += tables[:, mi, cb[:, mi]]
-            np.maximum(d2, 0.0, out=d2)
+            d2 = adc_accumulate(tables, self.codes[t0:te])
             pos = np.broadcast_to(np.arange(t0, te), d2.shape)
             if best_d is not None:
                 d2 = np.concatenate([best_d, d2], axis=1)
@@ -904,7 +899,7 @@ class LocalIvfPqIndex:
                refine: int | None = None
                ) -> tuple[np.ndarray, np.ndarray]:
         from gofaiss_spark.functions.distance import np_distance_matrix
-        from gofaiss_spark.operators.pq import adc_tables
+        from gofaiss_spark.operators.pq import adc_accumulate, adc_tables
 
         if refine is not None:
             if self.vecs is None:
@@ -944,11 +939,7 @@ class LocalIvfPqIndex:
             qidx = qq[bnds[c]:bnds[c + 1]]
             resid = q64[qidx] - self.centroids[int(c)][None, :]
             tabs = adc_tables(self.codebooks, resid)  # (g, M, ksub)
-            cb = self.codes[s0:s1].astype(np.int64)
-            d2 = np.zeros((len(qidx), s1 - s0), dtype=np.float64)
-            for mi in range(cb.shape[1]):
-                d2 += tabs[:, mi, cb[:, mi]]
-            np.maximum(d2, 0.0, out=d2)
+            d2 = adc_accumulate(tabs, self.codes[s0:s1])
             b = d2.shape[1]
             kk = min(kc, b)
             if kk < b:
