@@ -4655,12 +4655,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-7 window (slots 1-50): the three round-7 additions (cosine
     serving rows + merge gate), then the serving/kernel re-queue —
     round 7 changed the local/sharded cosine kernels to raw-row
-    semantics (local_serve.py/shard_serve.py), so every query whose
-    path touches those kernels re-enters, with the flat family as
-    sentinels — then the cohort last driver-checked in r5 (the
-    doc/curation/retrieval/sketch family sat out r6 by design). All
-    remain regression-guarded by the local sf0.001 DuckDB oracle
-    suite (tests/test_entry_oracle.py)."""
+    semantics (local_serve.py/shard_serve.py) AND rewrote the ADC hot
+    loop every tier shares (pq.adc_accumulate), so every query whose
+    path touches either re-enters (the sharded/local serving rows and
+    the distributed PQ family) — then the cohort last driver-checked
+    in r5 (the doc/curation/retrieval/sketch family sat out r6 by
+    design). The flat sentinels rotate just below the boundary: their
+    kernel (operators/topk.py) is untouched this round. All remain
+    regression-guarded by the local sf0.001 DuckDB oracle suite
+    (tests/test_entry_oracle.py)."""
     return {
         # --- new round-7 queries (prepended per the standing rule) ---
         "flat_local_cosine_topk": _flat_local_cosine_topk,
@@ -4675,9 +4678,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_sharded_refresh_topk": _ivf_sharded_refresh_topk,
         "ivf_sharded_exec_topk": _ivf_sharded_exec_topk,
         "ivfpq_refine_topk": _ivfpq_refine_topk,
-        "flat_topk_l2": _flat_topk("l2"),
-        "flat_topk_cosine": _flat_topk("cosine"),
-        "flat_topk_dot": _flat_topk("dot"),
+        # ADC hot loop rewritten this round (pq.adc_accumulate) — the
+        # distributed PQ-family rows re-enter; the flat sentinels
+        # (topk.py kernel, untouched this round) rotate out
+        "pq_topk": _pq_topk,
+        "ivfpq_topk": _ivfpq_topk,
+        "pq_refine_topk": _pq_refine_topk,
         # --- r5 cohort: last driver-checked r5, sat out the r6 window ---
         "stream_event_windows": _stream_event_windows,
         "doc_ppl_buckets": _doc_ppl_buckets,
@@ -4718,13 +4724,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_running_total": _customer_running_total,
         "events_value_histogram": _events_value_histogram,
         # ---- window boundary (slot 50) ----
-        # --- r6-verified green ---
-        "pq_refine_topk": _pq_refine_topk,
+        # --- r6-verified green (flat sentinels' kernel untouched r7) ---
+        "flat_topk_l2": _flat_topk("l2"),
+        "flat_topk_cosine": _flat_topk("cosine"),
+        "flat_topk_dot": _flat_topk("dot"),
         "stream_flat_topk": _stream_flat_topk,
         "ivf_fullprobe_topk": _ivf_fullprobe_topk,
         "range_search_l2": _range_search_l2,
-        "pq_topk": _pq_topk,
-        "ivfpq_topk": _ivfpq_topk,
         "pca_topk": _pca_topk,
         "sql_topk": _sql_topk,
         "binary_topk": _binary_topk,

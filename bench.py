@@ -146,7 +146,7 @@ def main() -> None:
             "ivf_local_mp_clustered_np2_batch10k",
             "ivf_shard_exec_batch10k", "ivf_shard_exec_1m_batch10k",
             "flat_1m", "flat_10m", "ivf_shard_exec_10m_batch2k",
-            "ivfpq_shard_exec_10m_batch2k",
+            "ivfpq_shard_exec_10m_batch1k",
             "ivfpq_shard_exec_batch10k",
             "hnsw_local_mp_clustered_batch10k",
         ]
@@ -976,8 +976,16 @@ def main() -> None:
         # with recorded notes rather than outrun the driver window
         hnsw_skip = elapsed() + 420 > budget
         if hnsw_skip:
-            for _hk in ("hnsw_sharded", "hnsw_sharded_tuned",
-                        "hnsw_routed_cl_np8", "hnsw"):
+            # note only the rows that were actually ELIGIBLE in this
+            # configuration — the artifact must not claim a row was
+            # shed for budget when env/size had already excluded it
+            _hkeys = ["hnsw_sharded"]
+            if big:
+                _hkeys.append("hnsw_sharded_tuned")
+            if big and os.environ.get(
+                    "SPARK_GRAFT_BASELINE_ROUTED", "1") != "0":
+                _hkeys.append("hnsw_routed_cl_np8")
+            for _hk in _hkeys:
                 baseline[_hk] = {
                     "note": f"skipped: {elapsed():.0f}s elapsed + "
                             f"~420s hnsw section > {budget:.0f}s "
@@ -1228,7 +1236,14 @@ def main() -> None:
                 "search_sec_range": bs_range(),
                                 "qps_batch": round(bn_q / sec, 1), "recall": brec(res, truth),
                                 "m": 16, "ef_construction": 200, "ef_search": 50}
-        elif not hnsw_skip:  # skipped windows keep the gate's note
+        elif os.environ.get(
+                "SPARK_GRAFT_BASELINE_HNSW", hnsw_default) != "0":
+            # eligible but shed by the budget gate
+            baseline["hnsw"] = {
+                "note": f"skipped: hnsw section shed at "
+                        f"{elapsed():.0f}s > {budget:.0f}s budget",
+            }
+        else:
             baseline["hnsw"] = {
                 "substituted_by": "hnsw_sharded",
                 "reason": "driver-bound single-graph build at this n; the "
@@ -1544,7 +1559,7 @@ def main() -> None:
             # the round's new evidence, so a slow window sheds the
             # already-established ivf/lsh rows before this one.
             if elapsed() + 540 > budget:
-                baseline["ivfpq_shard_exec_10m_batch2k"] = {
+                baseline["ivfpq_shard_exec_10m_batch1k"] = {
                     "note": f"skipped: {elapsed():.0f}s elapsed + "
                             f"~540s sub-section > {budget:.0f}s "
                             "budget",
@@ -1584,7 +1599,7 @@ def main() -> None:
                         best = time.monotonic() - t0
                     finally:
                         qsrv10.close()
-                    baseline["ivfpq_shard_exec_10m_batch2k"] = {
+                    baseline["ivfpq_shard_exec_10m_batch1k"] = {
                         "build_sec": pq10_build,
                         "search_sec": round(best, 4),
                         "qps_batch": round(len(bqmat) / best, 1),

@@ -135,9 +135,12 @@ def _exact_scan_topk(vecs: np.ndarray, ids: np.ndarray, metric: str,
     """Exact f64 top-``kk`` ROW POSITIONS for one query, ascending
     (distance, id) — the margin-guard fallback path shared by
     LocalFlatIndex / LocalIvfIndex. Tiled so the f64 cast never
-    materializes more than ``tile`` rows; ``q64`` must be the f64
-    query (f64-normalized for cosine); cosine divides by the stored
-    rows' f64 norms (same formula as the exact re-score)."""
+    materializes more than ``tile`` rows; ``q64`` must be the RAW f64
+    query — do NOT pre-normalize for cosine: the raw-row contract
+    computes ``_cosine_from_ip`` on raw stored rows and the raw query
+    (identical inputs to np_distance_matrix and the SQL oracle), and
+    a normalized query would perturb values ~1e-16, diverging from
+    the exact re-score at 6dp-rounding boundaries."""
     _count_fallback()
     n = vecs.shape[0] if row_sel is None else len(row_sel)
     best_d = np.empty(0, dtype=np.float64)

@@ -251,9 +251,11 @@ def adc_accumulate(tables: np.ndarray, codes: np.ndarray) -> np.ndarray:
     search_pq/search_ivfpq and the Local*/sharded serving kernels).
     ``np.take`` over each subspace's table slice with a CONTIGUOUS
     code column runs ~2× faster than the equivalent fancy-index
-    gather ``tables[:, mi, codes[:, mi]]`` at serving shapes
-    (interleaved A/B at q=200, b=10k, M=8: 28-37 ms vs 58-68 ms —
-    the strided index array defeats numpy's fast gather path)."""
+    gather ``tables[:, mi, codes[:, mi]]`` at serving shapes — the
+    strided index array defeats numpy's fast gather path. Committed
+    interleaved A/B (BENCH_AB.json ``adc_gather_ab_r7``, q=200,
+    b=10k, M=8, bit-identity asserted): best 39.8 ms vs 78.9 ms per
+    tile, 1.98×."""
     ct = np.ascontiguousarray(codes.T.astype(np.int64, copy=False))
     q, b = tables.shape[0], codes.shape[0]
     d2 = np.zeros((q, b), dtype=np.float64)

@@ -179,20 +179,23 @@ def save_sharded(index_or_vectors, path: str, num_shards: int,
             raise ValueError(
                 "vectors= is for quantized kinds (flat/ivf shards "
                 "already store the vectors)")
-        # LEFT join + fail fast: an inner join would silently DROP
-        # code rows whose ids are missing from `vectors`, shrinking
-        # the served corpus with no error (refine would then silently
-        # exclude those rows). An incomplete vectors frame is a bug
-        # in the caller's pipeline — surface it loudly.
-        df = df.join(
-            vectors.select(F.col(id_col).alias("id"),
-                           F.col(vec_col).alias("vec")), "id", "left")
-        n_missing = df.filter(F.col("vec").isNull()).count()
+        # Fail fast on an incomplete vectors frame: the inner join
+        # below would silently DROP code rows whose ids are missing,
+        # shrinking the served corpus with no error (refine would then
+        # silently exclude those rows). The check is an id-only
+        # anti-join (no vec payload) so it costs a narrow shuffle, not
+        # an extra evaluation of the wide join.
+        n_missing = df.select("id").join(
+            vectors.select(F.col(id_col).alias("id")), "id", "left_anti"
+        ).count()
         if n_missing:
             raise ValueError(
                 f"vectors= is missing {n_missing} id(s) present in the "
                 "index codes — refine would silently exclude those rows; "
                 "pass the full base-vector DataFrame")
+        df = df.join(
+            vectors.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).alias("vec")), "id")
         cols = cols + ["vec"]
 
     spark = df.sparkSession
