@@ -1541,6 +1541,91 @@ def _flat_local_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _flat_local_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-colocated exact DOT (inner-product) serving
+    (LocalFlatIndex) against the dot flat SQL oracle — the last metric
+    arm without serving-tier driver evidence (r7 verdict "What's
+    missing" #3; distributed flat_topk_dot has been green since r6).
+    Dot ranks by negative inner product (reference convention,
+    internal/math/distance.go InnerProduct); the local kernel's f32
+    ranking pass is margin-guarded with an exact f64 re-score, so
+    hash-equality with DuckDB is exact, not approximate. Reference
+    analogue: per-metric kernels, internal/math/distance_test.go:91-125."""
+    import numpy as np
+    import pandas as pd
+
+    from gofaiss_spark.operators.local_serve import to_local
+
+    local = to_local(_vectors(spark, sf_dir), metric="dot")
+    qp = (
+        _queries_df(spark, sf_dir, N_TOPK_QUERIES)
+        .orderBy("query_id")
+        .toPandas()
+    )
+    qids = qp["query_id"].to_numpy(dtype=np.int64)
+    qmat = np.stack(qp["qvec"].to_numpy())
+    ids, d = local.search(qmat, k=TOPK_K)
+    out = pd.DataFrame(
+        {
+            "query_id": np.repeat(qids, ids.shape[1]),
+            "id": ids.ravel(),
+            "distance": np.round(d.ravel(), 6),
+        }
+    )
+    return spark.createDataFrame(
+        out, schema="query_id long, id long, distance double"
+    )
+
+
+def _ivf_sharded_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-colocated sharded serving under DOT at nprobe = nlist
+    (every cell of every shard scanned ⇒ provably exact flat
+    inner-product search, so the dot flat SQL oracle applies).
+    Completes the per-metric driver matrix for the sharded tier
+    (l2 r6, cosine r7, dot r8): exercises dot probe routing, the
+    per-shard margin-guarded ranking kernel, and the cross-shard
+    merge end to end."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from gofaiss_spark.operators.ivf import build_ivf
+    from gofaiss_spark.operators.shard_serve import (
+        ShardedSearcher,
+        save_sharded,
+    )
+
+    idx = build_ivf(
+        _vectors(spark, sf_dir), nlist=10, metric="dot", seed=42
+    )
+    tmp = tempfile.mkdtemp(prefix="gofaiss_shard_dot_")
+    try:
+        save_sharded(idx, tmp, num_shards=3)
+        with ShardedSearcher(spark, tmp) as srv:
+            qp = (
+                _queries_df(spark, sf_dir, N_TOPK_QUERIES)
+                .orderBy("query_id")
+                .toPandas()
+            )
+            qids = qp["query_id"].to_numpy(dtype=np.int64)
+            qmat = np.stack(qp["qvec"].to_numpy())
+            ids, d = srv.search(qmat, k=TOPK_K, nprobe=srv.meta["nlist"])
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, ids.shape[1]),
+                "id": ids.ravel(),
+                "distance": np.round(d.ravel(), 6),
+            }
+        )
+        return spark.createDataFrame(
+            out, schema="query_id long, id long, distance double"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _ivf_sharded_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executor-colocated sharded serving under COSINE at nprobe =
     nlist (every cell of every shard scanned ⇒ provably exact flat
@@ -4652,39 +4737,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     functions/distance.py re-queues the flat/quantized family into the
     window the same round.
 
-    Round-7 window (slots 1-50): the three round-7 additions (cosine
-    serving rows + merge gate), then the serving/kernel re-queue —
-    round 7 changed the local/sharded cosine kernels to raw-row
-    semantics (local_serve.py/shard_serve.py) AND rewrote the ADC hot
-    loop every tier shares (pq.adc_accumulate), so every query whose
-    path touches either re-enters (the sharded/local serving rows and
-    the distributed PQ family) — then the cohort last driver-checked
-    in r5 (the doc/curation/retrieval/sketch family sat out r6 by
-    design). The flat sentinels rotate just below the boundary: their
-    kernel (operators/topk.py) is untouched this round. All remain
+    Round-8 window (slots 1-50), per the r7 verdict's #1 directive
+    ("rotate to the stale tail, opq_topk first"): the two round-8
+    additions (the dot serving rows — the last metric arm without
+    serving-tier driver evidence), then opq_topk (last green r3, and
+    its search path runs the round-7 adc_accumulate rewrite — the
+    standing-rule re-queue the r7 verdict flagged), then the full
+    stale tail oldest-first (the six r1 rows, the five r2 rows, the
+    r3 cohort, the nine r5 rows), then the serving re-queue for code
+    touched THIS round (local_serve.py: worker-init warning + the
+    batched HNSW frontier work; shard_serve.py: save_sharded
+    vectors-join fold, refresh drop_old release), then flat/r6
+    sentinels to fill slot 50. After this round every registered
+    query's latest green check is r6 or newer. All remain
     regression-guarded by the local sf0.001 DuckDB oracle suite
     (tests/test_entry_oracle.py)."""
     return {
-        # --- new round-7 queries (prepended per the standing rule) ---
+        # --- new round-8 queries (prepended per the standing rule) ---
+        "flat_local_dot_topk": _flat_local_dot_topk,
+        "ivf_sharded_dot_topk": _ivf_sharded_dot_topk,
+        # --- the stale tail, oldest-first; opq_topk leads (r3-green
+        #     on a path the r7 ADC rewrite changed) ---
+        "opq_topk": _opq_topk,
+        # r1 cohort
+        "doc_exact_dedup": _doc_exact_dedup,
+        "doc_minhash_near_dup": _doc_minhash_near_dup,
+        "doc_ngram_jaccard": _doc_ngram_jaccard,
+        "doc_lang_id": _doc_lang_id,
+        "doc_quality": _doc_quality,
+        "embedding_near_dup_exact": _embedding_near_dup_exact,
+        # r2 cohort
+        "doc_lang_dist": _doc_lang_dist,
+        "doc_normalize": _doc_normalize,
+        "doc_char_entropy": _doc_char_entropy,
+        "doc_token_stats": _doc_token_stats,
+        "doc_token_percentiles": _doc_token_percentiles,
+        # r3 cohort
+        "doc_bigram_perplexity": _doc_bigram_perplexity,
+        "doc_substring_dup": _doc_substring_dup,
+        "embedding_semdedup": _embedding_semdedup,
+        "doc_quality_classifier": _doc_quality_classifier,
+        "doc_mix_plan": _doc_mix_plan,
+        "doc_snapshot_diff": _doc_snapshot_diff,
+        "doc_vocab": _doc_vocab,
+        "multimodal_features": _multimodal_features,
+        "multimodal_frame_sample": _multimodal_frame_sample,
+        "tpch_q12": _tpch_q12,
+        # r5 cohort
+        "doc_chunks": _doc_chunks,
+        "doc_contamination": _doc_contamination,
+        "doc_curation_pipeline": _doc_curation_pipeline,
+        "doc_hash_sample": _doc_hash_sample,
+        "doc_packed_batches": _doc_packed_batches,
+        "doc_pii_redaction": _doc_pii_redaction,
+        "doc_repetition": _doc_repetition,
+        "doc_stratified_sample": _doc_stratified_sample,
+        "doc_top_quality_per_lang": _doc_top_quality_per_lang,
+        # --- serving re-queue: round 8 touches local_serve.py
+        #     (worker-init warning path, batched HNSW frontier) and
+        #     shard_serve.py (vectors-join fold in save_sharded,
+        #     refresh drop_old⇒release) — every serving row whose
+        #     path runs that code re-enters per the standing rule ---
         "flat_local_cosine_topk": _flat_local_cosine_topk,
-        "ivf_sharded_cosine_topk": _ivf_sharded_cosine_topk,
-        "ivf_merged_topk": _ivf_merged_topk,
-        # --- serving/kernel re-queue (r7 touched local_serve.py +
-        #     shard_serve.py: raw-row cosine, guard silencing, refine
-        #     metric guards, refresh root-gen release) ---
         "ivf_local_topk": _ivf_local_topk,
         "hnsw_local_topk": _hnsw_local_topk,
-        "ivfpq_sharded_exec_topk": _ivfpq_sharded_exec_topk,
-        "ivf_sharded_refresh_topk": _ivf_sharded_refresh_topk,
+        "ivf_sharded_cosine_topk": _ivf_sharded_cosine_topk,
         "ivf_sharded_exec_topk": _ivf_sharded_exec_topk,
+        "ivf_sharded_refresh_topk": _ivf_sharded_refresh_topk,
+        "ivfpq_sharded_exec_topk": _ivfpq_sharded_exec_topk,
+        # --- r6 freshening to fill the window ---
+        "flat_topk_l2": _flat_topk("l2"),
+        "flat_topk_cosine": _flat_topk("cosine"),
+        "flat_topk_dot": _flat_topk("dot"),
+        "stream_flat_topk": _stream_flat_topk,
+        "ivf_fullprobe_topk": _ivf_fullprobe_topk,
+        "range_search_l2": _range_search_l2,
+        "pca_topk": _pca_topk,
+        "sql_topk": _sql_topk,
+        "binary_topk": _binary_topk,
+        "filtered_topk": _filtered_topk,
+        # ---- window boundary (slot 50) ----
+        # --- r7-verified green ---
+        "ivf_merged_topk": _ivf_merged_topk,
         "ivfpq_refine_topk": _ivfpq_refine_topk,
-        # ADC hot loop rewritten this round (pq.adc_accumulate) — the
-        # distributed PQ-family rows re-enter; the flat sentinels
-        # (topk.py kernel, untouched this round) rotate out
         "pq_topk": _pq_topk,
         "ivfpq_topk": _ivfpq_topk,
         "pq_refine_topk": _pq_refine_topk,
-        # --- r5 cohort: last driver-checked r5, sat out the r6 window ---
         "stream_event_windows": _stream_event_windows,
         "doc_ppl_buckets": _doc_ppl_buckets,
         "doc_dsir_resample": _doc_dsir_resample,
@@ -4723,18 +4861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": _events_cohort_retention,
         "customer_running_total": _customer_running_total,
         "events_value_histogram": _events_value_histogram,
-        # ---- window boundary (slot 50) ----
-        # --- r6-verified green (flat sentinels' kernel untouched r7) ---
-        "flat_topk_l2": _flat_topk("l2"),
-        "flat_topk_cosine": _flat_topk("cosine"),
-        "flat_topk_dot": _flat_topk("dot"),
-        "stream_flat_topk": _stream_flat_topk,
-        "ivf_fullprobe_topk": _ivf_fullprobe_topk,
-        "range_search_l2": _range_search_l2,
-        "pca_topk": _pca_topk,
-        "sql_topk": _sql_topk,
-        "binary_topk": _binary_topk,
-        "filtered_topk": _filtered_topk,
+        # --- r6-verified green ---
         "ivf_topk_nprobe": _ivf_topk_nprobe,
         "tpch_q1": _tpch_q1,
         "tpch_q18": _tpch_q18,
@@ -4766,38 +4893,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_clicks": _events_asof_clicks,
         "events_rollup": _events_rollup,
         "events_range_join": _events_range_join,
-        "doc_lang_dist": _doc_lang_dist,
-        "doc_normalize": _doc_normalize,
-        "doc_char_entropy": _doc_char_entropy,
-        "doc_token_stats": _doc_token_stats,
-        "doc_token_percentiles": _doc_token_percentiles,
-        "doc_pii_redaction": _doc_pii_redaction,
-        "doc_chunks": _doc_chunks,
-        "doc_hash_sample": _doc_hash_sample,
-        "doc_top_quality_per_lang": _doc_top_quality_per_lang,
-        "doc_repetition": _doc_repetition,
-        "doc_contamination": _doc_contamination,
-        "doc_stratified_sample": _doc_stratified_sample,
-        "doc_packed_batches": _doc_packed_batches,
-        "doc_curation_pipeline": _doc_curation_pipeline,
-        "doc_mix_plan": _doc_mix_plan,
-        "doc_snapshot_diff": _doc_snapshot_diff,
-        "doc_vocab": _doc_vocab,
-        "doc_quality_classifier": _doc_quality_classifier,
-        "multimodal_features": _multimodal_features,
-        "multimodal_frame_sample": _multimodal_frame_sample,
-        "tpch_q12": _tpch_q12,
-        "doc_bigram_perplexity": _doc_bigram_perplexity,
-        "doc_substring_dup": _doc_substring_dup,
-        "embedding_semdedup": _embedding_semdedup,
-        "opq_topk": _opq_topk,
-        # --- r01 hash-verified green ---
-        "doc_exact_dedup": _doc_exact_dedup,
-        "doc_minhash_near_dup": _doc_minhash_near_dup,
-        "doc_ngram_jaccard": _doc_ngram_jaccard,
-        "doc_lang_id": _doc_lang_id,
-        "doc_quality": _doc_quality,
-        "embedding_near_dup_exact": _embedding_near_dup_exact,
     }
 
 
@@ -4810,6 +4905,11 @@ def oracle_sql() -> dict[str, str]:
         "flat_local_cosine_topk": _flat_topk_sql("cosine"),
         "ivf_sharded_cosine_topk": _flat_topk_sql("cosine"),
         "ivf_merged_topk": _flat_topk_sql("l2"),
+        # round-8 additions: the dot serving rows reduce to exact flat
+        # inner-product search (raw-row margin-guarded kernels; the
+        # sharded row runs at nprobe=nlist)
+        "flat_local_dot_topk": _flat_topk_sql("dot"),
+        "ivf_sharded_dot_topk": _flat_topk_sql("dot"),
         "flat_topk_l2": _flat_topk_sql("l2"),
         "filtered_topk": _FILTERED_TOPK_SQL.format(n_ann=N_ANN_QUERIES),
         "sql_topk": _flat_topk_sql("l2"),

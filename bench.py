@@ -129,6 +129,12 @@ def main() -> None:
                     elif isinstance(v, list):
                         v = [round(x, 1) for x in v]
                     out[short] = v
+            # a shed/skipped row has ONLY a note — carry it (short)
+            # so the parsed artifact never shows a silent bare {}
+            # (r7 verdict item: lsh_10m compacted to {} while every
+            # other shed section kept its skip note)
+            if not out and "note" in row:
+                out["note"] = str(row["note"])[:90]
             return out
 
         # The driver records only the LAST ~2000 chars of stdout; a
@@ -147,6 +153,7 @@ def main() -> None:
             "ivf_shard_exec_batch10k", "ivf_shard_exec_1m_batch10k",
             "flat_1m", "flat_10m", "ivf_shard_exec_10m_batch2k",
             "ivfpq_shard_exec_10m_batch1k",
+            "ivfpq_shard_exec_10m_tuned_batch1k",
             "ivfpq_shard_exec_batch10k",
             "hnsw_local_mp_clustered_batch10k",
         ]
@@ -866,13 +873,12 @@ def main() -> None:
                                 refine=10)  # cold
                     qsrv.search(lq10k_q[:128], k=K, nprobe=50,
                                 refine=10)  # warm
-                    best, runs = float("inf"), []
-                    for _ in range(3):
-                        t0 = time.monotonic()
-                        qids_sh, _dq = qsrv.search(
-                            lq10k_q, k=K, nprobe=50, refine=10)
-                        runs.append(round(time.monotonic() - t0, 4))
-                        best = min(best, runs[-1])
+                    # single timed run (r8 budget trim): range
+                    # recorded stable r6-r7 (5.9-10.1 s)
+                    t0 = time.monotonic()
+                    qids_sh, _dq = qsrv.search(
+                        lq10k_q, k=K, nprobe=50, refine=10)
+                    best = time.monotonic() - t0
                     # exact truth (full probe + refine-all ≡ flat)
                     trq, _tq = qsrv.search(
                         lq10k_q[:1000], k=K, nprobe=bl_nlist,
@@ -885,7 +891,7 @@ def main() -> None:
                 ]))
                 baseline["ivfpq_shard_exec_batch10k"] = {
                     "search_sec": round(best, 4),
-                    "search_sec_range": [min(runs), max(runs)],
+                    "n_runs": 1,
                     "qps_batch": round(len(lq10k_q) / best, 1),
                     "recall": round(rec, 4),
                     "nlist": bl_nlist, "m": 8, "nbits": 8,
@@ -899,13 +905,12 @@ def main() -> None:
                 try:
                     qsrv2.search(lq10k_q[:128], k=K, nprobe=50,
                                  refine=50)  # warm
-                    best50, runs = float("inf"), []
-                    for _ in range(2):
-                        t0 = time.monotonic()
-                        qids50, _dq = qsrv2.search(
-                            lq10k_q, k=K, nprobe=50, refine=50)
-                        runs.append(round(time.monotonic() - t0, 4))
-                        best50 = min(best50, runs[-1])
+                    # single timed run (r8 budget trim): range
+                    # recorded stable r6-r7 (11-14.7 s)
+                    t0 = time.monotonic()
+                    qids50, _dq = qsrv2.search(
+                        lq10k_q, k=K, nprobe=50, refine=50)
+                    best50 = time.monotonic() - t0
                 finally:
                     qsrv2.close()
                 rec50 = float(np.mean([
@@ -914,7 +919,7 @@ def main() -> None:
                 ]))
                 baseline["ivfpq_shard_exec_rf50_batch10k"] = {
                     "search_sec": round(best50, 4),
-                    "search_sec_range": [min(runs), max(runs)],
+                    "n_runs": 1,
                     "qps_batch": round(len(lq10k_q) / best50, 1),
                     "recall": round(rec50, 4),
                     "nlist": bl_nlist, "m": 8, "nbits": 8,
@@ -950,19 +955,25 @@ def main() -> None:
         # amortizes it, which is the honest regime for comparing
         # against an in-memory per-query server's QPS under load.
         if big:
-            sec10, res10 = bsearch(
-                lambda: search_lsh(blsh, bq10, k=K, multiprobe=bl_mp)
-            )
+            # single timed run (r8 budget trim): the 1k-batch `lsh`
+            # row just above warmed the identical plan on the same
+            # cached index, and this row's range has been recorded
+            # stable across r5-r7 (20-46 s, throttle envelope) — a
+            # warmed best-of-2 re-spent ~40-90 s for a refinement the
+            # artifact already documents.
+            t0 = time.monotonic()
+            res10 = search_lsh(blsh, bq10, k=K, multiprobe=bl_mp).cache()
+            res10.count()
+            sec10 = round(time.monotonic() - t0, 4)
             # recall vs the 10k-batch exact truth
             truth10 = search_flat(bvec, bq10, k=K).cache()
             truth10.count()
             baseline["lsh_batch10k"] = {
                 "search_sec": sec10,
-                "search_sec_range": bs_range(),
                 "qps_batch": round(10_000 / sec10, 1),
                 "recall": round(recall_at_k(res10, truth10, K), 4),
                 "num_hash_tables": bl_L, "multiprobe": bl_mp,
-                "n_queries": 10_000,
+                "n_queries": 10_000, "n_runs": 1,
             }
 
         blsh.buckets.unpersist()
@@ -1374,12 +1385,12 @@ def main() -> None:
             try:
                 srv1m.search(lq10k_1m[:128], k=K, nprobe=100)  # cold
                 srv1m.search(lq10k_1m[:128], k=K, nprobe=100)  # warm
-                best, runs = float("inf"), []
-                for _ in range(3):
-                    t0 = time.monotonic()
-                    shids1m, _d1 = srv1m.search(lq10k_1m, k=K, nprobe=100)
-                    runs.append(round(time.monotonic() - t0, 4))
-                    best = min(best, runs[-1])
+                # single timed run (r8 budget trim): range recorded
+                # stable r5-r7 (18-41 s, throttle envelope); the
+                # extra 2 runs re-spent ~36-80 s
+                t0 = time.monotonic()
+                shids1m, _d1 = srv1m.search(lq10k_1m, k=K, nprobe=100)
+                best = time.monotonic() - t0
             finally:
                 srv1m.close()
             rec = float(np.mean([
@@ -1388,7 +1399,7 @@ def main() -> None:
             ]))
             baseline["ivf_shard_exec_1m_batch10k"] = {
                 "search_sec": round(best, 4),
-                "search_sec_range": [min(runs), max(runs)],
+                "n_runs": 1,
                 "qps_batch": round(len(lq10k_1m) / best, 1),
                 "recall": round(rec, 4),
                 "nlist": 1000, "nprobe": 100,
@@ -1402,10 +1413,16 @@ def main() -> None:
         blsh1m = build_lsh(bvec1m, num_hash_tables=4)
         blsh1m.buckets.cache().count()
         lsh1m_build = round(time.monotonic() - t0, 4)
-        sec, res = bsearch(lambda: search_lsh(blsh1m, bq, k=K, multiprobe=1))
+        # warm + single timed run (r8 budget trim): range recorded
+        # stable r5-r7 (14-28 s); best-of-2 re-spent ~15-27 s
+        search_lsh(blsh1m, bq, k=K, multiprobe=1).count()  # warm
+        t0 = time.monotonic()
+        res = search_lsh(blsh1m, bq, k=K, multiprobe=1).cache()
+        res.count()
+        sec = round(time.monotonic() - t0, 4)
         baseline["lsh_1m"] = {
             "build_sec": lsh1m_build, "search_sec": sec,
-            "search_sec_range": bs_range(),
+            "n_runs": 1,
             "qps_batch": round(bn_q / sec, 1),
             "recall": brec(res, truth1m),
             "num_hash_tables": 4, "multiprobe": 1, "n_vectors": n1m,
@@ -1509,10 +1526,18 @@ def main() -> None:
                     f"skipped: flat warm pass took {warm10m:.0f}s "
                     f"(>240s — box throttled this window)"
                 )
-            sec, truth10m = bsearch(lambda: search_flat(bvec10m, bq, k=K))
+            # single timed run after the guard's warm pass (r8 budget
+            # trim): bsearch here was warm + 2 timed = three more full
+            # 10M scans (~40-90 s each) on a row whose range has been
+            # recorded stable r5-r7; the guard pass above already
+            # warmed plan + workers + page cache.
+            t0 = time.monotonic()
+            truth10m = search_flat(bvec10m, bq, k=K).cache()
+            truth10m.count()
+            sec = round(time.monotonic() - t0, 4)
             baseline["flat_10m"] = {
                 "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
-                "search_sec_range": bs_range(),
+                "warm_pass_sec": round(warm10m, 4), "n_runs": 1,
                 "recall": 1.0, "n_vectors": n10m,
                 "flat_1m_interleaved_sec": sec1m_i,
                 "memory_mb": round(n10m * 128 * 4 / 2**20, 2),
@@ -1597,8 +1622,43 @@ def main() -> None:
                         sids_q, _dq = qsrv10.search(
                             bqmat, k=K, nprobe=20, refine=50)
                         best = time.monotonic() - t0
+                        # tuned-RECALL arm (r7 verdict item 3): the
+                        # np=20/rf=50 row above fits the driver budget
+                        # but lands recall ~0.33 — it proves footprint,
+                        # not serving quality. nprobe=50 (5% corpus
+                        # scan) + refine=200 exact re-rank targets the
+                        # ≥0.8 recall a deployment would run; the r7
+                        # adc_accumulate rewrite makes the deeper scan
+                        # affordable (deep-probe np=100/2k was 15.2
+                        # s/run post-rewrite). Same artifact, one
+                        # extra timed pass.
+                        sids_t, best_t = None, None
+                        if elapsed() + 120 <= budget:
+                            t0 = time.monotonic()
+                            sids_t, _dt = qsrv10.search(
+                                bqmat, k=K, nprobe=50, refine=200)
+                            best_t = time.monotonic() - t0
                     finally:
                         qsrv10.close()
+                    if sids_t is not None:
+                        baseline["ivfpq_shard_exec_10m_tuned_batch1k"] = {
+                            "search_sec": round(best_t, 4),
+                            "qps_batch": round(len(bqmat) / best_t, 1),
+                            "recall": round(_rec_vs_flat(sids_t), 4),
+                            "nlist": 1000, "m": 8, "nbits": 8,
+                            "nprobe": 50, "refine": 200,
+                            "n_queries": len(bqmat), "n_vectors": n10m,
+                            "num_shards": 16, "n_runs": 1,
+                            "note": "tuned-recall 10M quantized arm "
+                                    "(target >=0.8): same artifact as "
+                                    "the footprint row",
+                        }
+                    else:
+                        baseline["ivfpq_shard_exec_10m_tuned_batch1k"] = {
+                            "note": f"skipped: {elapsed():.0f}s elapsed "
+                                    f"+ ~120s tuned arm > {budget:.0f}s "
+                                    "budget",
+                        }
                     baseline["ivfpq_shard_exec_10m_batch1k"] = {
                         "build_sec": pq10_build,
                         "search_sec": round(best, 4),
@@ -1661,19 +1721,19 @@ def main() -> None:
                     try:
                         srv10m.search(lq2k_10m[:128], k=K,
                                       nprobe=100)  # cold
-                        best, runs = float("inf"), []
-                        for _ in range(2):
-                            t0 = time.monotonic()
-                            srv10m.search(lq2k_10m, k=K, nprobe=100)
-                            runs.append(round(time.monotonic() - t0, 4))
-                            best = min(best, runs[-1])
+                        # single timed run (r8 budget trim): range
+                        # recorded stable r6-r7 (38-77 s); the second
+                        # run re-spent its own duration
+                        t0 = time.monotonic()
+                        srv10m.search(lq2k_10m, k=K, nprobe=100)
+                        best = time.monotonic() - t0
                         sids_bq, _d = srv10m.search(
                             bqmat, k=K, nprobe=100)
                     finally:
                         srv10m.close()
                     baseline["ivf_shard_exec_10m_batch2k"] = {
                         "search_sec": round(best, 4),
-                        "search_sec_range": [min(runs), max(runs)],
+                        "n_runs": 1,
                         "qps_batch": round(len(lq2k_10m) / best, 1),
                         "recall": round(_rec_vs_flat(sids_bq), 4),
                         "nlist": 1000, "nprobe": 100,

@@ -1449,13 +1449,21 @@ def _mp_worker_init(spec: dict) -> None:
         from threadpoolctl import threadpool_limits
 
         threadpool_limits(limits=int(spec["worker_threads"]))
-    except Exception:
+    except ImportError:
         # missing threadpoolctl is advisory-only and the PARENT warns
         # once per pool (LocalServerPool.__init__); warning from every
         # spawned worker printed the same line W times per pool (160
         # repeats in one bench run — log spam trains operators to
         # ignore warnings)
         pass
+    except Exception as exc:
+        # threadpoolctl present but erroring is NOT covered by the
+        # parent's ImportError warning — stay correct but signal the
+        # unbounded-BLAS oversubscription once per worker
+        import warnings
+
+        warnings.warn(f"threadpool_limits failed in pool worker: {exc!r}; "
+                      "BLAS threads uncapped (results unaffected)")
     arrays = {}
     for key, meta in spec["arrays"].items():
         shm, arr = _shm_attach(meta)

@@ -174,28 +174,35 @@ def save_sharded(index_or_vectors, path: str, num_shards: int,
         df = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         cols = ["id", "vec"]
     validate_metric(metric)
+    persisted = None
     if vectors is not None:
         if kind in ("flat", "ivf"):
             raise ValueError(
                 "vectors= is for quantized kinds (flat/ivf shards "
                 "already store the vectors)")
-        # Fail fast on an incomplete vectors frame: the inner join
-        # below would silently DROP code rows whose ids are missing,
+        # Fail fast on an incomplete vectors frame: an inner join
+        # would silently DROP code rows whose ids are missing,
         # shrinking the served corpus with no error (refine would then
-        # silently exclude those rows). The check is an id-only
-        # anti-join (no vec payload) so it costs a narrow shuffle, not
-        # an extra evaluation of the wide join.
-        n_missing = df.select("id").join(
-            vectors.select(F.col(id_col).alias("id")), "id", "left_anti"
-        ).count()
+        # silently exclude those rows). The check is folded into the
+        # join itself: LEFT join, persist, count the null-vec rows —
+        # the codes and vectors plans are each evaluated exactly ONCE
+        # (at persist materialization); the shard write below reads
+        # the cache. (The previous id-only anti-join was narrow but
+        # still re-ran both input plans — a full extra Spark pass per
+        # quantized artifact write at 10M scale.)
+        from pyspark import StorageLevel
+
+        df = df.join(
+            vectors.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).alias("vec")), "id", "left")
+        persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+        n_missing = df.filter(F.col("vec").isNull()).count()
         if n_missing:
+            df.unpersist()
             raise ValueError(
                 f"vectors= is missing {n_missing} id(s) present in the "
                 "index codes — refine would silently exclude those rows; "
                 "pass the full base-vector DataFrame")
-        df = df.join(
-            vectors.select(F.col(id_col).alias("id"),
-                           F.col(vec_col).alias("vec")), "id")
         cols = cols + ["vec"]
 
     spark = df.sparkSession
@@ -244,6 +251,8 @@ def save_sharded(index_or_vectors, path: str, num_shards: int,
     }
     with open(os.path.join(path, SHARD_META), "w") as f:
         json.dump(meta, f)
+    if persisted is not None:
+        persisted.unpersist()
     return meta
 
 
@@ -290,7 +299,10 @@ def refresh_sharded(index_or_vectors, path: str, num_shards: int,
     3. The old generation's host shared-memory segments are released
        (``release_old``) — a batch that races the release simply
        rebuilds from the old gen's parquet, which stays on disk
-       unless ``drop_old`` removes it after the swap.
+       unless ``drop_old`` removes it after the swap. ``drop_old``
+       IMPLIES the shm release: deleting the artifact destroys the
+       only record of its build_id, and skipping the release would
+       orphan the old segments in /dev/shm forever.
 
     Typical streaming use: ``foreachBatch`` accumulates into an index
     build, then calls ``refresh_sharded``; a long-lived
@@ -325,9 +337,14 @@ def refresh_sharded(index_or_vectors, path: str, num_shards: int,
         os.fsync(f.fileno())
     os.replace(tmp_ptr, ptr)  # the atomic publish point
 
+    # drop_old IMPLIES the shm release: deleting the old artifact
+    # destroys the only record of its build_id, so skipping the
+    # release here would permanently orphan up to the full index size
+    # in /dev/shm on every serving host with no artifact left to
+    # release it from.
     if old_gen is not None:
         old_path = os.path.join(path, old_gen)
-        if release_old and os.path.isdir(old_path):
+        if (release_old or drop_old) and os.path.isdir(old_path):
             spark = _spark_of(index_or_vectors, vectors)
             if spark is not None:
                 release_shards(spark, old_path)
@@ -343,7 +360,7 @@ def refresh_sharded(index_or_vectors, path: str, num_shards: int,
         # left in place unless drop_old: it is harmless (readers now
         # follow the pointer) and keeps the pre-refresh artifact
         # loadable for rollback.
-        if release_old:
+        if release_old or drop_old:
             spark = _spark_of(index_or_vectors, vectors)
             if spark is not None:
                 release_shards(spark, path)
