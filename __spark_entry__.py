@@ -4805,6 +4805,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_sharded_exec_topk": _ivf_sharded_exec_topk,
         "ivf_sharded_refresh_topk": _ivf_sharded_refresh_topk,
         "ivfpq_sharded_exec_topk": _ivfpq_sharded_exec_topk,
+        # --- HNSW re-queue: round 8 replaces the shared graph-search
+        #     kernel (_search_graph_batch → lock-step batch) that the
+        #     distributed, sharded and routed rows all execute ---
+        "hnsw_topk": _hnsw_topk,
+        "hnsw_sharded_topk": _hnsw_sharded_topk,
+        "hnsw_routed_topk": _hnsw_routed_topk,
         # --- r6 freshening to fill the window ---
         "flat_topk_l2": _flat_topk("l2"),
         "flat_topk_cosine": _flat_topk("cosine"),
@@ -4813,10 +4819,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_fullprobe_topk": _ivf_fullprobe_topk,
         "range_search_l2": _range_search_l2,
         "pca_topk": _pca_topk,
+        # ---- window boundary (slot 50) ----
+        # --- r6-verified green (kernels untouched this round) ---
         "sql_topk": _sql_topk,
         "binary_topk": _binary_topk,
         "filtered_topk": _filtered_topk,
-        # ---- window boundary (slot 50) ----
         # --- r7-verified green ---
         "ivf_merged_topk": _ivf_merged_topk,
         "ivfpq_refine_topk": _ivfpq_refine_topk,
@@ -4835,9 +4842,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk": _sq_topk,
         "ivfsq_topk": _ivfsq_topk,
         "lsh_topk": _lsh_topk,
-        "hnsw_topk": _hnsw_topk,
-        "hnsw_sharded_topk": _hnsw_sharded_topk,
-        "hnsw_routed_topk": _hnsw_routed_topk,
         "ann_recall_report": _ann_recall_report,
         "doc_dedup_clusters": _doc_dedup_clusters,
         "doc_simhash": _doc_simhash,

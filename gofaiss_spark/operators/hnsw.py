@@ -63,6 +63,9 @@ class HnswGraph:
     entry_point: int = -1
     max_level: int = -1
     vn: np.ndarray | None = field(default=None, repr=False)  # ||v||² cache
+    # level-0 CSR cache (indptr, indices) for the batch kernel; reset
+    # by every edge-mutation site (_prune/insert/_graph_remove)
+    csr0: tuple | None = field(default=None, repr=False)
 
     def n(self) -> int:
         return int(self.vecs.shape[0])
@@ -262,6 +265,7 @@ def _prune(g: HnswGraph, node: int, level: int, max_conn: int) -> None:
     d = _score_to(g, v, nbrs, _qnorm(g, v))
     keep = nbrs[np.argsort(d, kind="stable")[:max_conn]]
     g.edges[level][node] = keep.astype(np.int32)
+    g.csr0 = None
 
 
 def build_hnsw(
@@ -359,9 +363,12 @@ def _build_graph(
     return g
 
 
-def _search_graph_batch(
+def _search_graph_batch_seq(
     g: HnswGraph, qmat: np.ndarray, qids: np.ndarray, k: int, ef: int
 ) -> pd.DataFrame:
+    """Per-query reference kernel (the pre-round-8 hot path, kept for
+    A/B evidence and as executable documentation of the sequential
+    semantics `_search_graph_batch` vectorizes)."""
     out_q, out_i, out_d = [], [], []
     seen = np.zeros(g.n(), dtype=np.int32)
     for row in range(qmat.shape[0]):
@@ -382,6 +389,297 @@ def _search_graph_batch(
             "distance": np.asarray(out_d, dtype=np.float64),
         }
     )
+
+
+def _csr_level(g: HnswGraph, lvl: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-level adjacency as CSR (indptr int64 (n+1,), indices int32,
+    neighbor order preserved) — the gather layout the lock-step batch
+    kernels need (a dict lookup per (query, pop) was ~30% of the
+    serial hot loop). Cached per level on the graph; every
+    edge-mutation site resets ``csr0`` (remove/prune/insert), and
+    ``getattr`` tolerates graphs unpickled from blobs written before
+    the field existed."""
+    cache = getattr(g, "csr0", None)
+    if cache is None:
+        cache = g.csr0 = {}
+    got = cache.get(lvl)
+    if got is not None:
+        return got
+    n = g.n()
+    layer = g.edges[lvl] if lvl < len(g.edges) else {}
+    counts = np.zeros(n, dtype=np.int64)
+    for node, nbrs in layer.items():
+        counts[node] = nbrs.size
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    indices = np.empty(int(indptr[-1]), dtype=np.int32)
+    for node, nbrs in layer.items():
+        s = int(indptr[node])
+        indices[s:s + nbrs.size] = nbrs
+    cache[lvl] = (indptr, indices)
+    return cache[lvl]
+
+
+def _flat_gather(indptr: np.ndarray, indices: np.ndarray,
+                 nodes: np.ndarray, rows: np.ndarray,
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ragged CSR gather for a batch of (row, node) pairs → flat
+    neighbor ids, their row of origin, and per-pair counts (order
+    preserved: pairs in input order, neighbors in adjacency order)."""
+    st = indptr[nodes]
+    cnt = indptr[nodes + 1] - st
+    nz = cnt > 0
+    if not nz.all():
+        rows, st, cnt = rows[nz], st[nz], cnt[nz]
+    total = int(cnt.sum())
+    if total == 0:
+        return (np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=rows.dtype), cnt)
+    csum = np.cumsum(cnt)
+    flat = indices[
+        np.arange(total) + np.repeat(st - (csum - cnt), cnt)
+    ].astype(np.int64)
+    return flat, np.repeat(rows, cnt), cnt
+
+
+def _first_per_sorted(arr: np.ndarray) -> np.ndarray:
+    """First-occurrence offsets of each run in a nondecreasing array
+    (the `np.unique(..., return_index=True)` fast path)."""
+    mask = np.empty(len(arr), dtype=bool)
+    mask[0] = True
+    np.not_equal(arr[1:], arr[:-1], out=mask[1:])
+    return np.flatnonzero(mask)
+
+
+def _batch_greedy_descend(g: HnswGraph, Q: np.ndarray,
+                          qn: np.ndarray | None) -> np.ndarray:
+    """Lock-step upper-layer greedy walk for the whole batch — the
+    vectorized `_greedy_descend` (hnsw.go:158-168 per query: at each
+    level, hop to the closest neighbor while it improves; first-index
+    tie-break matches np.argmin). Returns each query's level-0 entry
+    point."""
+    nq = Q.shape[0]
+    ep = np.full(nq, g.entry_point, dtype=np.int64)
+    cur = _batch_scores(g, Q, np.arange(nq), ep, qn)
+    for lvl in range(g.max_level, 0, -1):
+        indptr, indices = _csr_level(g, lvl)
+        active = np.ones(nq, dtype=bool)
+        while True:
+            rows = np.flatnonzero(active)
+            if rows.size == 0:
+                break
+            st = indptr[ep[rows]]
+            cnt = indptr[ep[rows] + 1] - st
+            nz = cnt > 0
+            if not nz.all():
+                active[rows[~nz]] = False
+                rows, st, cnt = rows[nz], st[nz], cnt[nz]
+                if rows.size == 0:
+                    break
+            total = int(cnt.sum())
+            csum = np.cumsum(cnt)
+            flat = indices[
+                np.arange(total) + np.repeat(st - (csum - cnt), cnt)
+            ].astype(np.int64)
+            frows = np.repeat(rows, cnt)
+            sc = _batch_scores(g, Q, frows, flat, qn)
+            starts = csum - cnt
+            mv = np.minimum.reduceat(sc, starts)
+            # first index achieving the segment min (argmin tie-break)
+            ismin = sc == mv[np.repeat(np.arange(rows.size), cnt)]
+            fi = np.minimum.reduceat(
+                np.where(ismin, np.arange(total), total), starts)
+            improved = mv < cur[rows]
+            upd = rows[improved]
+            cur[upd] = mv[improved]
+            ep[upd] = flat[fi[improved]]
+            active[rows[~improved]] = False
+    return ep
+
+
+def _batch_scores(g: HnswGraph, Q: np.ndarray, qrows: np.ndarray,
+                  nodes: np.ndarray, qn: np.ndarray | None) -> np.ndarray:
+    """f32 ordering scores for (query-row, node) pairs in one
+    vectorized pass — the batched twin of `_score_to` (same formula,
+    same f32 arithmetic; the reduction is a row-wise einsum, each
+    row's sum independent of batch composition, which the
+    cross-tier bit-equality gate relies on)."""
+    sub = g.vecs[nodes]
+    ip = np.einsum("ij,ij->i", sub, Q[qrows])
+    if g.metric == "l2":
+        return _vnorms(g)[nodes] + qn[qrows] - 2.0 * ip
+    return 1.0 - ip if g.metric == "cosine" else -ip
+
+
+def _batch_layer0_chunk(
+    g: HnswGraph, Q: np.ndarray, eps: np.ndarray, ef: int,
+    qn: np.ndarray | None, indptr: np.ndarray, indices: np.ndarray,
+    res_d: np.ndarray, res_n: np.ndarray,
+) -> None:
+    """Lock-step ef-bounded best-first over one query chunk: every
+    round, each still-active query pops its best frontier candidate,
+    then neighbor gather, visited filter, scoring and top-ef
+    maintenance run as single vectorized ops across the whole chunk
+    (hnsw.go:343-392 semantics per query; the per-query pop order,
+    stop rule and result set match the sequential kernel modulo f32
+    summation-order ties). Fills ``res_d``/``res_n`` views in place."""
+    cq, n = Q.shape[0], g.n()
+    seen = np.zeros((cq, n), dtype=bool)
+    rows_all = np.arange(cq)
+    cap = max(2 * ef, 64)
+    cand_d = np.full((cq, cap), np.inf, dtype=np.float32)
+    cand_n = np.zeros((cq, cap), dtype=np.int64)
+    cand_len = np.ones(cq, dtype=np.int64)
+
+    d0 = _batch_scores(g, Q, rows_all, eps, qn)
+    cand_d[:, 0] = d0
+    cand_n[:, 0] = eps
+    res_d[:, 0] = d0
+    res_n[:, 0] = eps
+    res_cnt = np.ones(cq, dtype=np.int64)
+    worst = np.full(cq, np.inf, dtype=np.float32)
+    worst[res_cnt >= ef] = res_d[res_cnt >= ef, 0]  # ef == 1 edge case
+    seen[rows_all, eps] = True
+    active = np.ones(cq, dtype=bool)
+
+    while True:
+        rows = np.flatnonzero(active)
+        if rows.size == 0:
+            break
+        sub_cd = cand_d[rows]
+        j = np.argmin(sub_cd, axis=1)
+        dmin = sub_cd[np.arange(rows.size), j]
+        # the sequential break: pool empty, or best frontier candidate
+        # can no longer beat the full result set's worst
+        stop = (dmin == np.inf) | ((res_cnt[rows] >= ef)
+                                   & (dmin > worst[rows]))
+        if stop.any():
+            active[rows[stop]] = False
+            keep = ~stop
+            rows, j = rows[keep], j[keep]
+            if rows.size == 0:
+                continue
+        cnodes = cand_n[rows, j]
+        cand_d[rows, j] = np.inf  # popped
+        flat, frows, _cnt = _flat_gather(indptr, indices, cnodes, rows)
+        if flat.size == 0:
+            continue
+        fresh = ~seen[frows, flat]
+        if not fresh.any():
+            continue
+        frows, flat = frows[fresh], flat[fresh]
+        seen[frows, flat] = True
+        sc = _batch_scores(g, Q, frows, flat, qn)
+        # group the fresh neighbors by query row (frows nondecreasing)
+        first = _first_per_sorted(frows)
+        aff = frows[first]
+        gcnt = np.diff(np.append(first, len(frows)))
+        colpos = np.arange(len(frows)) - np.repeat(first, gcnt)
+        width = int(colpos.max()) + 1
+        rowmap = np.repeat(np.arange(len(aff)), gcnt)
+        newd = np.full((len(aff), width), np.inf, dtype=np.float32)
+        newn = np.full((len(aff), width), -1, dtype=np.int64)
+        newd[rowmap, colpos] = sc
+        newn[rowmap, colpos] = flat
+        # top-ef of (current results ∪ fresh) per row — the batched
+        # equivalent of the sequential insert-then-evict loop (same
+        # surviving set: an element beats the final boundary iff it
+        # would have been accepted at any insertion order)
+        md = np.concatenate([res_d[aff], newd], axis=1)
+        mn = np.concatenate([res_n[aff], newn], axis=1)
+        part = np.argpartition(md, ef - 1, axis=1)[:, :ef]
+        ar2 = np.arange(len(aff))[:, None]
+        res_d[aff] = md[ar2, part]
+        res_n[aff] = mn[ar2, part]
+        res_cnt[aff] = np.minimum(ef, res_cnt[aff] + gcnt)
+        worst[aff] = np.where(
+            res_cnt[aff] >= ef, res_d[aff].max(axis=1),
+            np.float32(np.inf),
+        )
+        # frontier pushes: exactly the fresh scores that entered the
+        # new top-ef (<= keeps boundary ties explorable)
+        push = sc <= worst[frows]
+        if not push.any():
+            continue
+        prow, pd_, pn = frows[push], sc[push], flat[push]
+        pfirst = _first_per_sorted(prow)
+        pu = prow[pfirst]
+        pcnt = np.diff(np.append(pfirst, len(prow)))
+        pcol = np.arange(len(prow)) - np.repeat(pfirst, pcnt)
+        slots = cand_len[prow] + pcol
+        need = int(slots.max()) + 1
+        if need > cand_d.shape[1]:
+            grow = max(need, 2 * cand_d.shape[1])
+            cand_d = np.concatenate(
+                [cand_d, np.full((cq, grow - cand_d.shape[1]), np.inf,
+                                 dtype=np.float32)], axis=1)
+            cand_n = np.concatenate(
+                [cand_n, np.zeros((cq, grow - cand_n.shape[1]),
+                                  dtype=np.int64)], axis=1)
+        cand_d[prow, slots] = pd_
+        cand_n[prow, slots] = pn
+        cand_len[pu] += pcnt
+
+
+def _search_graph_batch(
+    g: HnswGraph, qmat: np.ndarray, qids: np.ndarray, k: int, ef: int
+) -> pd.DataFrame:
+    """Batched graph search, lock-step across the query batch (round
+    8; was a per-query Python loop — `_search_graph_batch_seq`). Upper
+    layers run the per-query greedy descent (few hops on tiny
+    layers); level 0 — the ef-bounded expansion that dominates — runs
+    vectorized rounds over the whole batch (interleaved A/B at
+    100k-clustered/10k queries: see BENCH_AB.json hnsw_batch_ab_r8).
+    Per-query results are independent of batch composition (row-wise
+    state and row-wise reductions only), so the distributed plan,
+    the sharded tier and the local replica stay bit-identical — the
+    `hnsw_local_topk` driver gate's contract. Queries are chunked so
+    the (chunk × n) visited bitmap stays ≤ ~64 MB."""
+    nq = int(qmat.shape[0])
+    kk = k if k > 0 else max(ef, k)
+    if nq == 0 or g.n() == 0:
+        return pd.DataFrame({
+            "query_id": np.empty(0, dtype=np.int64),
+            "id": np.empty(0, dtype=np.int64),
+            "distance": np.empty(0, dtype=np.float64),
+        })
+    ef_eff = max(ef, k)
+    qn = (np.einsum("ij,ij->i", qmat, qmat)
+          if g.metric == "l2" else None)
+    if g.max_level > 0:
+        eps = _batch_greedy_descend(g, qmat, qn)
+    else:
+        eps = np.full(nq, g.entry_point, dtype=np.int64)
+    indptr, indices = _csr_level(g, 0)
+    out_d = np.full((nq, ef_eff), np.inf, dtype=np.float32)
+    out_n = np.full((nq, ef_eff), -1, dtype=np.int64)
+    chunk = max(1, min(nq, (64 << 20) // max(1, g.n())))
+    for cs in range(0, nq, chunk):
+        ce = min(nq, cs + chunk)
+        _batch_layer0_chunk(
+            g, qmat[cs:ce], eps[cs:ce], ef_eff,
+            None if qn is None else qn[cs:ce],
+            indptr, indices, out_d[cs:ce], out_n[cs:ce],
+        )
+    # per-row (score, node) order then truncate to k — the batched
+    # `sorted(...)[:k]` (ties break on the internal node index,
+    # matching the sequential kernel)
+    rowk = np.repeat(np.arange(nq), ef_eff)
+    order = np.lexsort((out_n.ravel(), out_d.ravel(), rowk))
+    d_sorted = out_d.ravel()[order].reshape(nq, ef_eff)[:, :kk]
+    n_sorted = out_n.ravel()[order].reshape(nq, ef_eff)[:, :kk]
+    valid = np.isfinite(d_sorted).ravel()
+    nodes = n_sorted.ravel()[valid]
+    # sequential parity: scores leave the heap as python floats, so
+    # the l2 sqrt runs in f64 on the exact f32 score values
+    dvals = _score_to_dist(
+        g, d_sorted.ravel()[valid].astype(np.float64))
+    return pd.DataFrame({
+        "query_id": np.repeat(
+            np.asarray(qids, dtype=np.int64), kk)[valid],
+        "id": g.ids[nodes].astype(np.int64),
+        "distance": np.asarray(dvals, dtype=np.float64),
+    })
 
 
 def search_hnsw(
@@ -432,6 +730,7 @@ def _graph_remove(g: HnswGraph, vector_id: int) -> bool:
     if pos.size == 0 or g.levels[int(pos[0])] < 0:
         return False
     node = int(pos[0])
+    g.csr0 = None
     for lvl, layer in enumerate(g.edges):
         layer.pop(node, None)
         for src in list(layer):

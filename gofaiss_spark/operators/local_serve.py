@@ -1524,6 +1524,39 @@ def _mp_search(q: np.ndarray, k: int, nprobe, refine=None):
     return _WORKER_INDEX.search(q, k=k)
 
 
+def _mp_search_hnsw_cells(qmeta: dict, items: list, k: int, ef: int):
+    """CELL-MAJOR pool task for the routed-HNSW kind: search the given
+    cells' graphs for their routed query subsets (query matrix
+    attached from per-call shm; ``items`` carries only (cell_id,
+    query-row indices)). Returns concatenated (query_row, id,
+    distance) arrays — the parent merges across cells/tasks. The
+    lock-step graph kernel is batch-composition independent, so any
+    (cell, query) grouping yields bit-identical per-pair results."""
+    from gofaiss_spark.operators.hnsw import _prep, _search_graph_batch
+
+    shm, qmat = _shm_attach(qmeta)
+    try:
+        idx = _WORKER_INDEX
+        qp = _prep(qmat, idx.metric)
+        out_q, out_i, out_d = [], [], []
+        for cell, qidx in items:
+            g = idx.graphs[int(cell)]
+            if g is None:
+                continue
+            df = _search_graph_batch(g, qp[qidx], qidx, k, ef)
+            out_q.append(df["query_id"].to_numpy(dtype=np.int64))
+            out_i.append(df["id"].to_numpy(dtype=np.int64))
+            out_d.append(df["distance"].to_numpy(dtype=np.float64))
+        if not out_q:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64))
+        return (np.concatenate(out_q), np.concatenate(out_i),
+                np.concatenate(out_d))
+    finally:
+        shm.close()
+
+
 class LocalServerPool:
     """Serve a LocalFlatIndex / LocalIvfIndex from W worker processes
     sharing one in-memory copy of the index.
@@ -1592,6 +1625,21 @@ class LocalServerPool:
         elif isinstance(index, LocalHnswRoutedIndex):
             kind = "hnsw_routed"
             named = _pack_graphs(index.graphs, index.centroids)
+            # parent-side routing state: the pool dispatches this kind
+            # CELL-MAJOR (route in the parent, one task per cell
+            # group) so each worker runs the lock-step graph kernel
+            # over its cells' FULL routed query subsets — query-chunk
+            # scatter fragmented those to ~batch-size/cells queries
+            # per cell, below the batch kernel's break-even
+            self._hnsw_route = {
+                "centroids": np.ascontiguousarray(index.centroids),
+                "metric": index.metric,
+                "ef": int(index.ef_search),
+                "nprobe": int(index.default_nprobe),
+                "present": np.array(
+                    [g is not None for g in index.graphs], dtype=bool),
+                "n_total": int(index.n_total),
+            }
         elif isinstance(index, LocalFlatIndex):
             kind, named = "flat", {
                 "ids": index.ids, "vecs": index.vecs,
@@ -1664,6 +1712,8 @@ class LocalServerPool:
         if nq == 0:
             return (np.empty((0, k), dtype=np.int64),
                     np.empty((0, k), dtype=np.float64))
+        if self.kind == "hnsw_routed":
+            return self._search_hnsw_cells(q, k, nprobe)
         nchunks = max(1, min(self.workers * 2, nq))
         edges = np.linspace(0, nq, nchunks + 1, dtype=np.int64)
         futs = [
@@ -1673,6 +1723,88 @@ class LocalServerPool:
         parts = [f.result() for f in futs]
         return (np.vstack([p[0] for p in parts]),
                 np.vstack([p[1] for p in parts]))
+
+    def _search_hnsw_cells(
+        self, q: np.ndarray, k: int, nprobe,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Cell-major scatter for the routed-HNSW kind: route every
+        query in the parent (one centroid pass — the same inputs and
+        formula as ``LocalHnswRoutedIndex.search``), group the
+        (cell, query) pairs by cell, balance cell groups across
+        ``workers×2`` tasks by routed-query load, and merge the
+        per-cell top-k exactly like the in-process searcher (sort by
+        (query, distance, id), head k). Queries ride to workers via
+        one per-call shm segment; tasks carry only cell ids + query
+        row indices. Output is bit-identical to ``index.search`` on
+        the whole batch — the graph kernel is batch-composition
+        independent and the merge is the same total order."""
+        from gofaiss_spark.functions.distance import np_distance_matrix
+
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        hr = self._hnsw_route
+        q = np.ascontiguousarray(q, dtype=np.float32)
+        nq = q.shape[0]
+        k_eff = min(int(k), hr["n_total"])
+        ids = np.full((nq, k_eff), -1, dtype=np.int64)
+        dists = np.full((nq, k_eff), np.inf, dtype=np.float64)
+        if nq == 0 or k_eff == 0:
+            return ids, dists
+        G = int(hr["centroids"].shape[0])
+        np_ = int(nprobe) if nprobe is not None else hr["nprobe"]
+        if np_ <= 0 or np_ > G:
+            np_ = G
+        if np_ < G:
+            dmat = np_distance_matrix(hr["centroids"], q, hr["metric"])
+            sel = np.argpartition(dmat, np_ - 1, axis=0)[:np_, :]
+        else:
+            sel = np.broadcast_to(np.arange(G)[:, None], (G, nq))
+        qcols = np.broadcast_to(
+            np.arange(nq)[None, :], sel.shape).ravel()
+        order = np.argsort(sel.ravel(), kind="stable")
+        flat_cells = sel.ravel()[order]
+        flat_qidx = qcols[order].astype(np.int64)
+        bounds = np.searchsorted(
+            flat_cells, np.arange(G + 1), side="left")
+        items = []
+        for cell in np.unique(flat_cells):
+            if not hr["present"][cell]:
+                continue
+            items.append(
+                (int(cell), flat_qidx[bounds[cell]:bounds[cell + 1]]))
+        if not items:
+            return ids, dists
+        ntasks = max(1, min(self.workers * 2, len(items)))
+        items.sort(key=lambda t: -len(t[1]))  # big cells first
+        buckets: list[list] = [[] for _ in range(ntasks)]
+        loads = [0] * ntasks
+        for it in items:  # greedy least-loaded balance
+            b = loads.index(min(loads))
+            buckets[b].append(it)
+            loads[b] += len(it[1])
+        shm, qmeta = _shm_export(q)
+        try:
+            futs = [
+                self._exe.submit(
+                    _mp_search_hnsw_cells, qmeta, b, k_eff, hr["ef"])
+                for b in buckets if b
+            ]
+            parts = [f.result() for f in futs]
+        finally:
+            shm.close()
+            shm.unlink()
+        qarr = np.concatenate([p[0] for p in parts])
+        if qarr.size == 0:
+            return ids, dists
+        iarr = np.concatenate([p[1] for p in parts])
+        darr = np.concatenate([p[2] for p in parts])
+        o = np.lexsort((iarr, darr, qarr))
+        qs, is_, ds = qarr[o], iarr[o], darr[o]
+        pos = np.arange(len(qs)) - np.searchsorted(qs, qs)
+        take = pos < k_eff
+        ids[qs[take], pos[take]] = is_[take]
+        dists[qs[take], pos[take]] = ds[take]
+        return ids, dists
 
     def close(self) -> None:
         if self._exe is not None:

@@ -241,3 +241,52 @@ def test_sharded_api_dispatch(vectors, queries):
     )
     res = search(idx, queries, k=5, params={"ef_search": 64})
     assert res.count() == queries.count() * 5
+
+
+# --- round 8: lock-step batch kernel vs the sequential reference ---
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine", "dot"])
+def test_batch_kernel_matches_sequential_reference(metric):
+    """The vectorized `_search_graph_batch` must return the same
+    per-query id sets as the per-query reference kernel
+    (`_search_graph_batch_seq`, the pre-round-8 hot path), with
+    distances equal to f32 summation-order ulps (einsum batch-dot vs
+    per-pop gemv)."""
+    from gofaiss_spark.operators.hnsw import (
+        _build_graph,
+        _prep,
+        _search_graph_batch,
+        _search_graph_batch_seq,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = _prep(rng.random((800, 32), dtype=np.float32), metric)
+    g = _build_graph(
+        np.arange(800, dtype=np.int64) * 3, vecs, 8, 64, metric, 5
+    )
+    q = _prep(rng.random((60, 32), dtype=np.float32), metric)
+    qids = np.arange(60, dtype=np.int64)
+    a = _search_graph_batch(g, q, qids, 10, 50)
+    b = _search_graph_batch_seq(g, q, qids, 10, 50)
+    for df in (a, b):
+        df.sort_values(["query_id", "id"], inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert (a["query_id"].to_numpy() == b["query_id"].to_numpy()).all()
+    assert (a["id"].to_numpy() == b["id"].to_numpy()).all()
+    np.testing.assert_allclose(
+        a["distance"].to_numpy(), b["distance"].to_numpy(),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_batch_kernel_csr_cache_invalidated_by_remove(vectors, queries):
+    """Remove must reset the cached CSR adjacency: a search after
+    remove_hnsw runs on the updated graph (the removed id never
+    reappears), not a stale CSR snapshot."""
+    idx = build_hnsw(vectors, m=8, ef_construction=64, seed=13)
+    first = search_hnsw(idx, queries, k=5)  # populates the CSR cache
+    target = int(first.limit(1).collect()[0].id)
+    remove_hnsw(idx, target)
+    after = {r.id for r in search_hnsw(idx, queries, k=10).collect()}
+    assert target not in after
