@@ -1774,6 +1774,20 @@ class LocalServerPool:
                 (int(cell), flat_qidx[bounds[cell]:bounds[cell + 1]]))
         if not items:
             return ids, dists
+        # split outsized cell groups so few-cell indexes (the plain
+        # 1-graph hnsw_to_local case routes EVERY query to one cell)
+        # still fan out across the pool — bit-identical either way,
+        # the kernel is batch-composition independent
+        total_pairs = sum(len(t[1]) for t in items)
+        target = max(1, total_pairs // (self.workers * 2))
+        split = []
+        for cell, qidx in items:
+            if len(qidx) > 2 * target:
+                for s in range(0, len(qidx), target):
+                    split.append((cell, qidx[s:s + target]))
+            else:
+                split.append((cell, qidx))
+        items = split
         ntasks = max(1, min(self.workers * 2, len(items)))
         items.sort(key=lambda t: -len(t[1]))  # big cells first
         buckets: list[list] = [[] for _ in range(ntasks)]

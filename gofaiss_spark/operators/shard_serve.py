@@ -189,13 +189,17 @@ def save_sharded(index_or_vectors, path: str, num_shards: int,
         # (at persist materialization); the shard write below reads
         # the cache. (The previous id-only anti-join was narrow but
         # still re-ran both input plans — a full extra Spark pass per
-        # quantized artifact write at 10M scale.)
+        # quantized artifact write at 10M scale.) DISK_ONLY, not
+        # MEMORY_AND_DISK: the joined frame is the full raw-vector
+        # payload — at 10M rows a memory-first persist pressures the
+        # single-JVM heap into OOM (the round-6 56 GB RSS class),
+        # while the write below reads it exactly once anyway.
         from pyspark import StorageLevel
 
         df = df.join(
             vectors.select(F.col(id_col).alias("id"),
                            F.col(vec_col).alias("vec")), "id", "left")
-        persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted = df.persist(StorageLevel.DISK_ONLY)
         n_missing = df.filter(F.col("vec").isNull()).count()
         if n_missing:
             df.unpersist()
