@@ -52,7 +52,13 @@ def main() -> None:
     # 2160 s (36 min) default: fits the driver's observed window with
     # margin while still reaching the 10M quantized row un-throttled;
     # the canonical full run raises it (SCALE.md §7 recipe).
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2160"))
+    budget_wall = float(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2160"))
+    # gate sections at 90% of the wall budget (r7 verdict item 7: the
+    # r7 run finished 3.5% OVER the wall budget because gate estimates
+    # are optimistic on a throttled window — headroom is the
+    # difference between a complete artifact and an rc=124 kill)
+    budget = 0.9 * budget_wall
 
     def elapsed() -> float:
         return time.monotonic() - t_run0
@@ -91,7 +97,8 @@ def main() -> None:
             "n_queries": min(N_QUERIES, n_vec),
             "cpus": CPUS,
             "elapsed_wall_sec": round(elapsed(), 1),
-            "budget_sec": budget,
+            "budget_sec": budget_wall,
+            "budget_gate_sec": budget,
             "baseline": {
                 "workload": "uniform random, dim=128, l2, k=10, "
                 f"n={baseline_n}, "
