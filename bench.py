@@ -1663,11 +1663,13 @@ def main() -> None:
             # nprobe=100 + refine=200 exact re-rank ≈ the exact-IVF
             # row's 0.956 cell ceiling. Own build: gate the whole
             # sub-section.
-            if elapsed() + 450 > budget:
+            if elapsed() + 550 > budget:
                 baseline["ivfpq_shard_exec_10m_m16_tuned_batch1k"] = {
                     "note": f"skipped: {elapsed():.0f}s elapsed + "
-                            f"~450s m16 tuned sub-section > "
-                            f"{budget:.0f}s budget",
+                            f"~550s m16 tuned sub-section > "
+                            f"{budget:.0f}s budget "
+                            "(row lives in the committed canonical "
+                            "BENCH_full.json)",
                 }
             else:
                 from gofaiss_spark.operators.ivfpq import build_ivfpq
@@ -1721,11 +1723,22 @@ def main() -> None:
             # shards share a single memory bus — the cluster design
             # point gives each shard its own host (SCALE.md §7).
             bivf10m = None
-            if elapsed() + 360 > budget:
+            if elapsed() + 700 > budget:
+                # honest estimate bumped r8: the 10M assignment build
+                # alone measured 252-475 s across windows; the old
+                # ~360 s figure made slow windows overshoot the wall
                 baseline["ivf_10m"] = {
                     "note": f"skipped: {elapsed():.0f}s elapsed + "
-                            f"~360s sub-section > {budget:.0f}s "
-                            "budget",
+                            f"~700s sub-section > {budget:.0f}s "
+                            "budget (row lives in the committed "
+                            "canonical BENCH_full.json)",
+                }
+                # the serving row shares this build — note it too so
+                # the parsed baseline never silently lacks it
+                baseline["ivf_shard_exec_10m_batch2k"] = {
+                    "note": "skipped with ivf_10m (shares its build); "
+                            "see the committed canonical "
+                            "BENCH_full.json",
                 }
             else:
                 t0 = time.monotonic()
