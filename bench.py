@@ -141,7 +141,7 @@ def main() -> None:
             # (r7 verdict item: lsh_10m compacted to {} while every
             # other shed section kept its skip note)
             if not out and "note" in row:
-                out["note"] = str(row["note"])[:90]
+                out["note"] = str(row["note"])[:60]
             return out
 
         # The driver records only the LAST ~2000 chars of stdout; a
@@ -195,6 +195,16 @@ def main() -> None:
         }
         print(json.dumps(extras, separators=(",", ":")))
         line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1900:
+            # over the tail budget: drop the skip NOTES first (they
+            # are note-only rows; the full artifact keeps the text) —
+            # measured rows are worth more than skip prose
+            compact["baseline"] = {
+                k: v for k, v in compact["baseline"].items()
+                if list(v) != ["note"]
+            }
+            compact["notes_dropped"] = True
+            line = json.dumps(compact, separators=(",", ":"))
         if len(line) > 1900:  # hard budget: never overflow the tail
             compact["baseline"] = {
                 k: _compact_row(baseline[k]) for k in HEADLINE[:10]
