@@ -153,7 +153,8 @@ def main() -> None:
         HEADLINE = [
             "flat", "flat_batch10k", "ivf", "ivf_tuned", "pq",
             "ivfpq", "ivfpq_tuned_refined100", "lsh", "hnsw",
-            "hnsw_sharded", "hnsw_sharded_tuned", "hnsw_routed_cl_np8",
+            "hnsw_sharded", "hnsw_sharded_tuned", "hnsw_sharded_batch10k",
+            "hnsw_routed_cl_np8",
             "ivf_local", "ivf_local_mp_batch10k",
             "ivf_local_mp_clustered_batch10k",
             "ivf_local_mp_clustered_np2_batch10k",
@@ -1002,7 +1003,7 @@ def main() -> None:
         # routed-clustered + single-graph): on a throttled window
         # these builds are the most expensive 100k items — shed them
         # with recorded notes rather than outrun the driver window
-        hnsw_skip = elapsed() + 420 > budget
+        hnsw_skip = elapsed() + 450 > budget
         if hnsw_skip:
             # note only the rows that were actually ELIGIBLE in this
             # configuration — the artifact must not claim a row was
@@ -1016,7 +1017,7 @@ def main() -> None:
             for _hk in _hkeys:
                 baseline[_hk] = {
                     "note": f"skipped: {elapsed():.0f}s elapsed + "
-                            f"~420s hnsw section > {budget:.0f}s "
+                            f"~450s hnsw section > {budget:.0f}s "
                             "budget",
                 }
         if not hnsw_skip:
@@ -1078,6 +1079,27 @@ def main() -> None:
                 "m": 16, "ef_construction": 200, "ef_search": 200,
                 "target_recall": 0.95,
             }
+            # sustained-load arm (r8): the 1k-batch rows are bounded
+            # by Spark's ~1 s/job floor, not graph work; a 10k batch
+            # amortizes it — the honest regime for comparing the
+            # distributed tier's QPS against an in-memory server
+            # (same rationale as flat_batch10k/lsh_batch10k). Single
+            # timed run: the lock-step kernel scans each shard's
+            # graph once per batch either way.
+            search_hnsw_sharded(bhs, bq10, k=K, ef_search=50).count()
+            t0 = time.monotonic()
+            res10h = search_hnsw_sharded(
+                bhs, bq10, k=K, ef_search=50).cache()
+            res10h.count()
+            sec10h = round(time.monotonic() - t0, 4)
+            baseline["hnsw_sharded_batch10k"] = {
+                "search_sec": sec10h,
+                "qps_batch": round(10_000 / sec10h, 1),
+                "recall": round(recall_at_k(res10h, truth10, K), 4),
+                "m": 16, "ef_construction": 200, "ef_search": 50,
+                "n_queries": 10_000, "n_runs": 1,
+            }
+            res10h.unpersist()
 
         # routed HNSW on CLUSTERED data: nprobe cell-routing is the
         # scale path (probe a few cells, not every shard), and its
