@@ -131,7 +131,15 @@ def main() -> None:
             for k, short in keep.items():
                 if k in row:
                     v = row[k]
-                    if isinstance(v, float):
+                    # tight encodings: the headline line lives under a
+                    # ~1900-char tail budget (int QPS + 3dp recall
+                    # bought ~100 chars at 26 rows — the margin that
+                    # keeps the truncation fallbacks theoretical)
+                    if k == "qps_batch":
+                        v = int(round(v))
+                    elif k == "recall":
+                        v = round(v, 3)
+                    elif isinstance(v, float):
                         v = round(v, 2)
                     elif isinstance(v, list):
                         v = [round(x, 1) for x in v]
