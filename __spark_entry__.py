@@ -1799,6 +1799,7 @@ def _ann_invariants(
     queries: DataFrame | None = None,
     truth: DataFrame | None = None,
     tol: float = 1e-3,
+    metric: str = "l2",
 ) -> DataFrame:
     """Derive engine-independent per-(query, rank) booleans from an
     approximate search result so the DuckDB oracle can hard-check it
@@ -1807,19 +1808,26 @@ def _ann_invariants(
 
     The emitted row set (query_id × rank 1..k) is itself part of the
     check, and ok=true requires ALL of:
-    - distances non-negative and non-decreasing in rank;
+    - distances non-negative (l2/cosine; a dot "distance" is the
+      negated inner product and may legitimately be negative) and
+      non-decreasing in rank;
     - no duplicate ids within a query;
     - every returned id exists in the base table;
     - with ``truth`` (methods that report exact distances): the
       distance at rank r is ≥ the flat-oracle distance at rank r
       (candidate-subset lower bound — holds for any seed);
     - with ``queries``: the reported distance equals the recomputed
-      exact L2 between the query and the returned vector.
+      exact distance in ``metric`` between the query and the
+      returned vector.
     Any regression (wrong distances, unsorted output, fabricated ids,
     better-than-exact results) flips booleans and fails the hash."""
     from pyspark.sql import Window
 
-    from gofaiss_spark.functions.distance import l2_distance
+    from gofaiss_spark.functions.distance import (
+        cosine_distance,
+        inner_product_distance,
+        l2_distance,
+    )
 
     df = res.select("query_id", "id", "distance", "rank")
     w = Window.partitionBy("query_id").orderBy("rank")
@@ -1829,14 +1837,15 @@ def _ann_invariants(
     )
     df = df.join(vectors.select("id", F.col("vec").alias("_bvec")), "id", "left")
     ok = (
-        (F.col("distance") >= F.lit(-1e-9))
-        & (
+        (
             F.col("_prev").isNull()
             | (F.col("distance") >= F.col("_prev") - F.lit(1e-9))
         )
         & (F.col("_ndup") == F.lit(1))
         & F.col("_bvec").isNotNull()
     )
+    if metric != "dot":
+        ok = ok & (F.col("distance") >= F.lit(-1e-9))
     if truth is not None:
         t = truth.select("query_id", "rank", F.col("distance").alias("_truth_d"))
         df = df.join(t, ["query_id", "rank"], "left")
@@ -1848,8 +1857,14 @@ def _ann_invariants(
     if queries is not None:
         qn = queries.select("query_id", F.col("qvec").alias("_qvec"))
         df = df.join(F.broadcast(qn), "query_id", "left")
-        exact = l2_distance(
-            F.col("_bvec").cast("array<double>"), F.col("_qvec").cast("array<double>")
+        bvec = F.col("_bvec").cast("array<double>")
+        qvec = F.col("_qvec").cast("array<double>")
+        exact = (
+            l2_distance(bvec, qvec)
+            if metric == "l2"
+            else cosine_distance(bvec, qvec)
+            if metric == "cosine"
+            else inner_product_distance(bvec, qvec)
         )
         ok = ok & (F.abs(F.col("distance") - exact) <= F.lit(tol))
     return df.select(
@@ -2163,6 +2178,43 @@ def _hnsw_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_hnsw_routed(v, nlist=4, m=16, ef_construction=100, seed=42)
     res = search_hnsw_routed(idx, q, k=TOPK_K, nprobe=2, ef_search=100)
     return _ann_invariants(res, v, queries=q, truth=search_flat(v, q, k=TOPK_K))
+
+
+def _hnsw_routed_metric_topk(metric: str):
+    """Per-metric twins of _hnsw_routed_topk (round-9 verdict item 4:
+    the hnsw family was the last index family with l2-only driver
+    evidence; `_batch_scores` implements all three metrics —
+    hnsw.py:500-511 — this exercises the cosine/dot graph kernels
+    end-to-end: per-metric routing, greedy descent, layer-0
+    expansion, and `_score_to_dist` reporting. Exact-distance
+    invariants apply: cosine/dot report exact recomputable distances
+    (cosine via pre-normalized rows), so the per-rank flat-oracle
+    lower bound + distance-honesty checks hold for any seed.
+    Reference analogue: internal/math/distance_test.go:91-125 ×
+    hnsw.go:142-187)."""
+
+    def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gofaiss_spark.operators.hnsw import (
+            build_hnsw_routed,
+            search_hnsw_routed,
+        )
+        from gofaiss_spark.operators.topk import search_flat
+
+        v = _vectors(spark, sf_dir)
+        q = _queries_df(spark, sf_dir, N_ANN_QUERIES)
+        idx = build_hnsw_routed(
+            v, nlist=4, m=16, ef_construction=100, metric=metric, seed=42
+        )
+        res = search_hnsw_routed(idx, q, k=TOPK_K, nprobe=2, ef_search=100)
+        return _ann_invariants(
+            res,
+            v,
+            queries=q,
+            truth=search_flat(v, q, k=TOPK_K, metric=metric),
+            metric=metric,
+        )
+
+    return _q
 
 
 def _hnsw_local_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4753,7 +4805,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     regression-guarded by the local sf0.001 DuckDB oracle suite
     (tests/test_entry_oracle.py)."""
     return {
-        # --- new round-8 queries (prepended per the standing rule) ---
+        # --- new round-9 queries (prepended per the standing rule) ---
+        "hnsw_routed_cosine_topk": _hnsw_routed_metric_topk("cosine"),
+        "hnsw_routed_dot_topk": _hnsw_routed_metric_topk("dot"),
+        # --- round-8 queries ---
         "flat_local_dot_topk": _flat_local_dot_topk,
         "ivf_sharded_dot_topk": _ivf_sharded_dot_topk,
         # --- the stale tail, oldest-first; opq_topk leads (r3-green
@@ -5043,6 +5098,8 @@ GROUP BY label, g.i
         "ivfsq_topk": _ANN_OK_SQL,
         "lsh_topk": _ANN_OK_SQL,
         "hnsw_local_topk": _ANN_OK_SQL,
+        "hnsw_routed_cosine_topk": _ANN_OK_SQL,
+        "hnsw_routed_dot_topk": _ANN_OK_SQL,
         "hnsw_topk": _ANN_OK_SQL,
         "hnsw_sharded_topk": _ANN_OK_SQL,
         "hnsw_routed_topk": _ANN_OK_SQL,

@@ -46,6 +46,16 @@ DEFAULT_EF_CONSTRUCTION = 200
 DEFAULT_EF_SEARCH = 200
 MAX_LEVEL_CAP = 16  # hnsw.go:287
 DEFAULT_MAX_VECTORS = 1_000_000
+# Batch-size dispatch: below this, the per-query sequential kernel
+# beats the lock-step batch kernel. Measured break-even is between
+# batch 8 (seq 7.13 ms vs lock-step 7.23) and batch 12 (8.29 vs
+# 11.14) — interleaved A/B, BENCH_AB.json hnsw_dispatch_ab_r9
+# (supersedes the r8 estimate of 10-20 from hnsw_batch_ab_r8).
+SEQ_DISPATCH_MAX = 10
+# Visited-state layout switch for the lock-step kernel: bool rows up
+# to this many nodes (chunk >= 256 under the 64 MB cap), bit-packed
+# uint8 rows beyond (8x wider chunks on big single cells).
+_BOOL_VISITED_MAX_N = 1 << 18
 
 
 @dataclass
@@ -147,15 +157,49 @@ def _score_to(g: HnswGraph, q: np.ndarray, idxs: np.ndarray, qn: float) -> np.nd
     return 1.0 - ip if g.metric == "cosine" else -ip
 
 
+def _score_to_es(g: HnswGraph, q: np.ndarray, idxs: np.ndarray, qn: float) -> np.ndarray:
+    """Einsum twin of `_score_to` for the small-batch sequential
+    SEARCH kernel. `np.einsum("ij,j->i", ...)` is bit-identical to
+    the lock-step kernel's `np.einsum("ij,ij->i", ...)` row
+    reduction (verified: same per-row summation order), while BLAS
+    gemv (`sub @ q`) differs at f32 summation-order ulps — so the
+    batch-size dispatch in `_search_graph_batch` preserves
+    bit-equality across tiers regardless of which kernel a batch
+    lands on. Build keeps `_score_to` (gemv is ~1.5-1.9x faster at
+    the per-pop m≈8-64 sizes the insert loop sees, and build needs
+    only determinism, not cross-kernel parity)."""
+    sub = g.vecs[idxs]
+    ip = np.einsum("ij,j->i", sub, q)
+    if g.metric == "l2":
+        return _vnorms(g)[idxs] + qn - 2.0 * ip
+    return 1.0 - ip if g.metric == "cosine" else -ip
+
+
 def _score_to_dist(g: HnswGraph, s: np.ndarray) -> np.ndarray:
-    """Score space → reported distance (sqrt for l2, identity else)."""
+    """Score space → reported distance (sqrt for l2; cosine clamped
+    to [0, 2] like the reference's sim∈[-1,1] clamp, distance.go:
+    55-71 — f32 self-matches otherwise report -2e-7; identity for
+    dot). Shared by every tier, so the clamp cannot break the
+    cross-tier bit-equality gates."""
     if g.metric == "l2":
         return np.sqrt(np.maximum(s, 0.0))
+    if g.metric == "cosine":
+        return np.clip(s, 0.0, 2.0)
     return np.asarray(s)
 
 
 def _qnorm(g: HnswGraph, q: np.ndarray) -> float:
     return float(q @ q) if g.metric == "l2" else 0.0
+
+
+def _qnorm_es(g: HnswGraph, q: np.ndarray) -> float:
+    """Einsum twin of `_qnorm` — the exact row reduction the
+    lock-step kernel uses for its batched query norms (BLAS sdot in
+    `_qnorm` differs at f32 ulps, which would leak into every l2
+    score of the sequential dispatch arm)."""
+    if g.metric != "l2":
+        return 0.0
+    return float(np.einsum("ij,ij->i", q[None], q[None])[0])
 
 
 def _search_layer(
@@ -166,6 +210,8 @@ def _search_layer(
     level: int,
     seen: np.ndarray | None = None,
     gen: int = 0,
+    score=_score_to,
+    qnorm=_qnorm,
 ) -> list[tuple[float, int]]:
     """Bounded best-first expansion (hnsw.go:343-392). Returns up to
     ``ef`` (distance, node) pairs, unsorted heap order.
@@ -176,9 +222,9 @@ def _search_layer(
     expansions over the same graph. Scores are in ``_score_to``
     space (squared L2) — callers needing reported distances apply
     ``_score_to_dist``."""
-    qn = _qnorm(g, q)
+    qn = qnorm(g, q)
     entry_arr = np.asarray(entry, dtype=np.int64)
-    dists = _score_to(g, q, entry_arr, qn)
+    dists = score(g, q, entry_arr, qn)
     if seen is None:
         visited = set(entry)
     else:
@@ -205,7 +251,7 @@ def _search_layer(
             if fresh_arr.size == 0:
                 continue
             seen[fresh_arr] = gen
-        nd = _score_to(g, q, fresh_arr, qn)
+        nd = score(g, q, fresh_arr, qn)
         worst = -results[0][0] if results else np.inf
         if len(results) >= ef:
             # numpy pre-filter: once the result heap is full, only
@@ -228,12 +274,14 @@ def _search_layer(
     return [(-nd, n) for nd, n in results]
 
 
-def _greedy_descend(g: HnswGraph, q: np.ndarray, from_level: int, to_level: int) -> int:
+def _greedy_descend(g: HnswGraph, q: np.ndarray, from_level: int,
+                    to_level: int, score=_score_to,
+                    qnorm=_qnorm) -> int:
     """ef=1 greedy walk through the upper layers (hnsw.go:158-168).
     Runs in score space — argmin is ordering-only."""
-    qn = _qnorm(g, q)
+    qn = qnorm(g, q)
     ep = g.entry_point
-    cur = float(_score_to(g, q, np.asarray([ep], dtype=np.int64), qn)[0])
+    cur = float(score(g, q, np.asarray([ep], dtype=np.int64), qn)[0])
     for lvl in range(from_level, to_level, -1):
         improved = True
         while improved:
@@ -241,7 +289,7 @@ def _greedy_descend(g: HnswGraph, q: np.ndarray, from_level: int, to_level: int)
             nbrs = g.edges[lvl].get(ep)
             if nbrs is None or nbrs.size == 0:
                 break
-            nd = _score_to(g, q, nbrs, qn)
+            nd = score(g, q, nbrs, qn)
             j = int(np.argmin(nd))
             if float(nd[j]) < cur:
                 cur = float(nd[j])
@@ -366,15 +414,23 @@ def _build_graph(
 def _search_graph_batch_seq(
     g: HnswGraph, qmat: np.ndarray, qids: np.ndarray, k: int, ef: int
 ) -> pd.DataFrame:
-    """Per-query reference kernel (the pre-round-8 hot path, kept for
-    A/B evidence and as executable documentation of the sequential
-    semantics `_search_graph_batch` vectorizes)."""
+    """Per-query kernel — the small-batch arm of the dispatch in
+    `_search_graph_batch` (round 9; the r8 A/B showed the lock-step
+    kernel 1.34x SLOWER at batch=6 — its vectorized rounds are pure
+    numpy-dispatch overhead when few queries share them). Scores via
+    `_score_to_es` so results are bit-identical to the lock-step
+    kernel (same einsum row reduction; exact score ties excepted),
+    which the cross-tier bit-equality driver gates rely on."""
     out_q, out_i, out_d = [], [], []
     seen = np.zeros(g.n(), dtype=np.int32)
     for row in range(qmat.shape[0]):
         q = qmat[row]
-        ep = _greedy_descend(g, q, g.max_level, 0) if g.max_level > 0 else g.entry_point
-        res = sorted(_search_layer(g, q, [ep], max(ef, k), 0, seen, row + 1))[
+        ep = (_greedy_descend(g, q, g.max_level, 0,
+                              score=_score_to_es, qnorm=_qnorm_es)
+              if g.max_level > 0 else g.entry_point)
+        res = sorted(_search_layer(g, q, [ep], max(ef, k), 0, seen,
+                                   row + 1, score=_score_to_es,
+                                   qnorm=_qnorm_es))[
             : k if k > 0 else None
         ]
         dists = _score_to_dist(g, np.asarray([s for s, _ in res]))
@@ -522,9 +578,45 @@ def _batch_layer0_chunk(
     maintenance run as single vectorized ops across the whole chunk
     (hnsw.go:343-392 semantics per query; the per-query pop order,
     stop rule and result set match the sequential kernel modulo f32
-    summation-order ties). Fills ``res_d``/``res_n`` views in place."""
+    summation-order ties). Fills ``res_d``/``res_n`` views in place.
+
+    Visited state is a plain bool matrix up to `_BOOL_VISITED_MAX_N`
+    nodes (fastest fancy-index ops; chunk width stays >= 256 under
+    the 64 MB cap), and a bit-packed uint8 bitmap beyond that (n/8
+    bytes per query), so chunk width no longer collapses toward the
+    slow small-batch regime on big single cells (round-8 verdict
+    "what's wrong" #2: bool rows at 10M nodes forced chunk=6).
+    Within one round each (row, node) pair is unique (one pop per
+    row, adjacency lists are duplicate-free), so the packed set-bits
+    pass can group by bit value and use plain fancy `|=` per group —
+    no `np.bitwise_or.at` in the hot loop."""
     cq, n = Q.shape[0], g.n()
-    seen = np.zeros((cq, n), dtype=bool)
+    packed = n > _BOOL_VISITED_MAX_N
+    if packed:
+        seen = np.zeros((cq, (n + 7) >> 3), dtype=np.uint8)
+
+        def _fresh(rows: np.ndarray, nodes: np.ndarray) -> np.ndarray:
+            return (
+                (seen[rows, nodes >> 3]
+                 >> (nodes & 7).astype(np.uint8)) & 1
+            ) == 0
+
+        def _mark(rows: np.ndarray, nodes: np.ndarray) -> None:
+            b3 = nodes >> 3
+            b7 = (nodes & 7).astype(np.uint8)
+            for b in range(8):
+                mk = b7 == b
+                if mk.any():
+                    seen[rows[mk], b3[mk]] |= np.uint8(1 << b)
+    else:
+        seen = np.zeros((cq, n), dtype=bool)
+
+        def _fresh(rows: np.ndarray, nodes: np.ndarray) -> np.ndarray:
+            return ~seen[rows, nodes]
+
+        def _mark(rows: np.ndarray, nodes: np.ndarray) -> None:
+            seen[rows, nodes] = True
+
     rows_all = np.arange(cq)
     cap = max(2 * ef, 64)
     cand_d = np.full((cq, cap), np.inf, dtype=np.float32)
@@ -539,7 +631,7 @@ def _batch_layer0_chunk(
     res_cnt = np.ones(cq, dtype=np.int64)
     worst = np.full(cq, np.inf, dtype=np.float32)
     worst[res_cnt >= ef] = res_d[res_cnt >= ef, 0]  # ef == 1 edge case
-    seen[rows_all, eps] = True
+    _mark(rows_all, eps)
     active = np.ones(cq, dtype=bool)
 
     while True:
@@ -564,11 +656,11 @@ def _batch_layer0_chunk(
         flat, frows, _cnt = _flat_gather(indptr, indices, cnodes, rows)
         if flat.size == 0:
             continue
-        fresh = ~seen[frows, flat]
+        fresh = _fresh(frows, flat)
         if not fresh.any():
             continue
         frows, flat = frows[fresh], flat[fresh]
-        seen[frows, flat] = True
+        _mark(frows, flat)
         sc = _batch_scores(g, Q, frows, flat, qn)
         # group the fresh neighbors by query row (frows nondecreasing)
         first = _first_per_sorted(frows)
@@ -634,7 +726,16 @@ def _search_graph_batch(
     state and row-wise reductions only), so the distributed plan,
     the sharded tier and the local replica stay bit-identical — the
     `hnsw_local_topk` driver gate's contract. Queries are chunked so
-    the (chunk × n) visited bitmap stays ≤ ~64 MB."""
+    the visited state stays ≤ ~64 MB (bool rows up to
+    `_BOOL_VISITED_MAX_N` nodes, bit-packed beyond — 8x wider chunks
+    on big cells).
+
+    Round 9: batches below `SEQ_DISPATCH_MAX` dispatch to the
+    per-query sequential kernel (its own r8 A/B showed lock-step
+    1.34x slower at batch=6). Both kernels score via the same einsum
+    row reduction, so the dispatch is invisible to the cross-tier
+    bit-equality gates (exact f32 score ties excepted — the boundary
+    push rule differs on exact equality)."""
     nq = int(qmat.shape[0])
     kk = k if k > 0 else max(ef, k)
     if nq == 0 or g.n() == 0:
@@ -643,6 +744,8 @@ def _search_graph_batch(
             "id": np.empty(0, dtype=np.int64),
             "distance": np.empty(0, dtype=np.float64),
         })
+    if nq < SEQ_DISPATCH_MAX:
+        return _search_graph_batch_seq(g, qmat, qids, k, ef)
     ef_eff = max(ef, k)
     qn = (np.einsum("ij,ij->i", qmat, qmat)
           if g.metric == "l2" else None)
@@ -653,7 +756,14 @@ def _search_graph_batch(
     indptr, indices = _csr_level(g, 0)
     out_d = np.full((nq, ef_eff), np.inf, dtype=np.float32)
     out_n = np.full((nq, ef_eff), -1, dtype=np.int64)
-    chunk = max(1, min(nq, (64 << 20) // max(1, g.n())))
+    row_bytes = (g.n() if g.n() <= _BOOL_VISITED_MAX_N
+                 else (g.n() + 7) >> 3)
+    chunk = max(1, min(nq, (64 << 20) // max(1, row_bytes)))
+    if chunk < SEQ_DISPATCH_MAX:
+        # so-big-a-graph that the visited cap collapses chunk width
+        # into the regime where lock-step loses — run sequential
+        # (cannot happen under DEFAULT_MAX_VECTORS; defensive)
+        return _search_graph_batch_seq(g, qmat, qids, k, ef)
     for cs in range(0, nq, chunk):
         ce = min(nq, cs + chunk)
         _batch_layer0_chunk(

@@ -248,11 +248,12 @@ def test_sharded_api_dispatch(vectors, queries):
 
 @pytest.mark.parametrize("metric", ["l2", "cosine", "dot"])
 def test_batch_kernel_matches_sequential_reference(metric):
-    """The vectorized `_search_graph_batch` must return the same
-    per-query id sets as the per-query reference kernel
-    (`_search_graph_batch_seq`, the pre-round-8 hot path), with
-    distances equal to f32 summation-order ulps (einsum batch-dot vs
-    per-pop gemv)."""
+    """The vectorized `_search_graph_batch` must return BIT-IDENTICAL
+    results to the per-query kernel (`_search_graph_batch_seq`) —
+    both score via the same einsum row reduction since round 9, so
+    the small-batch dispatch can never change a result the
+    cross-tier bit-equality gates see (exact f32 score ties
+    excepted; absent on random data)."""
     from gofaiss_spark.operators.hnsw import (
         _build_graph,
         _prep,
@@ -274,10 +275,64 @@ def test_batch_kernel_matches_sequential_reference(metric):
         df.reset_index(drop=True, inplace=True)
     assert (a["query_id"].to_numpy() == b["query_id"].to_numpy()).all()
     assert (a["id"].to_numpy() == b["id"].to_numpy()).all()
-    np.testing.assert_allclose(
-        a["distance"].to_numpy(), b["distance"].to_numpy(),
-        rtol=1e-5, atol=1e-6,
+    assert (a["distance"].to_numpy() == b["distance"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine", "dot"])
+def test_small_batch_dispatch_bit_equal(metric):
+    """Batches below SEQ_DISPATCH_MAX route to the sequential kernel
+    (r8 A/B: lock-step 1.34x slower at batch=6); the dispatched
+    result must be bit-identical to a forced lock-step run of the
+    same queries."""
+    from gofaiss_spark.operators import hnsw as H
+
+    rng = np.random.default_rng(23)
+    vecs = H._prep(rng.random((600, 24), dtype=np.float32), metric)
+    g = H._build_graph(
+        np.arange(600, dtype=np.int64), vecs, 8, 64, metric, 9
     )
+    q = H._prep(rng.random((5, 24), dtype=np.float32), metric)
+    qids = np.arange(5, dtype=np.int64)
+    assert 5 < H.SEQ_DISPATCH_MAX
+    a = H._search_graph_batch(g, q, qids, 10, 50)  # → sequential arm
+    orig = H.SEQ_DISPATCH_MAX
+    H.SEQ_DISPATCH_MAX = 1
+    try:
+        b = H._search_graph_batch(g, q, qids, 10, 50)  # → lock-step
+    finally:
+        H.SEQ_DISPATCH_MAX = orig
+    for df in (a, b):
+        df.sort_values(["query_id", "id"], inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert (a["id"].to_numpy() == b["id"].to_numpy()).all()
+    assert (a["distance"].to_numpy() == b["distance"].to_numpy()).all()
+
+
+def test_packed_visited_bit_equal():
+    """The bit-packed visited bitmap (graphs above _BOOL_VISITED_MAX_N
+    nodes — round-9 decoupling of chunk width from graph size) must
+    produce bit-identical results to the bool-matrix path."""
+    from gofaiss_spark.operators import hnsw as H
+
+    rng = np.random.default_rng(31)
+    vecs = H._prep(rng.random((3000, 16), dtype=np.float32), "l2")
+    g = H._build_graph(
+        np.arange(3000, dtype=np.int64), vecs, 8, 64, "l2", 7
+    )
+    q = H._prep(rng.random((200, 16), dtype=np.float32), "l2")
+    qids = np.arange(200, dtype=np.int64)
+    a = H._search_graph_batch(g, q, qids, 10, 50)  # bool path
+    orig = H._BOOL_VISITED_MAX_N
+    H._BOOL_VISITED_MAX_N = 100  # force the packed path
+    try:
+        b = H._search_graph_batch(g, q, qids, 10, 50)
+    finally:
+        H._BOOL_VISITED_MAX_N = orig
+    for df in (a, b):
+        df.sort_values(["query_id", "id"], inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert (a["id"].to_numpy() == b["id"].to_numpy()).all()
+    assert (a["distance"].to_numpy() == b["distance"].to_numpy()).all()
 
 
 def test_batch_kernel_csr_cache_invalidated_by_remove(vectors, queries):
