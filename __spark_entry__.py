@@ -3811,6 +3811,50 @@ FROM f
 """
 
 
+def _multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path (round 9): deterministic int16 PCM
+    signals keyed on doc_id are ENCODED to WAV container bytes and
+    DECODED back through the stdlib ``wave`` RIFF parser
+    (operators/multimodal.py: synth_wav → wav_features); the oracle
+    recomputes every feature analytically from doc_id, so a header
+    mis-parse, channel/frame miscount, or sample decode error breaks
+    the hash. This is the one decode seam implementable without
+    external codec libs — image/video remain documented
+    NotImplementedError seams."""
+    from gofaiss_spark.operators.multimodal import synth_wav, wav_features
+    from gofaiss_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    return wav_features(synth_wav(docs))
+
+
+_MULTIMODAL_AUDIO_SQL = """
+WITH d AS (
+  SELECT doc_id AS id,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         1 + doc_id % 2 AS channels,
+         100 + doc_id % 50 AS frames
+  FROM documents
+),
+s AS (
+  SELECT d.id, d.rate, d.channels, d.frames,
+         (d.id * 31 + g.j * 7) % 2001 - 1000 AS v
+  FROM d CROSS JOIN generate_series(0, 298) AS g(j)
+  WHERE g.j < d.frames * d.channels
+)
+SELECT id,
+       CAST(any_value(rate) AS INT) AS sample_rate,
+       CAST(any_value(channels) AS INT) AS n_channels,
+       CAST(any_value(frames) AS BIGINT) AS n_samples,
+       CAST(any_value(frames) * 1000000 // any_value(rate) AS BIGINT) AS duration_us,
+       round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms,
+       CAST(max(abs(v)) AS BIGINT) AS peak_abs
+FROM s GROUP BY id
+"""
+
+
 # --- full-text retrieval (BM25 / TF-IDF, operators/retrieval.py) ----
 
 # Deterministic lexical query batch over the synthetic corpus
@@ -4808,6 +4852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-9 queries (prepended per the standing rule) ---
         "hnsw_routed_cosine_topk": _hnsw_routed_metric_topk("cosine"),
         "hnsw_routed_dot_topk": _hnsw_routed_metric_topk("dot"),
+        "multimodal_audio_features": _multimodal_audio_features,
         # --- round-8 queries ---
         "flat_local_dot_topk": _flat_local_dot_topk,
         "ivf_sharded_dot_topk": _ivf_sharded_dot_topk,
@@ -5084,6 +5129,7 @@ GROUP BY label, g.i
         "embedding_near_dup_lsh": _EMB_NEAR_DUP_SQL,
         "multimodal_stats": _MULTIMODAL_STATS_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+        "multimodal_audio_features": _MULTIMODAL_AUDIO_SQL,
         "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
         # approximate-search entries emit derived engine-independent
         # invariant booleans (see _ann_invariants): the oracle states

@@ -11,12 +11,16 @@ north-star surface (SURVEY.md §7 phase E). Design rules:
 - all per-payload compute runs Arrow-batched in ``mapInPandas`` —
   never per-row Python;
 - REAL codec work (JPEG decode, resampling, frame extraction) needs
-  image/audio libs that are NOT in this environment, so the decode
-  kernel is pluggable: ``decoder="fake"`` is a deterministic
+  image/video libs that are NOT in this environment, so those decode
+  kernels are pluggable: ``decoder="fake"`` is a deterministic
   bytes→features stub (documented, test-covered) and the library
   paths raise ``NotImplementedError`` at *call* time (driver-side,
   not mid-job). The Spark-side plumbing — schema, batching, fan-out
   cardinality, partitioning — is real and tested either way.
+- AUDIO is the exception (round 9): WAV decode needs only the stdlib
+  ``wave`` module, so ``wav_features`` is a REAL bytes→signal→
+  features codec path (RIFF header parse + int16 PCM decode), not a
+  stub — the ``NotImplementedError`` seam is image/video only.
 """
 
 from __future__ import annotations
@@ -61,8 +65,10 @@ def _require_decoder(decoder: str) -> None:
             import soundfile  # noqa: F401
         except ImportError as e:  # pragma: no cover - env-dependent
             raise NotImplementedError(
-                "decoder='audio' needs soundfile/librosa, not installed here; "
-                "use decoder='fake' for the plumbing path"
+                "decoder='audio' needs soundfile/librosa (not installed "
+                "here) for compressed formats; WAV has a REAL stdlib codec "
+                "path — use wav_features(); decoder='fake' covers the "
+                "generic plumbing path"
             ) from e
         return
     raise ValueError(f"unknown decoder {decoder!r} (expected fake|image|audio)")
@@ -167,6 +173,125 @@ def sample_frames(
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
     return base.mapInPandas(part, schema="id long, frame_idx int, frame binary")
+
+
+def synth_wav(
+    df: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """Deterministic synthetic WAV payloads keyed on ``id`` — the test
+    corpus generator for the real audio codec path. Per id ``d``:
+    sample rate ``8000 + (d%3)*4000`` Hz, ``1 + d%2`` channels,
+    ``100 + d%50`` frames, interleaved int16 values
+    ``v_j = (d*31 + j*7) % 2001 - 1000``. Every field is an analytic
+    function of ``d``, so a SQL oracle can recompute the features
+    that `wav_features` extracts from the ENCODED bytes — the
+    encode→decode round trip through the stdlib ``wave`` RIFF codec
+    is what the driver row actually verifies. Arrow-batched; one
+    task per input partition."""
+    import io
+    import wave as wave_mod
+
+    base = df.select(F.col(id_col).alias("id"))
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for d in pdf["id"].to_numpy(dtype=np.int64):
+                d = int(d)
+                rate = 8000 + (d % 3) * 4000
+                channels = 1 + d % 2
+                frames = 100 + d % 50
+                j = np.arange(frames * channels, dtype=np.int64)
+                vals = ((d * 31 + j * 7) % 2001 - 1000).astype("<i2")
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(channels)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(vals.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    "modality": "audio",
+                    "content": payloads,
+                }
+            )
+
+    return base.mapInPandas(
+        part, schema="id long, modality string, content binary"
+    )
+
+
+def wav_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """REAL audio decode: WAV (RIFF) bytes → per-clip signal features
+    via the stdlib ``wave`` module — no external codec libs needed,
+    so unlike the image/video seams this path parses actual container
+    bytes end-to-end. Emits
+    (id, sample_rate, n_channels, n_samples, duration_us, rms,
+    peak_abs) where ``n_samples`` is frames per channel,
+    ``duration_us`` is exact integer microseconds (floor — float
+    seconds round-tie differently across engines), ``rms`` is over
+    all interleaved int16 samples (6dp) and ``peak_abs`` is
+    ``max(|sample|)``. Arrow-batched in ``mapInPandas``, one task per
+    partition — the decode kernel a 100 TB audio corpus would run,
+    with this function's body swapped for a resampling/fbank kernel.
+    Unparseable or empty payloads are dropped (poison-blob tolerance:
+    a corrupt clip must not kill the ingest job)."""
+    import io
+    import wave as wave_mod
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content")
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "id": [], "sample_rate": [], "n_channels": [],
+                "n_samples": [], "duration_us": [], "rms": [],
+                "peak_abs": [],
+            }
+            for i, payload in zip(
+                pdf["id"].to_numpy(dtype=np.int64), pdf["content"]
+            ):
+                if payload is None:
+                    continue
+                try:
+                    with wave_mod.open(io.BytesIO(bytes(payload))) as w:
+                        rate = w.getframerate()
+                        channels = w.getnchannels()
+                        width = w.getsampwidth()
+                        frames = w.getnframes()
+                        raw = w.readframes(frames)
+                except (wave_mod.Error, EOFError):
+                    continue
+                if width != 2 or frames == 0:
+                    continue
+                sig = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                rows["id"].append(int(i))
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(channels)
+                rows["n_samples"].append(frames)
+                rows["duration_us"].append(frames * 1_000_000 // rate)
+                rows["rms"].append(round(float(np.sqrt(np.mean(sig * sig))), 6))
+                rows["peak_abs"].append(int(np.abs(sig).max()))
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        part,
+        schema=(
+            "id long, sample_rate int, n_channels int, n_samples long, "
+            "duration_us long, rms double, peak_abs long"
+        ),
+    )
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:

@@ -112,3 +112,48 @@ def test_real_decoders_gated(corpus):
         extract_features(corpus, decoder="audio")
     with pytest.raises(ValueError):
         extract_features(corpus, decoder="bogus")
+
+
+# --- round 9: REAL WAV codec path (stdlib wave, no external libs) ---
+
+
+def test_wav_roundtrip_features(spark):
+    """synth_wav encodes real RIFF containers; wav_features must
+    decode them back to the exact analytic parameters."""
+    from gofaiss_spark.operators.multimodal import synth_wav, wav_features
+
+    ids = spark.range(0, 12).select(F.col("id"))
+    out = {r.id: r for r in wav_features(synth_wav(ids)).collect()}
+    assert set(out) == set(range(12))
+    import numpy as np
+
+    for d, r in out.items():
+        assert r.sample_rate == 8000 + (d % 3) * 4000
+        assert r.n_channels == 1 + d % 2
+        assert r.n_samples == 100 + d % 50
+        assert r.duration_us == r.n_samples * 1_000_000 // r.sample_rate
+        j = np.arange(r.n_samples * r.n_channels, dtype=np.int64)
+        vals = (d * 31 + j * 7) % 2001 - 1000
+        assert r.peak_abs == int(np.abs(vals).max())
+        assert r.rms == round(float(np.sqrt(np.mean(vals.astype(float) ** 2))), 6)
+
+
+def test_wav_features_skips_corrupt_payloads(spark):
+    """Poison-blob tolerance: corrupt/None/truncated bytes are
+    dropped, valid clips still decode — a bad blob must not kill a
+    100 TB ingest job."""
+    from gofaiss_spark.operators.multimodal import synth_wav, wav_features
+
+    good = synth_wav(spark.range(3, 4)).collect()[0]
+    df = spark.createDataFrame(
+        [
+            (1, b"not a wav at all"),
+            (2, None),
+            (3, bytes(good.content)),
+            (4, bytes(good.content)[:20]),  # truncated header
+        ],
+        schema="id long, content binary",
+    )
+    rows = wav_features(df).collect()
+    assert [r.id for r in rows] == [3]
+    assert rows[0].sample_rate == 8000
