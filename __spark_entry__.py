@@ -4831,48 +4831,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ships outside the window. STANDING RULE (round-5 verdict): any
     commit touching operators/topk.py, operators/local_serve.py, or
     functions/distance.py re-queues the flat/quantized family into the
-    window the same round.
+    window the same round; by the same spirit, touching any operator
+    module re-queues the rows whose plan runs that module.
 
-    Round-8 window (slots 1-50), per the r7 verdict's #1 directive
-    ("rotate to the stale tail, opq_topk first"): the two round-8
-    additions (the dot serving rows — the last metric arm without
-    serving-tier driver evidence), then opq_topk (last green r3, and
-    its search path runs the round-7 adc_accumulate rewrite — the
-    standing-rule re-queue the r7 verdict flagged), then the full
-    stale tail oldest-first (the six r1 rows, the five r2 rows, the
-    r3 cohort, the nine r5 rows), then the serving re-queue for code
-    touched THIS round (local_serve.py: worker-init warning + the
-    batched HNSW frontier work; shard_serve.py: save_sharded
-    vectors-join fold, refresh drop_old release), then flat/r6
-    sentinels to fill slot 50. After this round every registered
-    query's latest green check is r6 or newer. All remain
-    regression-guarded by the local sf0.001 DuckDB oracle suite
+    Round-9 window (slots 1-50), per the r8 verdict's #1 directive
+    ("rotate to the r6 cohort"): the three round-9 additions first
+    (the HNSW cosine/dot metric rows — the last index family without
+    per-metric driver evidence — and the real-WAV-codec multimodal
+    row), then the full 34-query r6 cohort oldest-first (sql/binary/
+    filtered_topk, ivf_topk_nprobe, vector_norms, centroid_by_label,
+    the 21 remaining TPC-H rows, doc_fingerprint, revenue_by_nation,
+    and the five temporal/event rows), then the standing-rule
+    re-queues for code touched THIS round (hnsw.py: small-batch
+    dispatch + bit-packed visited epoch kernel -> all four hnsw rows;
+    multimodal.py: real WAV decode path alongside the fake seam ->
+    the three multimodal rows), then the oldest r7 quantized-family
+    rows to fill slot 50. After this round every registered query's
+    latest green check is r7 or newer. All remain regression-guarded
+    by the local sf0.001 DuckDB oracle suite
     (tests/test_entry_oracle.py)."""
     return {
         # --- new round-9 queries (prepended per the standing rule) ---
         "hnsw_routed_cosine_topk": _hnsw_routed_metric_topk("cosine"),
         "hnsw_routed_dot_topk": _hnsw_routed_metric_topk("dot"),
         "multimodal_audio_features": _multimodal_audio_features,
-        # --- round-8 queries ---
+        # --- the r6 cohort (34 rows, latest green r6 per
+        #     CORRECTNESS_r06.json — the whole stale tail) ---
+        "sql_topk": _sql_topk,
+        "binary_topk": _binary_topk,
+        "filtered_topk": _filtered_topk,
+        "ivf_topk_nprobe": _ivf_topk_nprobe,
+        "vector_norms": _vector_norms,
+        "centroid_by_label": _centroid_by_label,
+        "tpch_q1": _tpch_q1,
+        "tpch_q2": _tpch_q2,
+        "tpch_q3": _tpch_q3,
+        "tpch_q4": _tpch_q4,
+        "tpch_q5": _tpch_q5,
+        "tpch_q6": _tpch_q6,
+        "tpch_q7": _tpch_q7,
+        "tpch_q8": _tpch_q8,
+        "tpch_q9": _tpch_q9,
+        "tpch_q10": _tpch_q10,
+        "tpch_q11": _tpch_q11,
+        "tpch_q13": _tpch_q13,
+        "tpch_q14": _tpch_q14,
+        "tpch_q15": _tpch_q15,
+        "tpch_q16": _tpch_q16,
+        "tpch_q17": _tpch_q17,
+        "tpch_q18": _tpch_q18,
+        "tpch_q19": _tpch_q19,
+        "tpch_q20": _tpch_q20,
+        "tpch_q21": _tpch_q21,
+        "tpch_q22": _tpch_q22,
+        "doc_fingerprint": _doc_fingerprint,
+        "revenue_by_nation": _revenue_by_nation,
+        "events_hourly": _events_hourly,
+        "event_sessions": _event_sessions,
+        "events_asof_clicks": _events_asof_clicks,
+        "events_rollup": _events_rollup,
+        "events_range_join": _events_range_join,
+        # --- HNSW re-queue: round 9 touches hnsw.py (small-batch
+        #     seq/lock-step dispatch + the bit-packed visited epoch
+        #     kernel) that every hnsw row executes ---
+        "hnsw_topk": _hnsw_topk,
+        "hnsw_sharded_topk": _hnsw_sharded_topk,
+        "hnsw_routed_topk": _hnsw_routed_topk,
+        "hnsw_local_topk": _hnsw_local_topk,
+        # --- multimodal re-queue: round 9 touches multimodal.py
+        #     (real stdlib-wave decode path beside the fake seam) ---
+        "multimodal_features": _multimodal_features,
+        "multimodal_frame_sample": _multimodal_frame_sample,
+        "multimodal_stats": _multimodal_stats,
+        # --- oldest-r7 quantized-family fill to slot 50 ---
+        "pq_topk": _pq_topk,
+        "ivfpq_topk": _ivfpq_topk,
+        "pq_refine_topk": _pq_refine_topk,
+        "ivfpq_refine_topk": _ivfpq_refine_topk,
+        "ivf_merged_topk": _ivf_merged_topk,
+        "sq_topk": _sq_topk,
+        # ---- window boundary (slot 50) ----
+        # --- r8-verified green (kernels untouched this round) ---
         "flat_local_dot_topk": _flat_local_dot_topk,
         "ivf_sharded_dot_topk": _ivf_sharded_dot_topk,
-        # --- the stale tail, oldest-first; opq_topk leads (r3-green
-        #     on a path the r7 ADC rewrite changed) ---
         "opq_topk": _opq_topk,
-        # r1 cohort
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_minhash_near_dup": _doc_minhash_near_dup,
         "doc_ngram_jaccard": _doc_ngram_jaccard,
         "doc_lang_id": _doc_lang_id,
         "doc_quality": _doc_quality,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
-        # r2 cohort
         "doc_lang_dist": _doc_lang_dist,
         "doc_normalize": _doc_normalize,
         "doc_char_entropy": _doc_char_entropy,
         "doc_token_stats": _doc_token_stats,
         "doc_token_percentiles": _doc_token_percentiles,
-        # r3 cohort
         "doc_bigram_perplexity": _doc_bigram_perplexity,
         "doc_substring_dup": _doc_substring_dup,
         "embedding_semdedup": _embedding_semdedup,
@@ -4880,10 +4933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mix_plan": _doc_mix_plan,
         "doc_snapshot_diff": _doc_snapshot_diff,
         "doc_vocab": _doc_vocab,
-        "multimodal_features": _multimodal_features,
-        "multimodal_frame_sample": _multimodal_frame_sample,
         "tpch_q12": _tpch_q12,
-        # r5 cohort
         "doc_chunks": _doc_chunks,
         "doc_contamination": _doc_contamination,
         "doc_curation_pipeline": _doc_curation_pipeline,
@@ -4893,25 +4943,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _doc_repetition,
         "doc_stratified_sample": _doc_stratified_sample,
         "doc_top_quality_per_lang": _doc_top_quality_per_lang,
-        # --- serving re-queue: round 8 touches local_serve.py
-        #     (worker-init warning path, batched HNSW frontier) and
-        #     shard_serve.py (vectors-join fold in save_sharded,
-        #     refresh drop_old⇒release) — every serving row whose
-        #     path runs that code re-enters per the standing rule ---
         "flat_local_cosine_topk": _flat_local_cosine_topk,
         "ivf_local_topk": _ivf_local_topk,
-        "hnsw_local_topk": _hnsw_local_topk,
         "ivf_sharded_cosine_topk": _ivf_sharded_cosine_topk,
         "ivf_sharded_exec_topk": _ivf_sharded_exec_topk,
         "ivf_sharded_refresh_topk": _ivf_sharded_refresh_topk,
         "ivfpq_sharded_exec_topk": _ivfpq_sharded_exec_topk,
-        # --- HNSW re-queue: round 8 replaces the shared graph-search
-        #     kernel (_search_graph_batch → lock-step batch) that the
-        #     distributed, sharded and routed rows all execute ---
-        "hnsw_topk": _hnsw_topk,
-        "hnsw_sharded_topk": _hnsw_sharded_topk,
-        "hnsw_routed_topk": _hnsw_routed_topk,
-        # --- r6 freshening to fill the window ---
         "flat_topk_l2": _flat_topk("l2"),
         "flat_topk_cosine": _flat_topk("cosine"),
         "flat_topk_dot": _flat_topk("dot"),
@@ -4919,17 +4956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_fullprobe_topk": _ivf_fullprobe_topk,
         "range_search_l2": _range_search_l2,
         "pca_topk": _pca_topk,
-        # ---- window boundary (slot 50) ----
-        # --- r6-verified green (kernels untouched this round) ---
-        "sql_topk": _sql_topk,
-        "binary_topk": _binary_topk,
-        "filtered_topk": _filtered_topk,
         # --- r7-verified green ---
-        "ivf_merged_topk": _ivf_merged_topk,
-        "ivfpq_refine_topk": _ivfpq_refine_topk,
-        "pq_topk": _pq_topk,
-        "ivfpq_topk": _ivfpq_topk,
-        "pq_refine_topk": _pq_refine_topk,
         "stream_event_windows": _stream_event_windows,
         "doc_ppl_buckets": _doc_ppl_buckets,
         "doc_dsir_resample": _doc_dsir_resample,
@@ -4938,8 +4965,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_encode": _doc_bpe_encode,
         "doc_vocab_drift": _doc_vocab_drift,
         "doc_bpe_roundtrip": _doc_bpe_roundtrip,
-        "multimodal_stats": _multimodal_stats,
-        "sq_topk": _sq_topk,
         "ivfsq_topk": _ivfsq_topk,
         "lsh_topk": _lsh_topk,
         "ann_recall_report": _ann_recall_report,
@@ -4965,39 +4990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": _events_cohort_retention,
         "customer_running_total": _customer_running_total,
         "events_value_histogram": _events_value_histogram,
-        # --- r6-verified green ---
-        "ivf_topk_nprobe": _ivf_topk_nprobe,
-        "tpch_q1": _tpch_q1,
-        "tpch_q18": _tpch_q18,
-        "vector_norms": _vector_norms,
-        "centroid_by_label": _centroid_by_label,
-        "tpch_q3": _tpch_q3,
-        "tpch_q5": _tpch_q5,
-        "tpch_q10": _tpch_q10,
-        "tpch_q4": _tpch_q4,
-        "tpch_q6": _tpch_q6,
-        "tpch_q14": _tpch_q14,
-        "tpch_q2": _tpch_q2,
-        "tpch_q7": _tpch_q7,
-        "tpch_q8": _tpch_q8,
-        "tpch_q9": _tpch_q9,
-        "tpch_q11": _tpch_q11,
-        "tpch_q13": _tpch_q13,
-        "tpch_q15": _tpch_q15,
-        "tpch_q16": _tpch_q16,
-        "tpch_q17": _tpch_q17,
-        "tpch_q19": _tpch_q19,
-        "tpch_q20": _tpch_q20,
-        "tpch_q21": _tpch_q21,
-        "tpch_q22": _tpch_q22,
-        "doc_fingerprint": _doc_fingerprint,
-        "revenue_by_nation": _revenue_by_nation,
-        "events_hourly": _events_hourly,
-        "event_sessions": _event_sessions,
-        "events_asof_clicks": _events_asof_clicks,
-        "events_rollup": _events_rollup,
-        "events_range_join": _events_range_join,
     }
+
 
 
 def oracle_sql() -> dict[str, str]:
