@@ -13,6 +13,8 @@ reference's oversample-then-filter approximation (search.go:165-189).
 
 from __future__ import annotations
 
+import atexit
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -176,10 +178,328 @@ def cache_index(index) -> None:
             df.cache().count()
 
 
+# ---------------------------------------------------------------------------
+# Serving-tier dispatch — the one-call façade (search.go:42-84): the
+# reference's Searcher hides index mechanics behind Search(); ours
+# additionally hides the EXECUTION TIER. Three tiers exist (SCALE.md):
+#
+#   local        driver-colocated replica (operators/local_serve.py) —
+#                the single-node serving regime; a LocalServerPool of
+#                spawn workers is used for large batches (GIL-free).
+#   sharded      executor-colocated shm shards (operators/
+#                shard_serve.py) over a partitioned artifact.
+#   distributed  the Spark plan (scan per query batch) — the only tier
+#                with no resident-RAM bound; also the build/offline
+#                regime.
+#
+# ``tier="auto"`` (the DEFAULT for api.search) routes by artifact size
+# and batch shape: an index whose localized footprint fits
+# LOCAL_TIER_CAP_MB serves from a driver replica (pooled when the
+# batch is ≥ POOL_MIN_BATCH), a ShardedSearcher handle serves from its
+# shards, anything else runs the distributed plan. Localization
+# happens ONCE per index object (cached), so the first call pays the
+# collect and steady-state serving runs at replica speed. All tiers
+# return bit-identical results by construction (the local kernels are
+# margin-guarded f32-rank/f64-re-score; see LocalFlatIndex.search).
+
+LOCAL_TIER_CAP_MB = float(os.environ.get("GOFAISS_LOCAL_TIER_CAP_MB", "4096"))
+POOL_MIN_BATCH = int(os.environ.get("GOFAISS_POOL_MIN_BATCH", "512"))
+TIERS = ("auto", "local", "sharded", "distributed")
+
+_POOLS: list = []  # every pool ever built, closed at interpreter exit
+
+
+@atexit.register
+def _close_pools() -> None:
+    for p in _POOLS:
+        try:
+            p.close()
+        except Exception:
+            pass
+    _POOLS.clear()
+
+
+def _tier_row_count(index) -> int:
+    """One count job per index object, cached (serving pattern)."""
+    n = index.__dict__.get("_tier_nrows")
+    if n is None:
+        for attr in ("vectors", "assignments", "codes"):
+            df = getattr(index, attr, None)
+            if df is not None and hasattr(df, "count"):
+                n = int(df.count())
+                break
+        index.__dict__["_tier_nrows"] = n
+    return n
+
+
+def localized_mb(index) -> float | None:
+    """Estimated driver-resident footprint (MB) if ``index`` were
+    localized; ``None`` when the type has no driver-colocated adapter
+    (LSH, sharded-HNSW, OPQ, IVFSQ → distributed only)."""
+    from gofaiss_spark.operators.hnsw import HnswIndex, HnswRoutedIndex
+
+    if isinstance(index, HnswIndex):
+        return 0.0  # the graph already lives on the driver
+    if isinstance(index, HnswRoutedIndex):
+        mb = index.__dict__.get("_tier_blob_mb")
+        if mb is None:
+            from pyspark.sql import functions as F
+
+            row = index.blobs.select(
+                F.sum(F.length("blob")).alias("b")).first()
+            mb = float(row["b"] or 0) / (1024 * 1024)
+            index.__dict__["_tier_blob_mb"] = mb
+        return mb
+    if isinstance(index, (FlatIndex, IvfIndex)):
+        per_row = index.dim * 4 + 16
+    elif isinstance(index, (PqIndex, IvfPqIndex)):
+        per_row = index.m + 16
+    elif isinstance(index, SqIndex):
+        per_row = index.dim + 16
+    else:
+        return None
+    return _tier_row_count(index) * per_row / (1024 * 1024)
+
+
+def resolve_tier(index, n_queries: int | None = None,
+                 params: dict | None = None) -> str:
+    """The auto-routing decision, exposed for tests/inspection.
+    Returns the concrete tier ("local" | "sharded" | "distributed")
+    that ``tier="auto"`` would pick for this index and batch shape."""
+    from gofaiss_spark.operators.shard_serve import ShardedSearcher
+
+    if isinstance(index, ShardedSearcher):
+        return "sharded"
+    params = params or {}
+    # refine/base exact re-ranking is a distributed-plan feature: the
+    # auto-localized PQ/IVFPQ/SQ replicas don't pack the stored rows
+    # (that is an explicit to_local_*(vectors=...) opt-in), so refine
+    # there would raise — route it to the plan that has the vectors
+    if params.get("base") is not None or params.get("refine") is not None:
+        return "distributed"
+    mb = localized_mb(index)
+    if mb is None or mb > LOCAL_TIER_CAP_MB:
+        return "distributed"
+    return "local"
+
+
+def _to_local_handle(index):
+    """Localize once per index object (cached on the index)."""
+    h = index.__dict__.get("_tier_local")
+    if h is not None:
+        return h
+    from gofaiss_spark.operators import local_serve as ls
+
+    if isinstance(index, FlatIndex):
+        h = ls.to_local(index)
+    elif isinstance(index, IvfIndex):
+        h = ls.to_local_ivf(index)
+    elif isinstance(index, PqIndex):
+        h = ls.to_local_pq(index, vectors=None)
+    elif isinstance(index, IvfPqIndex):
+        h = ls.to_local_ivfpq(index, vectors=None)
+    elif isinstance(index, SqIndex):
+        h = ls.to_local_sq(index, vectors=None)
+    else:
+        from gofaiss_spark.operators.hnsw import HnswIndex, HnswRoutedIndex
+
+        if isinstance(index, HnswIndex):
+            h = ls.hnsw_to_local(index)
+        elif isinstance(index, HnswRoutedIndex):
+            h = ls.hnsw_routed_to_local(index)
+        else:
+            raise TypeError(
+                f"no local adapter for {type(index).__name__}")
+    index.__dict__["_tier_local"] = h
+    return h
+
+
+def _to_pool_handle(index):
+    """LocalServerPool per index object (cached; closed at exit)."""
+    p = index.__dict__.get("_tier_pool")
+    if p is None:
+        from gofaiss_spark.operators.local_serve import LocalServerPool
+
+        p = LocalServerPool(_to_local_handle(index))
+        index.__dict__["_tier_pool"] = p
+        _POOLS.append(p)
+    return p
+
+
+def _local_search_np(index, qmat, k: int, params: dict):
+    """Serve a query matrix from the driver replica → (ids, dists).
+    Pool for large batches; in-process for small ones (the pool's
+    scatter overhead loses below POOL_MIN_BATCH) and for per-call
+    ef_search overrides (the pool bakes ef at spawn)."""
+    from gofaiss_spark.operators import local_serve as ls
+    from gofaiss_spark.operators.hnsw import HnswIndex, HnswRoutedIndex
+
+    nprobe = params.get("nprobe", DEFAULT_NPROBE)
+    refine = params.get("refine")
+    ef = params.get("ef_search")
+    use_pool = len(qmat) >= POOL_MIN_BATCH and ef is None
+    if use_pool:
+        try:
+            return _to_pool_handle(index).search(
+                qmat, k=k, nprobe=nprobe, refine=refine)
+        except Exception:
+            # pool spawn can fail in constrained environments —
+            # in-process replica serves the same bits
+            index.__dict__.pop("_tier_pool", None)
+    h = _to_local_handle(index)
+    if isinstance(h, ls.LocalFlatIndex):
+        return h.search(qmat, k=k)
+    if isinstance(h, ls.LocalIvfIndex):
+        return h.search(qmat, k=k, nprobe=nprobe)
+    if isinstance(h, ls.LocalIvfPqIndex):
+        return h.search(qmat, k=k, nprobe=nprobe, refine=refine)
+    if isinstance(h, (ls.LocalPqIndex, ls.LocalSqIndex)):
+        return h.search(qmat, k=k, refine=refine)
+    # LocalHnswRoutedIndex (1-cell for plain HNSW)
+    if isinstance(index, HnswIndex):
+        return h.search(qmat, k=k, nprobe=1, ef_search=ef)
+    if isinstance(index, HnswRoutedIndex):
+        return h.search(qmat, k=k, nprobe=params.get("nprobe"),
+                        ef_search=ef)
+    return h.search(qmat, k=k)
+
+
+def _np_results_to_df(spark, qids, ids, dists) -> DataFrame:
+    """(q, k) id/dist matrices → the distributed result contract
+    (query_id, id, distance, rank 1..k); padding rows (no k-th
+    neighbor in the probed cells: id −1 / dist inf) are dropped, same
+    as the distributed plan simply yielding fewer rows."""
+    import numpy as np
+    import pandas as pd
+
+    kk = ids.shape[1]
+    out = pd.DataFrame({
+        "query_id": np.repeat(np.asarray(qids, dtype=np.int64), kk),
+        "id": ids.ravel().astype(np.int64),
+        "distance": dists.ravel().astype(np.float64),
+        "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(qids)),
+    })
+    out = out[np.isfinite(out["distance"].to_numpy())]
+    return spark.createDataFrame(
+        out, schema="query_id long, id long, distance double, rank int")
+
+
+def _collect_queries(queries: DataFrame):
+    import numpy as np
+
+    qp = queries.select("query_id", "qvec").toPandas()
+    qids = qp["query_id"].to_numpy(dtype=np.int64)
+    if len(qp) == 0:
+        return qids, np.empty((0, 1), dtype=np.float64)
+    return qids, np.stack(qp["qvec"].to_numpy()).astype(np.float64)
+
+
+class TierServer:
+    """One-call serving handle (``api.serve``): a bound (index, tier)
+    pair. ``search`` accepts either a (query_id, qvec) DataFrame
+    (returns the DataFrame result contract) or a raw query matrix
+    (returns (ids, dists) — the reference Search() shape,
+    search.go:56-84, which takes []float32 not a table)."""
+
+    def __init__(self, index, tier: str, spark=None):
+        self.index = index
+        self.tier = tier
+        self._spark = spark
+
+    def search(self, queries, k: int = DEFAULT_K,
+               params: dict | None = None):
+        params = dict(params or {})
+        params["tier"] = self.tier
+        if isinstance(queries, DataFrame):
+            return search(self.index, queries, k=k, params=params)
+        return self.search_np(queries, k=k, params=params)
+
+    def search_np(self, qmat, k: int = DEFAULT_K,
+                  params: dict | None = None):
+        """Raw-matrix serving path → (ids (q, k), dists (q, k))."""
+        params = dict(params or {})
+        if self.tier == "sharded":
+            return self.index.search(
+                qmat, k=k, nprobe=params.get("nprobe", DEFAULT_NPROBE),
+                refine=params.get("refine"))
+        if self.tier == "local":
+            return self._guarded_local(qmat, k, params)
+        raise ValueError(
+            f"search_np needs a resident tier (local/sharded), "
+            f"not {self.tier!r} — pass a DataFrame for the "
+            f"distributed plan")
+
+    def _guarded_local(self, qmat, k: int, params: dict):
+        return _local_search_np(self.index, qmat, k, params)
+
+    def close(self) -> None:
+        p = self.index.__dict__.pop("_tier_pool", None) if hasattr(
+            self.index, "__dict__") else None
+        if p is not None:
+            try:
+                _POOLS.remove(p)
+            except ValueError:
+                pass
+            p.close()
+
+
+def serve(index, tier: str = "auto", spark: SparkSession | None = None):
+    """Bind an index (or a saved sharded-artifact path) to a serving
+    tier — the Searcher façade (search.go:42-84) extended with tier
+    placement. ``tier="auto"`` resolves NOW (so ``.tier`` is concrete
+    and inspectable); pass an explicit tier to force placement."""
+    if isinstance(index, str):
+        from gofaiss_spark.operators.shard_serve import ShardedSearcher
+
+        if spark is None:
+            raise ValueError("serve(path) needs spark=")
+        return TierServer(ShardedSearcher(spark, index), "sharded")
+    if tier == "auto":
+        tier = resolve_tier(index)
+    if tier not in ("local", "sharded", "distributed"):
+        raise ValueError(f"unknown tier {tier!r} (expected one of {TIERS})")
+    if tier == "local":
+        mb = localized_mb(index)
+        if mb is None:
+            raise TypeError(
+                f"{type(index).__name__} has no local adapter — use "
+                f"tier='distributed' or a sharded artifact")
+        _to_local_handle(index)  # localize eagerly: serving handle
+    return TierServer(index, tier, spark=spark)
+
+
 def search(index, queries: DataFrame, k: int = DEFAULT_K, params: dict | None = None) -> DataFrame:
     """Search/BatchSearch dispatch (search.go:56-112) — batch-native:
-    ``queries`` is always a (query_id, qvec) DataFrame."""
+    ``queries`` is always a (query_id, qvec) DataFrame.
+
+    ``params["tier"]`` selects the execution tier ("auto" — the
+    default — | "local" | "sharded" | "distributed"); see the
+    serving-tier block above. Results are tier-invariant."""
     params = dict(params or {})
+    tier = params.pop("tier", "auto")
+    from gofaiss_spark.operators.shard_serve import ShardedSearcher
+
+    if isinstance(index, ShardedSearcher):
+        qids, qmat = _collect_queries(queries)
+        ids, d = index.search(
+            qmat, k=k, nprobe=params.get("nprobe", DEFAULT_NPROBE),
+            refine=params.get("refine"))
+        return _np_results_to_df(queries.sparkSession, qids, ids, d)
+    if tier == "auto":
+        tier = resolve_tier(index, params=params)
+    if tier == "local":
+        mb = localized_mb(index)
+        if mb is None:
+            raise TypeError(
+                f"{type(index).__name__} has no local adapter")
+        qids, qmat = _collect_queries(queries)
+        if len(qids) == 0:
+            return queries.sparkSession.createDataFrame(
+                [], "query_id long, id long, distance double, rank int")
+        ids, d = _local_search_np(index, qmat, k, params)
+        return _np_results_to_df(queries.sparkSession, qids, ids, d)
+    if tier != "distributed":
+        raise ValueError(f"unknown tier {tier!r} (expected one of {TIERS})")
     if isinstance(index, FlatIndex):
         return index.search(queries, k=k, method=params.get("method", "local"))
     if isinstance(index, IvfIndex):

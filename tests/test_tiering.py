@@ -1,0 +1,150 @@
+"""Auto-tier serving dispatch (api.serve / api.search tier="auto").
+
+The reference's Searcher façade hides index mechanics behind one
+Search() call (pkg/search/search.go:42-84); ours additionally hides
+the execution tier. These tests pin the routing decision
+(api.resolve_tier) and the tier-invariance of results: whatever tier
+auto picks, the rows must equal the distributed plan's.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gofaiss_spark import api
+
+DIM = 16
+N = 1200
+K = 5
+NQ = 12
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(N, DIM)).astype(np.float32)
+    vdf = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(vecs)],
+        "id long, vec array<float>",
+    ).cache()
+    qdf = spark.createDataFrame(
+        [(int(i), vecs[i].tolist()) for i in range(NQ)],
+        "query_id long, qvec array<float>",
+    ).cache()
+    vdf.count(), qdf.count()
+    return vecs, vdf, qdf
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.id, round(float(r.distance), 6)) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize(
+    "index_type,params,expected_tier",
+    [
+        ("flat", {}, "local"),
+        ("ivf", {"nlist": 8}, "local"),
+        ("pq", {"m": 4}, "local"),
+        ("ivfpq", {"nlist": 8, "m": 4}, "local"),
+        ("sq", {}, "local"),
+        ("hnsw_local", {"m": 8}, "local"),
+        ("hnsw_routed", {"nlist": 4}, "local"),
+        ("lsh", {}, "distributed"),  # no driver-colocated adapter
+    ],
+)
+def test_resolve_tier_and_invariance(base, index_type, params, expected_tier):
+    _, vdf, qdf = base
+    idx = api.build_index(vdf, index_type=index_type, params=params)
+    assert api.resolve_tier(idx) == expected_tier
+    auto = _rows(api.search(idx, qdf, k=K))
+    dist = _rows(api.search(idx, qdf, k=K, params={"tier": "distributed"}))
+    assert auto == dist
+
+
+def test_cap_forces_distributed(base, monkeypatch):
+    _, vdf, qdf = base
+    idx = api.build_index(vdf, index_type="flat")
+    monkeypatch.setattr(api, "LOCAL_TIER_CAP_MB", 0.0)
+    assert api.resolve_tier(idx) == "distributed"
+    # and the search still answers (through the distributed plan)
+    assert len(_rows(api.search(idx, qdf, k=K))) == NQ * K
+
+
+def test_refine_params_route_distributed(base):
+    _, vdf, _ = base
+    idx = api.build_index(vdf, index_type="pq", params={"m": 4})
+    assert api.resolve_tier(idx, params={"refine": 4}) == "distributed"
+    assert api.resolve_tier(idx, params={}) == "local"
+
+
+def test_serve_facade_np_path(base):
+    vecs, vdf, qdf = base
+    idx = api.build_index(vdf, index_type="flat")
+    srv = api.serve(idx)
+    assert srv.tier == "local"
+    ids, d = srv.search_np(vecs[:NQ].astype(np.float64), k=K)
+    assert ids.shape == (NQ, K) and d.shape == (NQ, K)
+    # self-query: nearest neighbor is the vector itself at distance 0
+    assert (ids[:, 0] == np.arange(NQ)).all()
+    assert np.allclose(d[:, 0], 0.0, atol=1e-6)
+    # DataFrame path through the same handle matches api.search
+    assert _rows(srv.search(qdf, k=K)) == _rows(
+        api.search(idx, qdf, k=K, params={"tier": "distributed"})
+    )
+
+
+def test_serve_rejects_unknown_tier(base):
+    _, vdf, _ = base
+    idx = api.build_index(vdf, index_type="flat")
+    with pytest.raises(ValueError, match="unknown tier"):
+        api.serve(idx, tier="warp")
+
+
+def test_serve_local_rejects_unadaptable(base):
+    _, vdf, _ = base
+    idx = api.build_index(vdf, index_type="lsh")
+    with pytest.raises(TypeError, match="no local adapter"):
+        api.serve(idx, tier="local")
+
+
+def test_sharded_handle_routes_sharded(base, tmp_path):
+    vecs, vdf, qdf = base
+    from gofaiss_spark.operators.shard_serve import (
+        ShardedSearcher,
+        save_sharded,
+    )
+
+    idx = api.build_index(vdf, index_type="ivf", params={"nlist": 6})
+    path = str(tmp_path / "shards")
+    save_sharded(idx, path, num_shards=2)
+    with ShardedSearcher(vdf.sparkSession, path) as srv:
+        assert api.resolve_tier(srv) == "sharded"
+        got = _rows(
+            api.search(srv, qdf, k=K, params={"nprobe": 6})
+        )
+    want = _rows(
+        api.search(idx, qdf, k=K, params={"tier": "distributed", "nprobe": 6})
+    )
+    assert got == want
+
+
+def test_localization_cached_once(base):
+    _, vdf, qdf = base
+    idx = api.build_index(vdf, index_type="flat")
+    api.search(idx, qdf, k=K)
+    h1 = idx.__dict__.get("_tier_local")
+    api.search(idx, qdf, k=K)
+    assert idx.__dict__.get("_tier_local") is h1
+
+
+def test_empty_query_batch(base):
+    _, vdf, qdf = base
+    idx = api.build_index(vdf, index_type="flat")
+    empty = qdf.filter(F.col("query_id") < 0)
+    out = api.search(idx, empty, k=K)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "id", "distance", "rank"]
