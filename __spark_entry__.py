@@ -4815,6 +4815,30 @@ SELECT CAST(0.99 AS DOUBLE), round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6
 """
 
 
+def _auto_tier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified-API DEFAULT path end-to-end (r8 verdict item 6):
+    ``api.build_index`` → ``api.search`` with no tier argument
+    resolves ``tier="auto"`` → the driver-colocated replica (this
+    batch sits below POOL_MIN_BATCH, so the in-process margin-guarded
+    kernel serves it), and the rows must hash-match the exact flat L2
+    SQL oracle — driver evidence that the tier dispatch preserves the
+    result contract bit-for-bit. Reference analogue: the Searcher
+    façade's one-call dispatch, pkg/search/search.go:42-84."""
+    from gofaiss_spark import api
+
+    idx = api.build_index(_vectors(spark, sf_dir), index_type="flat")
+    tier = api.resolve_tier(idx)
+    if tier != "local":
+        raise RuntimeError(
+            f"auto tier resolved {tier!r} for a driver-RAM-sized flat "
+            "index — the routing rule regressed")
+    res = api.search(idx, _queries_df(spark, sf_dir, N_TOPK_QUERIES),
+                     k=TOPK_K)
+    return res.select(
+        "query_id", "id", F.round("distance", 6).alias("distance")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: exact top-10 L2
     neighbors for a 100-query batch (the flat-index oracle plan)."""
@@ -4852,6 +4876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tests/test_entry_oracle.py)."""
     return {
         # --- new round-9 queries (prepended per the standing rule) ---
+        "auto_tier_topk": _auto_tier_topk,
         "hnsw_routed_cosine_topk": _hnsw_routed_metric_topk("cosine"),
         "hnsw_routed_dot_topk": _hnsw_routed_metric_topk("dot"),
         "multimodal_audio_features": _multimodal_audio_features,
@@ -4909,8 +4934,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_refine_topk": _pq_refine_topk,
         "ivfpq_refine_topk": _ivfpq_refine_topk,
         "ivf_merged_topk": _ivf_merged_topk,
-        "sq_topk": _sq_topk,
         # ---- window boundary (slot 50) ----
+        # --- r7-verified green (displaced by the auto_tier_topk
+        #     prepend; its kernel path — sq.py — is untouched this
+        #     round and stays oracle-guarded in tests) ---
+        "sq_topk": _sq_topk,
         # --- r8-verified green (kernels untouched this round) ---
         "flat_local_dot_topk": _flat_local_dot_topk,
         "ivf_sharded_dot_topk": _ivf_sharded_dot_topk,
@@ -4996,6 +5024,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # round-9: the auto-tier default API path serves exact flat
+        # L2 from the driver replica — same oracle as flat_topk_l2
+        "auto_tier_topk": _flat_topk_sql("l2"),
         # round-7 additions: the cosine serving rows reduce to exact
         # flat cosine (raw-row kernels; sharded row runs at
         # nprobe=nlist), the merged index reduces to exact flat l2
