@@ -4815,6 +4815,64 @@ SELECT CAST(0.99 AS DOUBLE), round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6
 """
 
 
+def _ivfsq_sharded_exec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFSQ executor-colocated sharded serving (r9: the mid-Pareto
+    quantized kind — residual SQ8 codes under the IVF coarse
+    quantizer; the per-shard scan is a decode→f32 GEMM selector with
+    an exact f64 per-pair re-score, LocalIvfSqIndex). Completes the
+    quantized sharded kind matrix (pq/ivfpq/sq r6-r8 → +ivfsq r9).
+
+    Gate construction mirrors ivfpq_sharded_exec_topk: at nprobe =
+    nlist and refine sized so k·refine ≥ n, every row of every shard
+    is scanned AND exactly f64 re-scored, so the merged result is
+    provably identical to exact flat search — the flat SQL oracle
+    applies hash-exactly to the whole save→shm→GEMM→refine→merge
+    path."""
+    import math
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from gofaiss_spark.operators.ivfsq import build_ivfsq
+    from gofaiss_spark.operators.shard_serve import (
+        ShardedSearcher,
+        save_sharded,
+    )
+
+    v = _vectors(spark, sf_dir).cache()
+    n = v.count()
+    idx = build_ivfsq(v, nlist=8, metric="l2", seed=42)
+    tmp = tempfile.mkdtemp(prefix="gofaiss_ivfsq_shard_topk_")
+    try:
+        save_sharded(idx, tmp, num_shards=3, vectors=v)
+        with ShardedSearcher(spark, tmp) as srv:
+            qp = (
+                _queries_df(spark, sf_dir, N_TOPK_QUERIES)
+                .orderBy("query_id")
+                .toPandas()
+            )
+            qids = qp["query_id"].to_numpy(dtype=np.int64)
+            qmat = np.stack(qp["qvec"].to_numpy())
+            ids, d = srv.search(
+                qmat, k=TOPK_K, nprobe=srv.meta["nlist"],
+                refine=math.ceil(n / TOPK_K) + 1,
+            )
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, ids.shape[1]),
+                "id": ids.ravel(),
+                "distance": np.round(d.ravel(), 6),
+            }
+        )
+        return spark.createDataFrame(
+            out, schema="query_id long, id long, distance double"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _auto_tier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unified-API DEFAULT path end-to-end (r8 verdict item 6):
     ``api.build_index`` → ``api.search`` with no tier argument
@@ -4876,6 +4934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tests/test_entry_oracle.py)."""
     return {
         # --- new round-9 queries (prepended per the standing rule) ---
+        "ivfsq_sharded_exec_topk": _ivfsq_sharded_exec_topk,
         "auto_tier_topk": _auto_tier_topk,
         "hnsw_routed_cosine_topk": _hnsw_routed_metric_topk("cosine"),
         "hnsw_routed_dot_topk": _hnsw_routed_metric_topk("dot"),
@@ -4933,11 +4992,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _ivfpq_topk,
         "pq_refine_topk": _pq_refine_topk,
         "ivfpq_refine_topk": _ivfpq_refine_topk,
-        "ivf_merged_topk": _ivf_merged_topk,
         # ---- window boundary (slot 50) ----
-        # --- r7-verified green (displaced by the auto_tier_topk
-        #     prepend; its kernel path — sq.py — is untouched this
-        #     round and stays oracle-guarded in tests) ---
+        # --- r7-verified green (displaced by the two r9 prepends;
+        #     their kernel paths — sq.py / reconstruct.py merge — are
+        #     untouched this round and stay oracle-guarded in tests) ---
+        "ivf_merged_topk": _ivf_merged_topk,
         "sq_topk": _sq_topk,
         # --- r8-verified green (kernels untouched this round) ---
         "flat_local_dot_topk": _flat_local_dot_topk,
@@ -5025,8 +5084,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         # round-9: the auto-tier default API path serves exact flat
-        # L2 from the driver replica — same oracle as flat_topk_l2
+        # L2 from the driver replica — same oracle as flat_topk_l2;
+        # the IVFSQ sharded row reduces to exact flat at full probe +
+        # refine-all (the ivfpq_sharded_exec_topk gate construction)
         "auto_tier_topk": _flat_topk_sql("l2"),
+        "ivfsq_sharded_exec_topk": _flat_topk_sql("l2"),
         # round-7 additions: the cosine serving rows reduce to exact
         # flat cosine (raw-row kernels; sharded row runs at
         # nprobe=nlist), the merged index reduces to exact flat l2

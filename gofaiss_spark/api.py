@@ -254,7 +254,7 @@ def localized_mb(index) -> float | None:
         per_row = index.dim * 4 + 16
     elif isinstance(index, (PqIndex, IvfPqIndex)):
         per_row = index.m + 16
-    elif isinstance(index, SqIndex):
+    elif isinstance(index, (SqIndex, IvfSqIndex)):
         per_row = index.dim + 16
     else:
         return None
@@ -300,6 +300,8 @@ def _to_local_handle(index):
         h = ls.to_local_ivfpq(index, vectors=None)
     elif isinstance(index, SqIndex):
         h = ls.to_local_sq(index, vectors=None)
+    elif isinstance(index, IvfSqIndex):
+        h = ls.to_local_ivfsq(index, vectors=None)
     else:
         from gofaiss_spark.operators.hnsw import HnswIndex, HnswRoutedIndex
 
@@ -351,7 +353,7 @@ def _local_search_np(index, qmat, k: int, params: dict):
         return h.search(qmat, k=k)
     if isinstance(h, ls.LocalIvfIndex):
         return h.search(qmat, k=k, nprobe=nprobe)
-    if isinstance(h, ls.LocalIvfPqIndex):
+    if isinstance(h, (ls.LocalIvfPqIndex, ls.LocalIvfSqIndex)):
         return h.search(qmat, k=k, nprobe=nprobe, refine=refine)
     if isinstance(h, (ls.LocalPqIndex, ls.LocalSqIndex)):
         return h.search(qmat, k=k, refine=refine)

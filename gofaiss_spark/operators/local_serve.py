@@ -1038,6 +1038,139 @@ class LocalSqIndex:
                               best_pos, q64, refine)
 
 
+@dataclass
+class LocalIvfSqIndex:
+    """In-memory nprobe-pruned scalar-quantized serving (IVFSQ:
+    ivfsq.go-style residual SQ8 under an IVF coarse quantizer;
+    distributed twin is search_ivfsq, operators/ivfsq.py:166).
+
+    Why this kind exists next to LocalIvfPqIndex: the per-row scan
+    cost of SQ decode is a dense f32 GEMM (BLAS) instead of PQ's
+    table GATHER — measured ~4-6× more rows/s at 10M scale — while
+    still compressing 4× (dim bytes vs dim·4). It is the mid-Pareto
+    quantized serving arm: near-exact in-cell ordering (8 bits per
+    DIMENSION vs PQ's 8 bits per 8-dim subspace) at GEMM speed.
+
+    Distance contract: the f32 decode-GEMM is only the SELECTOR; the
+    kc survivors are re-scored per-pair in exact f64 over the decoded
+    residuals (batch-shape-independent diff-einsum), so reported
+    distances are identical across any sharding of the same rows —
+    the LocalSqIndex / LocalFlatIndex re-score contract."""
+
+    ids: np.ndarray        # (n,) int64, cell-major
+    codes: np.ndarray      # (n, dim) uint8, cell-major
+    vmin: np.ndarray       # (dim,) f64 — residual-space
+    step: np.ndarray       # (dim,) f64 — residual-space
+    centroids: np.ndarray  # (nlist, dim) f64
+    offsets: np.ndarray    # (nlist + 1,) int64 CSR
+    vecs: np.ndarray | None = None      # (n, dim) f32 — refine only
+    metric: str = "l2"
+
+    @property
+    def nlist(self) -> int:
+        return self.centroids.shape[0]
+
+    def search(self, qmat: np.ndarray, k: int = 10, nprobe: int = 10,
+               refine: int | None = None
+               ) -> tuple[np.ndarray, np.ndarray]:
+        from gofaiss_spark.functions.distance import np_distance_matrix
+
+        if refine is not None:
+            if self.vecs is None:
+                raise ValueError("refine requires stored vectors "
+                                 "(save/serve with vectors=)")
+            if self.metric != "l2":
+                raise ValueError(
+                    "refine re-ranks in exact L2; build the index with "
+                    f"metric='l2' (got {self.metric!r})")
+        q64 = np.ascontiguousarray(qmat, dtype=np.float64)
+        nq, nlist = q64.shape[0], self.nlist
+        if nprobe <= 0 or nprobe > nlist:
+            nprobe = nlist
+        n = len(self.ids)
+        k = min(k, n) if k > 0 else n
+        kc = (k * refine if refine else k) + 16
+        # probe selection: same f64 formula as probe_lists
+        dm = np_distance_matrix(self.centroids, q64, self.metric)
+        if nprobe < nlist:
+            cells = np.argpartition(dm, nprobe - 1, axis=0)[:nprobe, :].T
+        else:
+            cells = np.broadcast_to(np.arange(nlist), (nq, nlist))
+        # scan-once probe map (the LocalIvfPqIndex shape): group
+        # queries by probed cell so each cell is decoded exactly once
+        qq = np.repeat(np.arange(nq), cells.shape[1])
+        cc = cells.ravel()
+        keep = self.offsets[cc + 1] > self.offsets[cc]
+        qq, cc = qq[keep], cc[keep]
+        order = np.argsort(cc, kind="stable")
+        qq, cc = qq[order], cc[order]
+        bnds = np.searchsorted(cc, np.arange(nlist + 1))
+        vmin32 = self.vmin.astype(np.float32)
+        step32 = self.step.astype(np.float32)
+        pool_d: list[list[np.ndarray]] = [[] for _ in range(nq)]
+        pool_p: list[list[np.ndarray]] = [[] for _ in range(nq)]
+        for c in np.flatnonzero(bnds[1:] > bnds[:-1]):
+            s0, s1 = self.offsets[c], self.offsets[c + 1]
+            qidx = qq[bnds[c]:bnds[c + 1]]
+            rq = (q64[qidx] - self.centroids[int(c)][None, :]).astype(
+                np.float32)  # (g, dim) residual queries
+            # f32 decode + BLAS GEMM: the selector hot loop — one
+            # dense multiply per (query, row), no gather
+            x = vmin32 + self.codes[s0:s1].astype(np.float32) * step32
+            sc = rq @ x.T  # (g, b)
+            sc *= -2.0
+            sc += np.einsum("ij,ij->i", x, x)[None, :]
+            sc += np.einsum("ij,ij->i", rq, rq)[:, None]
+            np.maximum(sc, 0.0, out=sc)
+            b = sc.shape[1]
+            kk = min(kc, b)
+            if kk < b:
+                sel = np.argpartition(sc, kk - 1, axis=1)[:, :kk]
+                dsel = np.take_along_axis(sc, sel, axis=1)
+            else:
+                sel = np.broadcast_to(np.arange(b), sc.shape)
+                dsel = sc
+            for gi, qi in enumerate(qidx):
+                pool_d[qi].append(dsel[gi].astype(np.float64))
+                pool_p[qi].append(sel[gi].astype(np.int64) + s0)
+        cell_of = None
+        out_ids = np.empty((nq, k), dtype=np.int64)
+        out_d = np.empty((nq, k), dtype=np.float64)
+        for qi in range(nq):
+            if pool_d[qi]:
+                dq = np.concatenate(pool_d[qi])
+                pq_ = np.concatenate(pool_p[qi])
+            else:
+                dq = np.empty(0, dtype=np.float64)
+                pq_ = np.empty(0, dtype=np.int64)
+            kk = min(kc, len(dq))
+            if kk < len(dq):
+                sel = np.argpartition(dq, kk - 1)[:kk]
+                pq_ = pq_[sel]
+            take = min(k, len(pq_))
+            # exact f64 per-pair re-score of the survivors in residual
+            # space: d(q, c + decode(code)) = ||decode(code) − (q−c)||
+            if len(pq_):
+                if cell_of is None:
+                    cell_of = np.searchsorted(
+                        self.offsets, np.arange(n), side="right") - 1
+                xc = self.vmin + self.codes[pq_].astype(
+                    np.float64) * self.step
+                rqp = q64[qi][None, :] - self.centroids[cell_of[pq_]]
+                diff = xc - rqp
+                d = np.sqrt(np.einsum("kd,kd->k", diff, diff))
+            else:
+                d = np.empty(0, dtype=np.float64)
+            i1, d1 = _adc_pool_topk(
+                self.ids, d[None, :], take, self.vecs,
+                pq_[None, :], q64[qi][None, :], refine)
+            out_ids[qi, :take] = i1[0]
+            out_d[qi, :take] = d1[0]
+            out_ids[qi, take:] = np.iinfo(np.int64).max
+            out_d[qi, take:] = np.inf
+        return out_ids, out_d
+
+
 def to_local_pq(pq_index, vectors=None) -> LocalPqIndex:
     """Collect a PqIndex's codes into a driver-resident ADC server.
     ``vectors``: optional (id, vec) DataFrame enabling refine."""
@@ -1081,6 +1214,27 @@ def to_local_sq(sq_index, vectors=None) -> LocalSqIndex:
                         vmin=np.asarray(sq_index.vmin, dtype=np.float64),
                         step=np.asarray(sq_index.step, dtype=np.float64),
                         vecs=vecs)
+
+
+def to_local_ivfsq(ivfsq_index, vectors=None) -> LocalIvfSqIndex:
+    """Collect an IvfSqIndex into a cell-major driver-resident
+    decode-GEMM server (CSR layout, same as to_local_ivfpq)."""
+    pdf = (ivfsq_index.codes.select("id", "code", "list_id")
+           .orderBy("list_id", "id").toPandas())
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    codes = (np.stack(pdf["code"].to_numpy()).astype(np.uint8)
+             if len(ids) else np.empty((0, ivfsq_index.dim),
+                                       dtype=np.uint8))
+    lids = pdf["list_id"].to_numpy(dtype=np.int64)
+    nlist = ivfsq_index.centroids.shape[0]
+    offsets = np.searchsorted(lids, np.arange(nlist + 1)).astype(np.int64)
+    vecs = _aligned_vecs(vectors, ids)
+    return LocalIvfSqIndex(
+        ids=ids, codes=np.ascontiguousarray(codes),
+        vmin=np.asarray(ivfsq_index.vmin, dtype=np.float64),
+        step=np.asarray(ivfsq_index.step, dtype=np.float64),
+        centroids=np.asarray(ivfsq_index.centroids, dtype=np.float64),
+        offsets=offsets, vecs=vecs, metric=ivfsq_index.metric)
 
 
 def _aligned_vecs(vectors, ids: np.ndarray) -> np.ndarray | None:
@@ -1496,6 +1650,13 @@ def _mp_worker_init(spec: dict) -> None:
             vmin=arrays["vmin"], step=arrays["step"],
             vecs=arrays.get("vecs"), metric=metric,
         )
+    elif kind == "ivfsq":
+        _WORKER_INDEX = LocalIvfSqIndex(
+            ids=arrays["ids"], codes=arrays["codes"],
+            vmin=arrays["vmin"], step=arrays["step"],
+            centroids=arrays["centroids"], offsets=arrays["offsets"],
+            vecs=arrays.get("vecs"), metric=metric,
+        )
     elif kind == "hnsw_routed":
         graphs, cents = _unpack_graphs(arrays)
         _WORKER_INDEX = LocalHnswRoutedIndex(
@@ -1517,7 +1678,7 @@ def _mp_ping(_: int) -> bool:
 def _mp_search(q: np.ndarray, k: int, nprobe, refine=None):
     if isinstance(_WORKER_INDEX, (LocalIvfIndex, LocalHnswRoutedIndex)):
         return _WORKER_INDEX.search(q, k=k, nprobe=nprobe)
-    if isinstance(_WORKER_INDEX, LocalIvfPqIndex):
+    if isinstance(_WORKER_INDEX, (LocalIvfPqIndex, LocalIvfSqIndex)):
         return _WORKER_INDEX.search(q, k=k, nprobe=nprobe, refine=refine)
     if isinstance(_WORKER_INDEX, (LocalPqIndex, LocalSqIndex)):
         return _WORKER_INDEX.search(q, k=k, refine=refine)
@@ -1622,6 +1783,12 @@ class LocalServerPool:
                 "ids": index.ids, "codes": index.codes,
                 "vmin": index.vmin, "step": index.step,
             }
+        elif isinstance(index, LocalIvfSqIndex):
+            kind, named = "ivfsq", {
+                "ids": index.ids, "codes": index.codes,
+                "vmin": index.vmin, "step": index.step,
+                "centroids": index.centroids, "offsets": index.offsets,
+            }
         elif isinstance(index, LocalHnswRoutedIndex):
             kind = "hnsw_routed"
             named = _pack_graphs(index.graphs, index.centroids)
@@ -1649,11 +1816,12 @@ class LocalServerPool:
             raise TypeError(
                 f"LocalServerPool serves LocalFlatIndex/LocalIvfIndex/"
                 f"LocalPqIndex/LocalIvfPqIndex/LocalSqIndex/"
-                f"LocalHnswRoutedIndex, got {type(index).__name__}"
+                f"LocalIvfSqIndex/LocalHnswRoutedIndex, "
+                f"got {type(index).__name__}"
             )
         # refine needs the stored rows in every worker too
         if getattr(index, "vecs", None) is not None and kind in (
-                "pq", "ivfpq", "sq"):
+                "pq", "ivfpq", "sq", "ivfsq"):
             named["vecs"] = index.vecs
         self.kind = kind
         spec_arrays = {}

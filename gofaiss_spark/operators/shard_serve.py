@@ -105,6 +105,7 @@ def save_sharded(index_or_vectors, path: str, num_shards: int,
     from gofaiss_spark.operators.flat import FlatIndex
     from gofaiss_spark.operators.ivf import IvfIndex
     from gofaiss_spark.operators.ivfpq import IvfPqIndex
+    from gofaiss_spark.operators.ivfsq import IvfSqIndex
     from gofaiss_spark.operators.pq import PqIndex
     from gofaiss_spark.operators.sq import SqIndex
     from gofaiss_spark.plans.artifacts import _centroids_to_df, _write_df
@@ -163,6 +164,20 @@ def save_sharded(index_or_vectors, path: str, num_shards: int,
                  "step": [float(x) for x in idx.step]}
         dim = idx.dim
         cols = ["id", "code"]
+    elif isinstance(index_or_vectors, IvfSqIndex):
+        # IVFSQ — the mid-Pareto quantized serving kind (r8 verdict
+        # item 3): residual SQ8 codes under the IVF coarse quantizer;
+        # the serving scan is a decode→f32 GEMM (LocalIvfSqIndex),
+        # ~4-6× more rows/s than PQ's ADC gather at 4× compression
+        kind = "ivfsq"
+        idx = index_or_vectors
+        metric = metric or idx.metric
+        df = idx.codes.select("id", "code", "list_id")
+        centroids = np.asarray(idx.centroids, dtype=np.float64)
+        quant = {"vmin": [float(x) for x in idx.vmin],
+                 "step": [float(x) for x in idx.step]}
+        dim = idx.dim
+        cols = ["id", "code", "list_id"]
     else:
         kind = "flat"
         if isinstance(index_or_vectors, FlatIndex):
@@ -217,7 +232,7 @@ def save_sharded(index_or_vectors, path: str, num_shards: int,
     # lets a shard skip batches whose probed cells it doesn't hold.
     # Flat/PQ/SQ have no cell structure — id-sharding balances them
     # exactly.
-    shard_key = "list_id" if kind in ("ivf", "ivfpq") else "id"
+    shard_key = "list_id" if kind in ("ivf", "ivfpq", "ivfsq") else "id"
     sharded = df.withColumn(
         "shard_id", F.pmod(F.col(shard_key), F.lit(num_shards)).cast("int")
     )
@@ -411,8 +426,8 @@ def _read_shard_arrays(path: str, shard_id: int, meta: dict) -> dict:
     import pyarrow.parquet as pq
 
     kind = meta["kind"]
-    quantized = kind in ("pq", "ivfpq", "sq")
-    celled = kind in ("ivf", "ivfpq")
+    quantized = kind in ("pq", "ivfpq", "sq", "ivfsq")
+    celled = kind in ("ivf", "ivfpq", "ivfsq")
     shard_dir = f"{path}/shards/shard_id={int(shard_id)}"
     cols = ["id"]
     cols += ["code"] if quantized else ["vec"]
@@ -441,8 +456,8 @@ def _read_shard_arrays(path: str, shard_id: int, meta: dict) -> dict:
     arrays = {"ids": ids}
 
     if quantized:
-        width = meta["dim"] if kind == "sq" else meta["m"]
-        cdtype = np.uint8 if kind == "sq" else np.uint16
+        width = meta["dim"] if kind in ("sq", "ivfsq") else meta["m"]
+        cdtype = np.uint8 if kind in ("sq", "ivfsq") else np.uint16
         if len(ids):
             codes = np.stack(pdf["code"].to_numpy()).astype(cdtype)
         else:
@@ -624,6 +639,7 @@ def _load_shard(path: str, build_id: str, shard_id: int, meta: dict):
         LocalFlatIndex,
         LocalIvfIndex,
         LocalIvfPqIndex,
+        LocalIvfSqIndex,
         LocalPqIndex,
         LocalSqIndex,
     )
@@ -682,6 +698,13 @@ def _load_shard(path: str, build_id: str, shard_id: int, meta: dict):
                            vmin=np.asarray(meta["vmin"], dtype=np.float64),
                            step=np.asarray(meta["step"], dtype=np.float64),
                            vecs=arrays.get("vecs"), metric=metric)
+    elif kind == "ivfsq":
+        idx = LocalIvfSqIndex(
+            ids=arrays["ids"], codes=arrays["codes"],
+            vmin=np.asarray(meta["vmin"], dtype=np.float64),
+            step=np.asarray(meta["step"], dtype=np.float64),
+            centroids=arrays["centroids"], offsets=arrays["offsets"],
+            vecs=arrays.get("vecs"), metric=metric)
     else:
         idx = LocalFlatIndex(ids=arrays["ids"], vecs=arrays["vecs"],
                              metric=metric, norms_sq=arrays["norms_sq"])
@@ -808,7 +831,7 @@ class ShardedSearcher:
                         continue
                     if kind == "ivf":
                         ids, dists = idx.search(qv[lo:hi], k=k, nprobe=npr)
-                    elif kind == "ivfpq":
+                    elif kind in ("ivfpq", "ivfsq"):
                         ids, dists = idx.search(qv[lo:hi], k=k, nprobe=npr,
                                                 refine=refine)
                     elif kind in ("pq", "sq"):

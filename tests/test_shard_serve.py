@@ -428,6 +428,70 @@ class TestQuantizedSharded:
         np.testing.assert_array_equal(sids, fids)
         np.testing.assert_array_equal(sd, fd)
 
+    def test_ivfsq_sharded_vs_local(self, spark, vectors, qmat,
+                                    tmp_path_factory):
+        """IVFSQ sharded serving (r9: the mid-Pareto quantized kind —
+        decode->f32 GEMM selector + exact f64 per-pair re-score) must
+        merge bit-identically to the single-node LocalIvfSqIndex."""
+        from gofaiss_spark.operators.ivfsq import build_ivfsq
+        from gofaiss_spark.operators.local_serve import to_local_ivfsq
+
+        idx = build_ivfsq(vectors, nlist=8, seed=42)
+        idx.codes.cache().count()
+        path = str(tmp_path_factory.mktemp("shard") / "ivfsq3")
+        save_sharded(idx, path, num_shards=3)
+        local = to_local_ivfsq(idx)
+        with ShardedSearcher(spark, path) as srv:
+            assert srv.meta["kind"] == "ivfsq"
+            for npr in (3, 8):
+                sids, sd = srv.search(qmat, k=5, nprobe=npr)
+                lids, ld = local.search(qmat, k=5, nprobe=npr)
+                np.testing.assert_array_equal(sids, lids)
+                np.testing.assert_array_equal(sd, ld)
+        idx.codes.unpersist()
+
+    def test_ivfsq_fullprobe_refine_all_equals_flat(self, spark, vectors,
+                                                    qmat, tmp_path_factory):
+        import math
+
+        from gofaiss_spark.operators.ivfsq import build_ivfsq
+        from gofaiss_spark.operators.local_serve import to_local
+
+        n = vectors.count()
+        idx = build_ivfsq(vectors, nlist=8, seed=42)
+        idx.codes.cache().count()
+        path = str(tmp_path_factory.mktemp("shard") / "ivfsq_ref")
+        save_sharded(idx, path, num_shards=3, vectors=vectors)
+        with ShardedSearcher(spark, path) as srv:
+            assert srv.meta["has_vectors"]
+            sids, sd = srv.search(qmat, k=10, nprobe=8,
+                                  refine=math.ceil(n / 10) + 1)
+        fids, fd = to_local(vectors).search(qmat, k=10)
+        np.testing.assert_array_equal(sids, fids)
+        np.testing.assert_array_equal(sd, fd)
+        idx.codes.unpersist()
+
+    def test_ivfsq_pool_bit_identity(self, spark, vectors, qmat):
+        """LocalServerPool kind 'ivfsq' scatters bit-identically."""
+        from gofaiss_spark.operators.ivfsq import build_ivfsq
+        from gofaiss_spark.operators.local_serve import (
+            LocalServerPool,
+            to_local_ivfsq,
+        )
+
+        idx = build_ivfsq(vectors, nlist=8, seed=42)
+        idx.codes.cache().count()
+        local = to_local_ivfsq(idx)
+        pool = LocalServerPool(local, workers=2)
+        try:
+            pids, pdists = pool.search(qmat, k=5, nprobe=3)
+        finally:
+            pool.close()
+        lids, ld = local.search(qmat, k=5, nprobe=3)
+        np.testing.assert_array_equal(pids, lids)
+        np.testing.assert_array_equal(pdists, ld)
+        idx.codes.unpersist()
+
     def test_refine_without_vectors_rejected(self, spark, vectors, qmat,
                                              tmp_path_factory):
         from gofaiss_spark.operators.pq import build_pq

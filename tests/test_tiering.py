@@ -51,6 +51,7 @@ def _rows(df):
         ("pq", {"m": 4}, "local"),
         ("ivfpq", {"nlist": 8, "m": 4}, "local"),
         ("sq", {}, "local"),
+        ("ivfsq", {"nlist": 8}, "local"),
         ("hnsw_local", {"m": 8}, "local"),
         ("hnsw_routed", {"nlist": 4}, "local"),
         ("lsh", {}, "distributed"),  # no driver-colocated adapter
