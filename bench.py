@@ -170,6 +170,7 @@ def main() -> None:
             "flat_1m", "flat_10m", "ivf_shard_exec_10m_batch2k",
             "ivfpq_shard_exec_10m_batch1k",
             "ivfpq_shard_exec_10m_m16_tuned_batch1k",
+            "ivfsq_shard_exec_10m_batch1k",
             "ivfpq_shard_exec_batch10k",
             "hnsw_local_mp_clustered_batch10k",
             "auto_tier_batch10k",
@@ -1824,6 +1825,90 @@ def main() -> None:
                 finally:
                     _sh10.rmtree(shard16, ignore_errors=True)
                 bq16.codes.unpersist()
+
+            # mid-Pareto quantized arm at 10M (r8 verdict item 3):
+            # IVFSQ — residual SQ8 under a TRAINED coarse quantizer.
+            # Two r9-measured mechanisms motivate this row: (a) the
+            # m16 ADC row's cost tracks probed MASS, not nprobe — the
+            # 0.05%-sample quantizer the other 10M rows share is
+            # degenerate on uniform 128-d data (cell sizes 1/5/35k
+            # min/med/max even at a 1% sample) and its mega-cells
+            # soak up the probe mass; (b) per scanned row, the SQ
+            # decode→f32 GEMM selector is ~4-6× faster than the PQ
+            # table gather. Together they buy the recall≥0.9
+            # operating point at >25 QPS with 4× compression
+            # (128 B/vec codes vs 512 B/vec raw).
+            if elapsed() + 900 > budget:
+                baseline["ivfsq_shard_exec_10m_batch1k"] = {
+                    "note": f"skipped: {elapsed():.0f}s elapsed + "
+                            f"~900s ivfsq sub-section > {budget:.0f}s "
+                            "budget (row lives in the committed "
+                            "canonical BENCH_full.json)",
+                }
+            else:
+                from gofaiss_spark.operators.ivfsq import build_ivfsq
+
+                t0 = time.monotonic()
+                bqsq = build_ivfsq(
+                    bvec10m, nlist=1000, seed=42,
+                    train_fraction=100_000.0 / n10m)
+                bqsq.codes.persist(StorageLevel.DISK_ONLY).count()
+                bsq_build = round(time.monotonic() - t0, 4)
+                # quantizer-balance evidence (the Pareto narrative):
+                # one vocabulary-sized groupBy
+                cs = (bqsq.codes.groupBy("list_id").count()
+                      .agg(F.min("count").alias("mn"),
+                           F.expr("percentile(count, 0.5)").alias("md"),
+                           F.max("count").alias("mx")).collect()[0])
+                shardsq = _tf10.mkdtemp(
+                    prefix="gofaiss_bench_shards10m_sq_")
+                try:
+                    t0 = time.monotonic()
+                    _ssh10(bqsq, shardsq, num_shards=16,
+                           vectors=bvec10m)
+                    wsq = round(time.monotonic() - t0, 4)
+                    srvq = _ShS10(spark, shardsq)
+                    try:
+                        srvq.search(bqmat[:64], k=K, nprobe=200,
+                                    refine=10)  # cold + warm
+                        arms = {}
+                        for npr in (200, 100):
+                            t0 = time.monotonic()
+                            sids_s, _ds = srvq.search(
+                                bqmat, k=K, nprobe=npr, refine=10)
+                            ssq = time.monotonic() - t0
+                            arms[npr] = (ssq, _rec_vs_flat(sids_s))
+                    finally:
+                        srvq.close()
+                    ssq, rec200 = arms[200]
+                    baseline["ivfsq_shard_exec_10m_batch1k"] = {
+                        "build_sec": bsq_build,
+                        "search_sec": round(ssq, 4),
+                        "qps_batch": round(len(bqmat) / ssq, 1),
+                        "recall": round(rec200, 4),
+                        "nlist": 1000, "nprobe": 200, "refine": 10,
+                        "train_sample": 100_000,
+                        "cell_rows_min_med_max": [
+                            int(cs["mn"]), float(cs["md"]), int(cs["mx"])],
+                        "n_queries": len(bqmat), "n_vectors": n10m,
+                        "num_shards": 16, "n_runs": 1,
+                        "artifact_write_sec": wsq,
+                        "shm_mb_codes": round(n10m * 128 / 2**20, 1),
+                        "note": "mid-Pareto quantized serving: SQ8 "
+                                "codes (4x vs raw) scanned by "
+                                "decode->f32 GEMM + exact refine=10",
+                    }
+                    s100, rec100 = arms[100]
+                    baseline["ivfsq_shard_exec_10m_np100_batch1k"] = {
+                        "search_sec": round(s100, 4),
+                        "qps_batch": round(len(bqmat) / s100, 1),
+                        "recall": round(rec100, 4),
+                        "nlist": 1000, "nprobe": 100, "refine": 10,
+                        "n_queries": len(bqmat), "n_runs": 1,
+                    }
+                finally:
+                    _sh10.rmtree(shardsq, ignore_errors=True)
+                bqsq.codes.unpersist()
 
             # IVF (uncompressed) sharded serving at 10M/16 shards: the
             # design case one decade past the single-node pool's
