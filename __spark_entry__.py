@@ -4917,20 +4917,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     module re-queues the rows whose plan runs that module.
 
     Round-9 window (slots 1-50), per the r8 verdict's #1 directive
-    ("rotate to the r6 cohort"): the three round-9 additions first
-    (the HNSW cosine/dot metric rows — the last index family without
-    per-metric driver evidence — and the real-WAV-codec multimodal
-    row), then the full 34-query r6 cohort oldest-first (sql/binary/
-    filtered_topk, ivf_topk_nprobe, vector_norms, centroid_by_label,
-    the 21 remaining TPC-H rows, doc_fingerprint, revenue_by_nation,
-    and the five temporal/event rows), then the standing-rule
-    re-queues for code touched THIS round (hnsw.py: small-batch
-    dispatch + bit-packed visited epoch kernel -> all four hnsw rows;
-    multimodal.py: real WAV decode path alongside the fake seam ->
-    the three multimodal rows), then the oldest r7 quantized-family
-    rows to fill slot 50. After this round every registered query's
-    latest green check is r7 or newer. All remain regression-guarded
-    by the local sf0.001 DuckDB oracle suite
+    ("rotate to the r6 cohort"): the five round-9 additions first
+    (the IVFSQ sharded serving row, the auto-tier default-API row,
+    the HNSW cosine/dot metric rows, and the real-WAV-codec
+    multimodal row), then the full 34-query r6 cohort oldest-first
+    (sql/binary/filtered_topk, ivf_topk_nprobe, vector_norms,
+    centroid_by_label, the 21 remaining TPC-H rows, doc_fingerprint,
+    revenue_by_nation, and the five temporal/event rows), then the
+    standing-rule re-queues for code touched THIS round (hnsw.py:
+    small-batch dispatch + bit-packed visited epoch kernel -> all
+    four hnsw rows; multimodal.py: real WAV decode -> the two rows
+    executing the decode dispatch; shard_serve.py: the 'ivfsq' kind
+    in save/load/search dispatch -> all five sharded-serving rows)
+    filling exactly slot 50. After this round every registered
+    query's latest green check is r7 or newer. All remain
+    regression-guarded by the local sf0.001 DuckDB oracle suite
     (tests/test_entry_oracle.py)."""
     return {
         # --- new round-9 queries (prepended per the standing rule) ---
@@ -4983,21 +4984,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_routed_topk": _hnsw_routed_topk,
         "hnsw_local_topk": _hnsw_local_topk,
         # --- multimodal re-queue: round 9 touches multimodal.py
-        #     (real stdlib-wave decode path beside the fake seam) ---
+        #     (real stdlib-wave decode path beside the fake seam) —
+        #     the two rows that execute the decode dispatch;
+        #     multimodal_stats is metadata-only column aggregation
+        #     (no decode path) and stays below the boundary ---
         "multimodal_features": _multimodal_features,
         "multimodal_frame_sample": _multimodal_frame_sample,
-        "multimodal_stats": _multimodal_stats,
-        # --- oldest-r7 quantized-family fill to slot 50 ---
+        # --- serving re-queue (standing rule): round 9 touches
+        #     shard_serve.py (kind 'ivfsq' in save/load/search
+        #     dispatch) — every sharded-serving row runs those
+        #     dispatch lines ---
+        "ivf_sharded_cosine_topk": _ivf_sharded_cosine_topk,
+        "ivf_sharded_dot_topk": _ivf_sharded_dot_topk,
+        "ivf_sharded_exec_topk": _ivf_sharded_exec_topk,
+        "ivf_sharded_refresh_topk": _ivf_sharded_refresh_topk,
+        "ivfpq_sharded_exec_topk": _ivfpq_sharded_exec_topk,
+        # ---- window boundary (slot 50) ----
+        # --- r8/r7-verified green, displaced by the serving
+        #     re-queue: the flat/ivf LOCAL rows' kernels
+        #     (to_local/LocalFlatIndex/LocalIvfIndex) are untouched
+        #     by the r9 diff (the IVFSQ addition is a new class +
+        #     new dispatch branches), and the r7 quantized
+        #     distributed kernels (pq/ivfpq/sq/merge) are untouched;
+        #     all stay oracle-guarded by tests/test_entry_oracle.py ---
         "pq_topk": _pq_topk,
         "ivfpq_topk": _ivfpq_topk,
         "pq_refine_topk": _pq_refine_topk,
         "ivfpq_refine_topk": _ivfpq_refine_topk,
-        # ---- window boundary (slot 50) ----
-        # --- r7-verified green (displaced by the two r9 prepends;
-        #     their kernel paths — sq.py / reconstruct.py merge — are
-        #     untouched this round and stay oracle-guarded in tests) ---
         "ivf_merged_topk": _ivf_merged_topk,
         "sq_topk": _sq_topk,
+        "multimodal_stats": _multimodal_stats,
         # --- r8-verified green (kernels untouched this round) ---
         "flat_local_dot_topk": _flat_local_dot_topk,
         "ivf_sharded_dot_topk": _ivf_sharded_dot_topk,
