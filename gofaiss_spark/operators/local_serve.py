@@ -801,7 +801,7 @@ def to_local_ivf(ivf_index) -> LocalIvfIndex:
 
 # ---------------------------------------------------------------------
 # Quantized serving kernels — the in-memory operating point for the
-# compressed index families (PQ/IVFPQ/SQ), mirroring the reference's
+# compressed index families (PQ/IVFPQ/SQ/IVFSQ), mirroring the reference's
 # biggest-index regime (ivfpq.go:57-76) the way LocalFlatIndex mirrors
 # flat.go. Contract: reported ADC distances are the SAME f64 values
 # the DataFrame paths (search_pq/search_ivfpq/search_sq) produce —

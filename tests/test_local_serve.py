@@ -173,6 +173,67 @@ class TestLocalQuantized:
             # identical ADC values; tolerate rare exact-ADC-tie order
             assert agree / total >= 0.99
 
+    def test_local_ivfsq_matches_search_ivfsq(self, spark, vq):
+        """LocalIvfSqIndex (r9): same decoded-residual distance values
+        as the distributed search_ivfsq at 5dp (the local kernel's
+        per-pair f64 re-score vs the distributed GEMM accumulation
+        agree to ~1e-13; 5dp rounding absorbs it)."""
+        from gofaiss_spark.operators.ivfsq import build_ivfsq, search_ivfsq
+        from gofaiss_spark.operators.local_serve import to_local_ivfsq
+
+        v, q = vq
+        idx = build_ivfsq(v, nlist=8, seed=42)
+        idx.codes.cache().count()
+        local = to_local_ivfsq(idx)
+        qp = q.orderBy("query_id").toPandas()
+        qids = qp["query_id"].to_numpy()
+        qmat = np.stack(qp["qvec"].to_numpy())
+        for npr in (3, 8):
+            dist = {
+                (r.query_id, r.rank): (r.id, round(r.distance, 5))
+                for r in search_ivfsq(idx, q, k=5, nprobe=npr).collect()
+            }
+            ids, d = local.search(qmat, k=5, nprobe=npr)
+            agree = total = 0
+            for row, qid in enumerate(qids):
+                for rank in range(5):
+                    total += 1
+                    got = (ids[row, rank], round(float(d[row, rank]), 5))
+                    if dist.get((qid, rank + 1)) == got:
+                        agree += 1
+            assert agree / total >= 0.99
+        idx.codes.unpersist()
+
+    def test_local_ivfsq_refine_requires_vecs(self, spark, vq):
+        from gofaiss_spark.operators.ivfsq import build_ivfsq
+        from gofaiss_spark.operators.local_serve import to_local_ivfsq
+
+        v, q = vq
+        idx = build_ivfsq(v, nlist=4, seed=42)
+        local = to_local_ivfsq(idx)  # no vectors packed
+        qp = q.limit(3).toPandas()
+        qmat = np.stack(qp["qvec"].to_numpy())
+        with pytest.raises(ValueError, match="refine requires"):
+            local.search(qmat, k=3, refine=2)
+
+    def test_local_ivfsq_k_exceeds_n_pads(self, spark, vq):
+        """k > corpus clamps to n; absent neighbors never appear
+        (same padding contract as LocalIvfPqIndex)."""
+        from gofaiss_spark.operators.ivfsq import build_ivfsq
+        from gofaiss_spark.operators.local_serve import to_local_ivfsq
+        from pyspark.sql import functions as F
+
+        v, q = vq
+        small = v.filter(F.col("id") < 20)
+        idx = build_ivfsq(small, nlist=2, seed=42)
+        local = to_local_ivfsq(idx)
+        qp = q.limit(2).toPandas()
+        qmat = np.stack(qp["qvec"].to_numpy())
+        ids, d = local.search(qmat, k=50, nprobe=2)
+        assert ids.shape[1] == 20
+        assert np.isfinite(d).all()
+        assert (ids < 20).all()
+
     def test_local_sq_matches_search_sq(self, spark, vq):
         from gofaiss_spark.operators.local_serve import to_local_sq
         from gofaiss_spark.operators.sq import build_sq, search_sq
