@@ -3855,6 +3855,56 @@ FROM s GROUP BY id
 """
 
 
+def _multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path (round 10, r9-verdict item 4):
+    deterministic 24-bit pixel grids keyed on doc_id are ENCODED to
+    BMP container bytes (bottom-up BGR rows, 4-byte stride padding)
+    and DECODED back through the stdlib struct+numpy BMP parser
+    (operators/multimodal.py: synth_bmp → bmp_features); the oracle
+    recomputes width/height, exact per-channel means, integer rec-601
+    luma mean and its 4-bin histogram analytically from doc_id, so a
+    header mis-parse, row-order flip, BGR/RGB swap, or stride-padding
+    error breaks the hash. With WAV (r9) and BMP (r10) real, the
+    NotImplementedError seam is video + compressed formats only."""
+    from gofaiss_spark.operators.multimodal import bmp_features, synth_bmp
+    from gofaiss_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    return bmp_features(synth_bmp(docs))
+
+
+_MULTIMODAL_IMAGE_SQL = """
+WITH p AS (
+  SELECT doc_id AS id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents
+),
+xs AS (SELECT id, w, h, unnest(range(w)) AS x FROM p),
+px AS (SELECT id, w, h, x, unnest(range(h)) AS y FROM xs),
+rgb AS (
+  SELECT id, w, h,
+         (7*id + 3*x + 5*y) % 256 AS r,
+         (11*id + 5*x + 7*y) % 256 AS g,
+         (13*id + 7*x + 3*y) % 256 AS b
+  FROM px
+),
+lum AS (SELECT *, (299*r + 587*g + 114*b) // 1000 AS l FROM rgb)
+SELECT id,
+       CAST(any_value(w) AS INT) AS width,
+       CAST(any_value(h) AS INT) AS height,
+       CAST(sum(r) AS DOUBLE) / (any_value(w) * any_value(h)) AS mean_r,
+       CAST(sum(g) AS DOUBLE) / (any_value(w) * any_value(h)) AS mean_g,
+       CAST(sum(b) AS DOUBLE) / (any_value(w) * any_value(h)) AS mean_b,
+       CAST(sum(l) AS DOUBLE) / (any_value(w) * any_value(h)) AS luma_mean,
+       CAST(sum(CASE WHEN l // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS luma_h0,
+       CAST(sum(CASE WHEN l // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS luma_h1,
+       CAST(sum(CASE WHEN l // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS luma_h2,
+       CAST(sum(CASE WHEN l // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS luma_h3
+FROM lum GROUP BY id
+"""
+
+
 # --- full-text retrieval (BM25 / TF-IDF, operators/retrieval.py) ----
 
 # Deterministic lexical query batch over the synthetic corpus
@@ -4897,6 +4947,51 @@ def _auto_tier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _auto_tier_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-tier routing for a PERSISTED shard-partitioned artifact
+    (round 10, r9-verdict item 6): ``api.resolve_tier(path)`` must
+    detect the saved artifact and ``api.search(path, queries)`` must
+    open the executor/host-colocated sharded tier on it (cached per
+    path) — previously only a LIVE ShardedSearcher handle routed
+    there and a saved artifact fell to the distributed plan. Run at
+    nprobe = nlist the merged result is provably exact, so the flat
+    L2 SQL oracle applies. Reference analogue: the Searcher façade
+    dispatching every index kind, pkg/search/search.go:42-84."""
+    import shutil
+    import tempfile
+
+    from gofaiss_spark import api
+    from gofaiss_spark.operators.ivf import build_ivf
+    from gofaiss_spark.operators.shard_serve import save_sharded
+
+    idx = build_ivf(_vectors(spark, sf_dir), nlist=10, metric="l2", seed=42)
+    tmp = tempfile.mkdtemp(prefix="gofaiss_auto_shard_")
+    try:
+        save_sharded(idx, tmp, num_shards=3)
+        tier = api.resolve_tier(tmp)
+        if tier != "sharded":
+            raise RuntimeError(
+                f"auto tier resolved {tier!r} for a saved sharded "
+                "artifact — the path-routing rule regressed")
+        res = api.search(tmp, _queries_df(spark, sf_dir, N_TOPK_QUERIES),
+                         k=TOPK_K, params={"nprobe": 10})
+        out = res.select(
+            "query_id", "id", F.round("distance", 6).alias("distance")
+        )
+        out = spark.createDataFrame(
+            out.collect(), schema="query_id long, id long, distance double")
+    finally:
+        # close the path-cached searcher BEFORE deleting the artifact
+        # (its host-shm segments outlive python workers by design)
+        import os
+
+        srv = api._SHARDED_OPEN.pop(os.path.realpath(tmp), None)
+        if srv is not None:
+            srv.close()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: exact top-10 L2
     neighbors for a 100-query batch (the flat-index oracle plan)."""
@@ -4916,32 +5011,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window the same round; by the same spirit, touching any operator
     module re-queues the rows whose plan runs that module.
 
-    Round-9 window (slots 1-50), per the r8 verdict's #1 directive
-    ("rotate to the r6 cohort"): the five round-9 additions first
-    (the IVFSQ sharded serving row, the auto-tier default-API row,
-    the HNSW cosine/dot metric rows, and the real-WAV-codec
-    multimodal row), then the full 34-query r6 cohort oldest-first
-    (sql/binary/filtered_topk, ivf_topk_nprobe, vector_norms,
-    centroid_by_label, the 21 remaining TPC-H rows, doc_fingerprint,
-    revenue_by_nation, and the five temporal/event rows), then the
-    standing-rule re-queues for code touched THIS round (hnsw.py:
-    small-batch dispatch + bit-packed visited epoch kernel -> all
-    four hnsw rows; multimodal.py: real WAV decode -> the two rows
-    executing the decode dispatch; shard_serve.py: the 'ivfsq' kind
-    in save/load/search dispatch -> all five sharded-serving rows)
-    filling exactly slot 50. After this round every registered
-    query's latest green check is r7 or newer. All remain
+    Round-10 window (slots 1-50), per the r9 verdict's #1 directive
+    ("rotate to the 40-query r7 cohort"): the two round-10 additions
+    first (the real-BMP-codec image row and the persisted-sharded-
+    artifact auto-tier row), then the FULL 40-query r7 cohort (every
+    query whose latest green check is r7 — pq/ivfpq/sq/ivfsq/lsh/
+    hybrid/maxsim/mmr topk rows, the sketch rows, BPE rows, funnel/
+    cohort/zscore/histogram/running-total rows, bm25/tfidf/dsir/
+    dedup-cluster rows, ann_recall_report, stream_event_windows),
+    then the standing-rule re-queues for code touched THIS round
+    filling exactly slot 50 (api.py tier dispatch -> auto_tier_topk;
+    multimodal.py -> its other driver rows; hnsw.py packed-_mark
+    kernel -> four hnsw rows). After this round no registered
+    query's latest green check is older than r8. All remain
     regression-guarded by the local sf0.001 DuckDB oracle suite
     (tests/test_entry_oracle.py)."""
     return {
-        # --- new round-9 queries (prepended per the standing rule) ---
-        "ivfsq_sharded_exec_topk": _ivfsq_sharded_exec_topk,
+        # --- new round-10 queries (prepended per the standing rule) ---
+        "multimodal_image_features": _multimodal_image_features,
+        "auto_tier_sharded_topk": _auto_tier_sharded_topk,
+        # --- the r7 cohort (40 rows, latest green r7 per the
+        #     CORRECTNESS_r01-r09 union — the whole stale tail,
+        #     the r9 verdict's #1 directive), oldest cohort first ---
+        "ann_recall_report": _ann_recall_report,
+        "customer_running_total": _customer_running_total,
+        "doc_bm25_persisted": _doc_bm25_persisted,
+        "doc_bm25_topk": _doc_bm25_topk,
+        "doc_bpe_encode": _doc_bpe_encode,
+        "doc_bpe_merges": _doc_bpe_merges,
+        "doc_bpe_roundtrip": _doc_bpe_roundtrip,
+        "doc_dedup_clusters": _doc_dedup_clusters,
+        "doc_dsir_resample": _doc_dsir_resample,
+        "doc_gopher_rules": _doc_gopher_rules,
+        "doc_near_dup_dedup": _doc_near_dup_dedup,
+        "doc_ppl_buckets": _doc_ppl_buckets,
+        "doc_simhash": _doc_simhash,
+        "doc_tfidf_terms": _doc_tfidf_terms,
+        "doc_vocab_drift": _doc_vocab_drift,
+        "embedding_near_dup_lsh": _embedding_near_dup_lsh,
+        "events_cohort_retention": _events_cohort_retention,
+        "events_funnel": _events_funnel,
+        "events_heavy_hitters": _events_heavy_hitters,
+        "events_quantile_sketch": _events_quantile_sketch,
+        "events_user_zscore": _events_user_zscore,
+        "events_value_histogram": _events_value_histogram,
+        "hard_negatives": _hard_negatives,
+        "hybrid_topk": _hybrid_topk,
+        "ivf_health_report": _ivf_health_report,
+        "ivf_merged_topk": _ivf_merged_topk,
+        "ivfpq_refine_topk": _ivfpq_refine_topk,
+        "ivfpq_topk": _ivfpq_topk,
+        "ivfsq_topk": _ivfsq_topk,
+        "lsh_topk": _lsh_topk,
+        "maxsim_topk": _maxsim_topk,
+        "mmr_topk": _mmr_topk,
+        "multimodal_stats": _multimodal_stats,
+        "orders_profile": _orders_profile,
+        "pq_refine_topk": _pq_refine_topk,
+        "pq_topk": _pq_topk,
+        "profile_distinct_sketch": _profile_distinct_sketch,
+        "sq_reconstruct": _sq_reconstruct,
+        "sq_topk": _sq_topk,
+        "stream_event_windows": _stream_event_windows,
+        # --- standing-rule re-queues for code touched THIS round:
+        #     api.py (tier dispatch: per-kind nprobe resolution,
+        #     pool-failure cleanup, sharded-artifact path routing)
+        #     -> the auto-tier default-API row ---
         "auto_tier_topk": _auto_tier_topk,
-        "hnsw_routed_cosine_topk": _hnsw_routed_metric_topk("cosine"),
-        "hnsw_routed_dot_topk": _hnsw_routed_metric_topk("dot"),
+        # --- multimodal.py touched (real BMP codec beside the WAV
+        #     path) -> the module's other driver rows;
+        #     multimodal_stats is already in the r7 cohort above ---
         "multimodal_audio_features": _multimodal_audio_features,
-        # --- the r6 cohort (34 rows, latest green r6 per
-        #     CORRECTNESS_r06.json — the whole stale tail) ---
+        "multimodal_features": _multimodal_features,
+        "multimodal_frame_sample": _multimodal_frame_sample,
+        # --- hnsw.py touched (packed _mark -> one unbuffered
+        #     np.bitwise_or.at, BENCH_AB hnsw_mark_ab_r10) -> the
+        #     four metric/tier-diverse hnsw rows; the routed
+        #     cosine/dot twins run the IDENTICAL kernel lines
+        #     (only the untouched scoring branch differs), stay
+        #     r9-green and sf0.001-oracle-guarded ---
+        "hnsw_topk": _hnsw_topk,
+        "hnsw_local_topk": _hnsw_local_topk,
+        "hnsw_routed_topk": _hnsw_routed_topk,
+        "hnsw_sharded_topk": _hnsw_sharded_topk,
+        # ---- window boundary (slot 50) ----
+        # --- r9-verified green (latest driver check r9) ---
+        "ivfsq_sharded_exec_topk": _ivfsq_sharded_exec_topk,
+        "hnsw_routed_cosine_topk": _hnsw_routed_metric_topk('cosine'),
+        "hnsw_routed_dot_topk": _hnsw_routed_metric_topk('dot'),
         "sql_topk": _sql_topk,
         "binary_topk": _binary_topk,
         "filtered_topk": _filtered_topk,
@@ -4976,47 +5133,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_clicks": _events_asof_clicks,
         "events_rollup": _events_rollup,
         "events_range_join": _events_range_join,
-        # --- HNSW re-queue: round 9 touches hnsw.py (small-batch
-        #     seq/lock-step dispatch + the bit-packed visited epoch
-        #     kernel) that every hnsw row executes ---
-        "hnsw_topk": _hnsw_topk,
-        "hnsw_sharded_topk": _hnsw_sharded_topk,
-        "hnsw_routed_topk": _hnsw_routed_topk,
-        "hnsw_local_topk": _hnsw_local_topk,
-        # --- multimodal re-queue: round 9 touches multimodal.py
-        #     (real stdlib-wave decode path beside the fake seam) —
-        #     the two rows that execute the decode dispatch;
-        #     multimodal_stats is metadata-only column aggregation
-        #     (no decode path) and stays below the boundary ---
-        "multimodal_features": _multimodal_features,
-        "multimodal_frame_sample": _multimodal_frame_sample,
-        # --- serving re-queue (standing rule): round 9 touches
-        #     shard_serve.py (kind 'ivfsq' in save/load/search
-        #     dispatch) — every sharded-serving row runs those
-        #     dispatch lines ---
         "ivf_sharded_cosine_topk": _ivf_sharded_cosine_topk,
         "ivf_sharded_dot_topk": _ivf_sharded_dot_topk,
         "ivf_sharded_exec_topk": _ivf_sharded_exec_topk,
         "ivf_sharded_refresh_topk": _ivf_sharded_refresh_topk,
         "ivfpq_sharded_exec_topk": _ivfpq_sharded_exec_topk,
-        # ---- window boundary (slot 50) ----
-        # --- r8/r7-verified green, displaced by the serving
-        #     re-queue: the flat/ivf LOCAL rows' kernels
-        #     (to_local/LocalFlatIndex/LocalIvfIndex) are untouched
-        #     by the r9 diff (the IVFSQ addition is a new class +
-        #     new dispatch branches), and the r7 quantized
-        #     distributed kernels (pq/ivfpq/sq/merge) are untouched;
-        #     all stay oracle-guarded by tests/test_entry_oracle.py ---
-        "pq_topk": _pq_topk,
-        "ivfpq_topk": _ivfpq_topk,
-        "pq_refine_topk": _pq_refine_topk,
-        "ivfpq_refine_topk": _ivfpq_refine_topk,
-        "ivf_merged_topk": _ivf_merged_topk,
-        "sq_topk": _sq_topk,
-        "multimodal_stats": _multimodal_stats,
-        # --- r8-verified green (kernels untouched this round) ---
+        # --- r8-verified green (latest driver check r8) ---
         "flat_local_dot_topk": _flat_local_dot_topk,
-        "ivf_sharded_dot_topk": _ivf_sharded_dot_topk,
         "opq_topk": _opq_topk,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_minhash_near_dup": _doc_minhash_near_dup,
@@ -5048,57 +5171,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_quality_per_lang": _doc_top_quality_per_lang,
         "flat_local_cosine_topk": _flat_local_cosine_topk,
         "ivf_local_topk": _ivf_local_topk,
-        "ivf_sharded_cosine_topk": _ivf_sharded_cosine_topk,
-        "ivf_sharded_exec_topk": _ivf_sharded_exec_topk,
-        "ivf_sharded_refresh_topk": _ivf_sharded_refresh_topk,
-        "ivfpq_sharded_exec_topk": _ivfpq_sharded_exec_topk,
-        "flat_topk_l2": _flat_topk("l2"),
-        "flat_topk_cosine": _flat_topk("cosine"),
-        "flat_topk_dot": _flat_topk("dot"),
+        "flat_topk_l2": _flat_topk('l2'),
+        "flat_topk_cosine": _flat_topk('cosine'),
+        "flat_topk_dot": _flat_topk('dot'),
         "stream_flat_topk": _stream_flat_topk,
         "ivf_fullprobe_topk": _ivf_fullprobe_topk,
         "range_search_l2": _range_search_l2,
         "pca_topk": _pca_topk,
-        # --- r7-verified green ---
-        "stream_event_windows": _stream_event_windows,
-        "doc_ppl_buckets": _doc_ppl_buckets,
-        "doc_dsir_resample": _doc_dsir_resample,
-        "doc_gopher_rules": _doc_gopher_rules,
-        "doc_bpe_merges": _doc_bpe_merges,
-        "doc_bpe_encode": _doc_bpe_encode,
-        "doc_vocab_drift": _doc_vocab_drift,
-        "doc_bpe_roundtrip": _doc_bpe_roundtrip,
-        "ivfsq_topk": _ivfsq_topk,
-        "lsh_topk": _lsh_topk,
-        "ann_recall_report": _ann_recall_report,
-        "doc_dedup_clusters": _doc_dedup_clusters,
-        "doc_simhash": _doc_simhash,
-        "embedding_near_dup_lsh": _embedding_near_dup_lsh,
-        "doc_near_dup_dedup": _doc_near_dup_dedup,
-        "doc_bm25_topk": _doc_bm25_topk,
-        "doc_bm25_persisted": _doc_bm25_persisted,
-        "doc_tfidf_terms": _doc_tfidf_terms,
-        "hybrid_topk": _hybrid_topk,
-        "maxsim_topk": _maxsim_topk,
-        "mmr_topk": _mmr_topk,
-        "hard_negatives": _hard_negatives,
-        "sq_reconstruct": _sq_reconstruct,
-        "ivf_health_report": _ivf_health_report,
-        "profile_distinct_sketch": _profile_distinct_sketch,
-        "events_quantile_sketch": _events_quantile_sketch,
-        "events_heavy_hitters": _events_heavy_hitters,
-        "orders_profile": _orders_profile,
-        "events_user_zscore": _events_user_zscore,
-        "events_funnel": _events_funnel,
-        "events_cohort_retention": _events_cohort_retention,
-        "customer_running_total": _customer_running_total,
-        "events_value_histogram": _events_value_histogram,
     }
 
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # round-10: the BMP image row's oracle recomputes every pixel
+        # feature analytically from doc_id (the WAV-row construction);
+        # the sharded-artifact auto-tier row runs at nprobe = nlist so
+        # the merged result is exact — flat L2 oracle applies
+        "multimodal_image_features": _MULTIMODAL_IMAGE_SQL,
+        "auto_tier_sharded_topk": _flat_topk_sql("l2"),
         # round-9: the auto-tier default API path serves exact flat
         # L2 from the driver replica — same oracle as flat_topk_l2;
         # the IVFSQ sharded row reduces to exact flat at full probe +

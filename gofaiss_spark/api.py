@@ -192,11 +192,13 @@ def cache_index(index) -> None:
 #                with no resident-RAM bound; also the build/offline
 #                regime.
 #
-# ``tier="auto"`` (the DEFAULT for api.search) routes by artifact size
-# and batch shape: an index whose localized footprint fits
-# LOCAL_TIER_CAP_MB serves from a driver replica (pooled when the
-# batch is ≥ POOL_MIN_BATCH), a ShardedSearcher handle serves from its
-# shards, anything else runs the distributed plan. Localization
+# ``tier="auto"`` (the DEFAULT for api.search) routes by artifact
+# size: an index whose localized footprint fits LOCAL_TIER_CAP_MB
+# serves from a driver replica (inside the local tier, batch shape
+# picks pool vs in-process at POOL_MIN_BATCH), a ShardedSearcher
+# handle — or a saved shard-partitioned artifact path — serves from
+# its executor/host-colocated shards, anything else runs the
+# distributed plan. Localization
 # happens ONCE per index object (cached), so the first call pays the
 # collect and steady-state serving runs at replica speed. All tiers
 # return bit-identical results by construction (the local kernels are
@@ -235,7 +237,7 @@ def _tier_row_count(index) -> int:
 def localized_mb(index) -> float | None:
     """Estimated driver-resident footprint (MB) if ``index`` were
     localized; ``None`` when the type has no driver-colocated adapter
-    (LSH, sharded-HNSW, OPQ, IVFSQ → distributed only)."""
+    (LSH, sharded-HNSW, OPQ → distributed only)."""
     from gofaiss_spark.operators.hnsw import HnswIndex, HnswRoutedIndex
 
     if isinstance(index, HnswIndex):
@@ -261,15 +263,65 @@ def localized_mb(index) -> float | None:
     return _tier_row_count(index) * per_row / (1024 * 1024)
 
 
-def resolve_tier(index, n_queries: int | None = None,
-                 params: dict | None = None) -> str:
+def is_sharded_artifact(path: str) -> bool:
+    """True when ``path`` is a shard-partitioned serving artifact —
+    either a plain ``save_sharded`` root (``_shard_meta.json``) or a
+    ``refresh_sharded``-managed root (``_current.json`` generation
+    pointer)."""
+    from gofaiss_spark.operators.shard_serve import CURRENT_PTR, SHARD_META
+
+    return os.path.exists(os.path.join(path, SHARD_META)) or \
+        os.path.exists(os.path.join(path, CURRENT_PTR))
+
+
+_SHARDED_OPEN: dict = {}  # realpath → ShardedSearcher (serving cache)
+_LOADED_OPEN: dict = {}   # realpath → loaded plain-artifact index
+
+
+@atexit.register
+def _close_sharded() -> None:
+    for srv in _SHARDED_OPEN.values():
+        try:
+            srv.close()
+        except Exception:
+            pass
+    _SHARDED_OPEN.clear()
+
+
+def _open_sharded(spark, path: str):
+    """Open (once per path, cached) the executor/host-colocated tier
+    over a saved sharded artifact. The cached searcher stays valid
+    across ``refresh_sharded`` generations — it re-resolves the
+    ``_current.json`` pointer per batch."""
+    from gofaiss_spark.operators.shard_serve import ShardedSearcher
+
+    key = os.path.realpath(path)
+    srv = _SHARDED_OPEN.get(key)
+    if srv is None:
+        srv = ShardedSearcher(spark, path)
+        _SHARDED_OPEN[key] = srv
+    return srv
+
+
+def resolve_tier(index, params: dict | None = None) -> str:
     """The auto-routing decision, exposed for tests/inspection.
     Returns the concrete tier ("local" | "sharded" | "distributed")
-    that ``tier="auto"`` would pick for this index and batch shape."""
+    that ``tier="auto"`` would pick for this index. Accepts an index
+    object, a live ShardedSearcher, or a saved-artifact PATH (a
+    shard-partitioned artifact routes to the sharded tier; batch
+    shape never changes the tier — inside the local tier it only
+    picks pool vs in-process serving at POOL_MIN_BATCH)."""
     from gofaiss_spark.operators.shard_serve import ShardedSearcher
 
     if isinstance(index, ShardedSearcher):
         return "sharded"
+    if isinstance(index, str):
+        if is_sharded_artifact(index):
+            return "sharded"
+        raise ValueError(
+            f"{index!r} is not a sharded serving artifact — "
+            "load_index() a plain artifact first, then resolve the "
+            "loaded index")
     params = params or {}
     # refine/base exact re-ranking is a distributed-plan feature: the
     # auto-localized PQ/IVFPQ/SQ replicas don't pack the stored rows
@@ -336,7 +388,16 @@ def _local_search_np(index, qmat, k: int, params: dict):
     from gofaiss_spark.operators import local_serve as ls
     from gofaiss_spark.operators.hnsw import HnswIndex, HnswRoutedIndex
 
-    nprobe = params.get("nprobe", DEFAULT_NPROBE)
+    # Tier-invariance: the HNSW kinds default nprobe to the INDEX's
+    # configured default (what both the in-process handle and the
+    # distributed plan resolve None to — the pool's routed kind does
+    # the same, local_serve._search_hnsw_cells), NOT the IVF-family
+    # DEFAULT_NPROBE. An index built with default_nprobe != 10 must
+    # return the same results at every batch size and tier.
+    if isinstance(index, (HnswIndex, HnswRoutedIndex)):
+        nprobe = params.get("nprobe")
+    else:
+        nprobe = params.get("nprobe", DEFAULT_NPROBE)
     refine = params.get("refine")
     ef = params.get("ef_search")
     use_pool = len(qmat) >= POOL_MIN_BATCH and ef is None
@@ -345,9 +406,23 @@ def _local_search_np(index, qmat, k: int, params: dict):
             return _to_pool_handle(index).search(
                 qmat, k=k, nprobe=nprobe, refine=refine)
         except Exception:
-            # pool spawn can fail in constrained environments —
-            # in-process replica serves the same bits
-            index.__dict__.pop("_tier_pool", None)
+            # pool spawn/IPC can fail in constrained environments —
+            # the in-process replica serves the same bits. Close and
+            # unregister the dead pool: leaving it cached would
+            # re-raise forever, and leaving it in _POOLS (or its
+            # workers alive) leaks processes + shm until interpreter
+            # exit — one fresh pool attempt per FAILED pool, never
+            # one per call.
+            dead = index.__dict__.pop("_tier_pool", None)
+            if dead is not None:
+                try:
+                    dead.close()
+                except Exception:
+                    pass
+                try:
+                    _POOLS.remove(dead)
+                except ValueError:
+                    pass
     h = _to_local_handle(index)
     if isinstance(h, ls.LocalFlatIndex):
         return h.search(qmat, k=k)
@@ -451,11 +526,20 @@ def serve(index, tier: str = "auto", spark: SparkSession | None = None):
     placement. ``tier="auto"`` resolves NOW (so ``.tier`` is concrete
     and inspectable); pass an explicit tier to force placement."""
     if isinstance(index, str):
-        from gofaiss_spark.operators.shard_serve import ShardedSearcher
-
         if spark is None:
             raise ValueError("serve(path) needs spark=")
-        return TierServer(ShardedSearcher(spark, index), "sharded")
+        if is_sharded_artifact(index):
+            return TierServer(_open_sharded(spark, index), "sharded")
+        # plain save_index artifact: load (cached) and auto-route the
+        # loaded object like any live index
+        from gofaiss_spark.plans.artifacts import load_index
+
+        key = os.path.realpath(index)
+        cached = _LOADED_OPEN.get(key)
+        if cached is None:
+            cached = load_index(spark, index)
+            _LOADED_OPEN[key] = cached
+        index = cached
     if tier == "auto":
         tier = resolve_tier(index)
     if tier not in ("local", "sharded", "distributed"):
@@ -476,11 +560,30 @@ def search(index, queries: DataFrame, k: int = DEFAULT_K, params: dict | None = 
 
     ``params["tier"]`` selects the execution tier ("auto" — the
     default — | "local" | "sharded" | "distributed"); see the
-    serving-tier block above. Results are tier-invariant."""
+    serving-tier block above. Results are tier-invariant.
+
+    ``index`` may also be a saved-artifact PATH: a shard-partitioned
+    artifact (save_sharded/refresh_sharded) opens the executor/host-
+    colocated sharded tier (cached per path, generation-pointer
+    aware); a plain save_index artifact is load_index-ed (cached per
+    path) and auto-routed like the live object."""
     params = dict(params or {})
     tier = params.pop("tier", "auto")
     from gofaiss_spark.operators.shard_serve import ShardedSearcher
 
+    if isinstance(index, str):
+        spark = queries.sparkSession
+        if is_sharded_artifact(index):
+            index = _open_sharded(spark, index)
+        else:
+            from gofaiss_spark.plans.artifacts import load_index
+
+            key = os.path.realpath(index)
+            cached = _LOADED_OPEN.get(key)
+            if cached is None:
+                cached = load_index(spark, index)
+                _LOADED_OPEN[key] = cached
+            index = cached
     if isinstance(index, ShardedSearcher):
         qids, qmat = _collect_queries(queries)
         ids, d = index.search(

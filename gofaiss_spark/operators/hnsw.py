@@ -586,10 +586,11 @@ def _batch_layer0_chunk(
     bytes per query), so chunk width no longer collapses toward the
     slow small-batch regime on big single cells (round-8 verdict
     "what's wrong" #2: bool rows at 10M nodes forced chunk=6).
-    Within one round each (row, node) pair is unique (one pop per
-    row, adjacency lists are duplicate-free), so the packed set-bits
-    pass can group by bit value and use plain fancy `|=` per group —
-    no `np.bitwise_or.at` in the hot loop."""
+    The packed set-bits pass is one unbuffered `np.bitwise_or.at`
+    (duplicate-safe) — measured 2-5× faster than the previous 8-way
+    per-bit-group fancy `|=` loop at the kernel's per-round mark
+    shapes (r9 verdict "what's wrong" #3 A/B; BENCH_AB.json
+    hnsw_mark_ab_r10, bit-equal)."""
     cq, n = Q.shape[0], g.n()
     packed = n > _BOOL_VISITED_MAX_N
     if packed:
@@ -602,12 +603,9 @@ def _batch_layer0_chunk(
             ) == 0
 
         def _mark(rows: np.ndarray, nodes: np.ndarray) -> None:
-            b3 = nodes >> 3
-            b7 = (nodes & 7).astype(np.uint8)
-            for b in range(8):
-                mk = b7 == b
-                if mk.any():
-                    seen[rows[mk], b3[mk]] |= np.uint8(1 << b)
+            np.bitwise_or.at(
+                seen, (rows, nodes >> 3),
+                np.uint8(1) << (nodes & 7).astype(np.uint8))
     else:
         seen = np.zeros((cq, n), dtype=bool)
 

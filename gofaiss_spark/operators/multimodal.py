@@ -20,7 +20,13 @@ north-star surface (SURVEY.md §7 phase E). Design rules:
 - AUDIO is the exception (round 9): WAV decode needs only the stdlib
   ``wave`` module, so ``wav_features`` is a REAL bytes→signal→
   features codec path (RIFF header parse + int16 PCM decode), not a
-  stub — the ``NotImplementedError`` seam is image/video only.
+  stub.
+- IMAGE joined it in round 10: uncompressed 24-bit BMP needs only
+  ``struct`` + numpy, so ``bmp_features`` (container parse → pixel
+  decode → mean-RGB / luma histogram) and ``resize_images`` (nearest-
+  neighbor resample + BMP re-encode) are REAL codec paths. The
+  ``NotImplementedError`` seam is now VIDEO plus compressed image/
+  audio formats (JPEG/PNG → Pillow, MP3/FLAC → soundfile) only.
 """
 
 from __future__ import annotations
@@ -56,8 +62,11 @@ def _require_decoder(decoder: str) -> None:
             import PIL  # noqa: F401
         except ImportError as e:  # pragma: no cover - env-dependent
             raise NotImplementedError(
-                "decoder='image' needs Pillow, which is not installed in this "
-                "environment; the Spark plumbing is identical for decoder='fake'"
+                "decoder='image' needs Pillow (not installed here) for "
+                "compressed formats; uncompressed 24-bit BMP has a REAL "
+                "stdlib codec path — use bmp_features() / "
+                "resize_images(decoder='bmp'); decoder='fake' covers the "
+                "generic plumbing path"
             ) from e
         return
     if decoder == "audio":
@@ -294,11 +303,215 @@ def wav_features(
     )
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — requires a real codec; NotImplementedError here
-    by design (env has no Pillow). Kept as the documented seam."""
-    _require_decoder("image")
-    raise AssertionError("unreachable in this environment")  # pragma: no cover
+# --- REAL image codec path (round 10): uncompressed 24-bit BMP -------
+#
+# BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows,
+# 4-byte row stride) is fully specified by two fixed-layout structs —
+# parseable with stdlib ``struct`` + numpy, no Pillow. Same role as
+# the WAV path one section up: the decode kernel a 100 TB image
+# corpus runs, with the body swapped for a JPEG/resize kernel when a
+# real codec lib is present. Reference analogue: external-payload
+# ingest (examples/kaggle_foodpanda_reviews/main.go:26-48).
+
+_BMP_HEADER_BYTES = 54  # 14 (file header) + 40 (BITMAPINFOHEADER)
+
+
+def encode_bmp(img_bgr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 BGR, row 0 = TOP → uncompressed 24-bit BMP
+    bytes (bottom-up pixel array, rows padded to 4 bytes)."""
+    import struct
+
+    h, w, c = img_bgr.shape
+    if c != 3:
+        raise ValueError(f"encode_bmp needs (h, w, 3) BGR, got {img_bgr.shape}")
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img_bgr[::-1].reshape(h, w * 3)  # bottom-up
+    pix = rows.tobytes()
+    return (
+        struct.pack("<2sIHHI", b"BM", _BMP_HEADER_BYTES + len(pix), 0, 0,
+                    _BMP_HEADER_BYTES)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                      2835, 2835, 0, 0)
+        + pix
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Uncompressed 24-bit BMP bytes → (h, w, 3) uint8 BGR with row 0
+    = TOP (both bottom-up ``height>0`` and top-down ``height<0`` pixel
+    arrays are handled). Returns ``None`` for anything unparseable or
+    unsupported (other bpp / compressed BMP) — poison-blob tolerance:
+    one corrupt image must not kill an ingest job."""
+    import struct
+
+    if len(payload) < _BMP_HEADER_BYTES or payload[:2] != b"BM":
+        return None
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    hdr, w, h_signed, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if hdr < 40 or bpp != 24 or comp != 0 or w <= 0 or h_signed == 0:
+        return None
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4
+    if offset < _BMP_HEADER_BYTES or len(payload) < offset + stride * h:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)
+    return np.ascontiguousarray(img[::-1] if h_signed > 0 else img)
+
+
+def synth_bmp(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic synthetic BMP payloads keyed on ``id`` — the test
+    corpus generator for the real image codec path (the image twin of
+    ``synth_wav``). Per id ``d``: width ``4 + d%5``, height
+    ``3 + d%4``, and at image coordinate (x, y) (y=0 is the top row)
+    the channels are ``r=(7d+3x+5y)%256``, ``g=(11d+5x+7y)%256``,
+    ``b=(13d+7x+3y)%256`` — every pixel an analytic function of
+    ``d``, so a SQL oracle can recompute the features
+    ``bmp_features`` extracts from the ENCODED container bytes; the
+    encode→decode round trip through the real BMP codec (bottom-up
+    row order, BGR byte order, 4-byte stride padding) is what the
+    driver row verifies. Arrow-batched; one task per partition."""
+    base = df.select(F.col(id_col).alias("id"))
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for d in pdf["id"].to_numpy(dtype=np.int64):
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                r = (7 * d + 3 * x + 5 * y) % 256
+                g = (11 * d + 5 * x + 7 * y) % 256
+                b = (13 * d + 7 * x + 3 * y) % 256
+                img = np.stack(
+                    [b, g, r], axis=-1).astype(np.uint8)  # BGR
+                payloads.append(encode_bmp(img))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    "modality": "image",
+                    "content": payloads,
+                }
+            )
+
+    return base.mapInPandas(
+        part, schema="id long, modality string, content binary"
+    )
+
+
+def bmp_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """REAL image decode: BMP container bytes → per-image pixel
+    features, no external codec libs. Emits (id, width, height,
+    mean_r, mean_g, mean_b, luma_mean, luma_h0..luma_h3) where the
+    means are exact ``integer_sum / n_pixels`` doubles (bit-stable
+    across engines — no rounding needed: channel sums are exact
+    integers ≪ 2^53), luma is the INTEGER rec-601 approximation
+    ``(299r + 587g + 114b) // 1000`` per pixel, and ``luma_h0..h3``
+    is its 4-bin histogram (bin = luma // 64). Arrow-batched in
+    ``mapInPandas``; unparseable payloads are dropped."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content")
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [], "luma_mean": [],
+                "luma_h0": [], "luma_h1": [], "luma_h2": [], "luma_h3": [],
+            }
+            for i, payload in zip(
+                pdf["id"].to_numpy(dtype=np.int64), pdf["content"]
+            ):
+                if payload is None:
+                    continue
+                img = decode_bmp(bytes(payload))
+                if img is None:
+                    continue
+                h, w = img.shape[:2]
+                n = h * w
+                bgr = img.reshape(n, 3).astype(np.int64)
+                b, g, r = bgr[:, 0], bgr[:, 1], bgr[:, 2]
+                luma = (299 * r + 587 * g + 114 * b) // 1000
+                hist = np.bincount(luma // 64, minlength=4)
+                rows["id"].append(int(i))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_r"].append(float(int(r.sum())) / n)
+                rows["mean_g"].append(float(int(g.sum())) / n)
+                rows["mean_b"].append(float(int(b.sum())) / n)
+                rows["luma_mean"].append(float(int(luma.sum())) / n)
+                for bin_ in range(4):
+                    rows[f"luma_h{bin_}"].append(int(hist[bin_]))
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        part,
+        schema=(
+            "id long, width int, height int, mean_r double, "
+            "mean_g double, mean_b double, luma_mean double, "
+            "luma_h0 long, luma_h1 long, luma_h2 long, luma_h3 long"
+        ),
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    decoder: str = "bmp",
+    content_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """Image resize. ``decoder="bmp"`` (default) is a REAL path:
+    decode the BMP container, nearest-neighbor resample to
+    (width, height) — source pixel ``floor((i + 0.5) * src / dst)``
+    per axis, the classic grid-center mapping, pure numpy fancy
+    indexing — and re-encode as BMP. Emits (id, content BINARY) of
+    the resized images; unparseable payloads are dropped.
+    ``decoder="image"`` (Pillow, for compressed formats) remains the
+    documented NotImplementedError seam in this environment."""
+    if width < 1 or height < 1:
+        raise ValueError("width/height must be >= 1")
+    if decoder != "bmp":
+        _require_decoder(decoder)
+        raise AssertionError("unreachable in this environment")  # pragma: no cover
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content")
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, payload in zip(
+                pdf["id"].to_numpy(dtype=np.int64), pdf["content"]
+            ):
+                if payload is None:
+                    continue
+                img = decode_bmp(bytes(payload))
+                if img is None:
+                    continue
+                src_h, src_w = img.shape[:2]
+                xs = ((np.arange(width) + 0.5) * src_w / width).astype(
+                    np.int64).clip(0, src_w - 1)
+                ys = ((np.arange(height) + 0.5) * src_h / height).astype(
+                    np.int64).clip(0, src_h - 1)
+                ids.append(int(i))
+                payloads.append(encode_bmp(img[ys][:, xs]))
+            yield pd.DataFrame({"id": ids, "content": payloads})
+
+    return base.mapInPandas(part, schema="id long, content binary")
 
 
 def modality_stats(df: DataFrame) -> DataFrame:

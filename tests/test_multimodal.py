@@ -107,7 +107,7 @@ def test_modality_stats(corpus):
 
 def test_real_decoders_gated(corpus):
     with pytest.raises(NotImplementedError, match="Pillow"):
-        resize_images(corpus, 224, 224)
+        resize_images(corpus, 224, 224, decoder="image")
     with pytest.raises(NotImplementedError):
         extract_features(corpus, decoder="audio")
     with pytest.raises(ValueError):
@@ -136,6 +136,117 @@ def test_wav_roundtrip_features(spark):
         vals = (d * 31 + j * 7) % 2001 - 1000
         assert r.peak_abs == int(np.abs(vals).max())
         assert r.rms == round(float(np.sqrt(np.mean(vals.astype(float) ** 2))), 6)
+
+
+# --- round 10: REAL BMP codec path (struct + numpy, no Pillow) ------
+
+
+def test_bmp_codec_roundtrip_exact_pixels():
+    """encode_bmp → decode_bmp is the identity on (h, w, 3) BGR,
+    including non-multiple-of-4 strides (w=5 → 1-byte row padding)."""
+    from gofaiss_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(11)
+    for w, h in [(5, 3), (4, 4), (7, 2), (1, 1)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(img))
+        np.testing.assert_array_equal(out, img)
+
+
+def test_bmp_decode_topdown_and_rejects():
+    """Top-down (negative height) arrays decode too; non-BMP, wrong
+    bpp, and truncated payloads return None (poison tolerance)."""
+    import struct
+
+    from gofaiss_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    payload = bytearray(encode_bmp(img))
+    # flip to top-down: negate height, re-order rows in place
+    struct.pack_into("<i", payload, 22, -2)
+    stride = 8
+    rows = bytes(payload[54:])
+    payload[54:] = rows[stride:] + rows[:stride]
+    np.testing.assert_array_equal(decode_bmp(bytes(payload)), img)
+    assert decode_bmp(b"not a bmp") is None
+    assert decode_bmp(encode_bmp(img)[:30]) is None
+    bad_bpp = bytearray(encode_bmp(img))
+    struct.pack_into("<H", bad_bpp, 28, 8)
+    assert decode_bmp(bytes(bad_bpp)) is None
+
+
+def test_bmp_roundtrip_features(spark):
+    """synth_bmp encodes real BMP containers; bmp_features must decode
+    them back to the exact analytic per-pixel statistics."""
+    from gofaiss_spark.operators.multimodal import bmp_features, synth_bmp
+
+    ids = spark.range(0, 20).select(F.col("id"))
+    out = {r.id: r for r in bmp_features(synth_bmp(ids)).collect()}
+    assert set(out) == set(range(20))
+    for d, r in out.items():
+        w, h = 4 + d % 5, 3 + d % 4
+        assert (r.width, r.height) == (w, h)
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        rr = (7 * d + 3 * x + 5 * y) % 256
+        gg = (11 * d + 5 * x + 7 * y) % 256
+        bb = (13 * d + 7 * x + 3 * y) % 256
+        n = w * h
+        assert r.mean_r == rr.sum() / n
+        assert r.mean_g == gg.sum() / n
+        assert r.mean_b == bb.sum() / n
+        luma = (299 * rr + 587 * gg + 114 * bb) // 1000
+        assert r.luma_mean == luma.sum() / n
+        hist = np.bincount((luma // 64).ravel(), minlength=4)
+        assert [r.luma_h0, r.luma_h1, r.luma_h2, r.luma_h3] == hist.tolist()
+
+
+def test_bmp_features_skips_corrupt_payloads(spark):
+    from gofaiss_spark.operators.multimodal import bmp_features, synth_bmp
+
+    good = synth_bmp(spark.range(5, 6)).collect()[0]
+    df = spark.createDataFrame(
+        [
+            (1, b"BMbogus"),
+            (2, None),
+            (3, bytes(good.content)),
+            (4, bytes(good.content)[:40]),
+        ],
+        schema="id long, content binary",
+    )
+    rows = bmp_features(df).collect()
+    assert [r.id for r in rows] == [3]
+    assert (rows[0].width, rows[0].height) == (4 + 5 % 5, 3 + 5 % 4)
+
+
+def test_bmp_resize_nearest_neighbor_exact(spark):
+    """resize_images(decoder='bmp') is a REAL resample: decoded output
+    must equal numpy fancy-indexing with grid-center source mapping,
+    for both down- and up-scaling."""
+    from gofaiss_spark.operators.multimodal import (
+        bmp_features,
+        decode_bmp,
+        resize_images,
+        synth_bmp,
+    )
+
+    src = synth_bmp(spark.range(0, 8))
+    originals = {r.id: decode_bmp(bytes(r.content)) for r in src.collect()}
+    for dst_w, dst_h in [(3, 2), (10, 7)]:
+        resized = resize_images(src, dst_w, dst_h)
+        rows = {r.id: decode_bmp(bytes(r.content)) for r in resized.collect()}
+        assert set(rows) == set(originals)
+        for d, img in originals.items():
+            src_h, src_w = img.shape[:2]
+            xs = ((np.arange(dst_w) + 0.5) * src_w / dst_w).astype(np.int64)
+            ys = ((np.arange(dst_h) + 0.5) * src_h / dst_h).astype(np.int64)
+            np.testing.assert_array_equal(
+                rows[d], img[ys.clip(0, src_h - 1)][:, xs.clip(0, src_w - 1)])
+        # resized payloads feed the feature kernel unchanged
+        feats = bmp_features(resized).collect()
+        assert all((r.width, r.height) == (dst_w, dst_h) for r in feats)
+    with pytest.raises(ValueError):
+        resize_images(src, 0, 4)
 
 
 def test_wav_features_skips_corrupt_payloads(spark):

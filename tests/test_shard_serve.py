@@ -339,6 +339,51 @@ class TestRefresh:
         finally:
             srv.close()
 
+    def test_swap_serves_new_generation_ivfsq(self, spark, vectors, qmat,
+                                              tmp_path_factory):
+        """Generation swap for the r9 quantized serving kind: IVFSQ
+        codes + sidecars (centroids, vmin/step) must all roll to the
+        new generation atomically — a stale sidecar under fresh codes
+        would decode garbage distances, which the bit-identity check
+        against the rebuilt LocalIvfSqIndex catches."""
+        import glob as _glob
+
+        from gofaiss_spark.operators.ivfsq import build_ivfsq
+        from gofaiss_spark.operators.local_serve import to_local_ivfsq
+        from gofaiss_spark.operators.shard_serve import refresh_sharded
+
+        root = str(tmp_path_factory.mktemp("shard") / "refresh_ivfsq")
+        half = vectors.filter(F.col("id") % 2 == 0).cache()
+        idx1 = build_ivfsq(half, nlist=8, seed=42)
+        idx1.codes.cache().count()
+        m1 = refresh_sharded(idx1, root, num_shards=2)
+        srv = ShardedSearcher(spark, root)
+        try:
+            assert srv.meta["kind"] == "ivfsq"
+            ids1, d1 = srv.search(qmat, k=5, nprobe=3)
+            l1, ld1 = to_local_ivfsq(idx1).search(qmat, k=5, nprobe=3)
+            np.testing.assert_array_equal(ids1, l1)
+            np.testing.assert_array_equal(d1, ld1)
+
+            idx2 = build_ivfsq(vectors, nlist=8, seed=43)
+            idx2.codes.cache().count()
+            m2 = refresh_sharded(idx2, root, num_shards=2)
+            assert m2["build_id"] != m1["build_id"]
+            # the same searcher serves the new generation next batch —
+            # including the NEW quantizer sidecars (seed differs, so
+            # centroids/vmin/step all changed, not just the codes)
+            ids2, d2 = srv.search(qmat, k=5, nprobe=3)
+            l2, ld2 = to_local_ivfsq(idx2).search(qmat, k=5, nprobe=3)
+            np.testing.assert_array_equal(ids2, l2)
+            np.testing.assert_array_equal(d2, ld2)
+            # old generation's segments were released on this host
+            assert _glob.glob(f"/dev/shm/*{m1['build_id']}*") == []
+            idx2.codes.unpersist()
+        finally:
+            srv.close()
+            idx1.codes.unpersist()
+            half.unpersist()
+
 
 class TestQuantizedSharded:
     """PQ/IVFPQ/SQ sharded serving (r5 verdict item 4): per-shard ADC

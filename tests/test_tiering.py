@@ -9,6 +9,8 @@ auto picks, the rows must equal the distributed plan's.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -131,6 +133,114 @@ def test_sharded_handle_routes_sharded(base, tmp_path):
         api.search(idx, qdf, k=K, params={"tier": "distributed", "nprobe": 6})
     )
     assert got == want
+
+
+def test_sharded_artifact_path_routes_sharded(base, tmp_path):
+    """r9-verdict item 6: a PERSISTED shard-partitioned artifact path
+    handed to resolve_tier/search/serve opens the executor-colocated
+    tier (previously only a live ShardedSearcher routed there)."""
+    _, vdf, qdf = base
+    from gofaiss_spark.operators.shard_serve import save_sharded
+
+    idx = api.build_index(vdf, index_type="ivf", params={"nlist": 6})
+    path = str(tmp_path / "shard_art")
+    save_sharded(idx, path, num_shards=2)
+    try:
+        assert api.resolve_tier(path) == "sharded"
+        srv = api.serve(path, spark=vdf.sparkSession)
+        assert srv.tier == "sharded"
+        # full probe ⇒ exact: the path-served rows equal the
+        # distributed plan on the live index
+        got = _rows(api.search(path, qdf, k=K, params={"nprobe": 6}))
+        want = _rows(api.search(
+            idx, qdf, k=K, params={"tier": "distributed", "nprobe": 6}))
+        assert got == want
+        # opened once, cached per path
+        assert os.path.realpath(path) in api._SHARDED_OPEN
+        again = api.serve(path, spark=vdf.sparkSession)
+        assert again.index is srv.index
+    finally:
+        opened = api._SHARDED_OPEN.pop(os.path.realpath(path), None)
+        if opened is not None:
+            opened.close()
+
+
+def test_plain_artifact_path_loads_and_routes(base, tmp_path):
+    """A plain save_index artifact path is load_index-ed (cached) and
+    auto-routed like the live object — the one-call façade covers
+    'I have a saved index on disk' end-to-end."""
+    _, vdf, qdf = base
+    from gofaiss_spark.plans.artifacts import save_index
+
+    idx = api.build_index(vdf, index_type="flat")
+    path = str(tmp_path / "plain_art")
+    save_index(idx, path)
+    with pytest.raises(ValueError, match="not a sharded serving artifact"):
+        api.resolve_tier(path)
+    got = _rows(api.search(path, qdf, k=K))
+    want = _rows(api.search(
+        idx, qdf, k=K, params={"tier": "distributed"}))
+    assert got == want
+    assert os.path.realpath(path) in api._LOADED_OPEN
+    srv = api.serve(path, spark=vdf.sparkSession)
+    assert srv.tier == "local"
+    assert srv.index is api._LOADED_OPEN[os.path.realpath(path)]
+
+
+def test_hnsw_routed_pool_nprobe_default_invariance(base, monkeypatch):
+    """ADVICE r9 (medium): an HNSW-routed index built with a
+    non-default nprobe_default must return the SAME rows from the
+    pool path (batch ≥ POOL_MIN_BATCH), the in-process path, and the
+    distributed plan — the pool path used to force the IVF-family
+    DEFAULT_NPROBE=10 instead of the index's configured default."""
+    _, vdf, qdf = base
+    idx = api.build_index(
+        vdf, index_type="hnsw_routed", params={"nlist": 4, "nprobe": 3})
+    dist = _rows(api.search(idx, qdf, k=K, params={"tier": "distributed"}))
+    monkeypatch.setattr(api, "POOL_MIN_BATCH", 10 ** 9)
+    inproc = _rows(api.search(idx, qdf, k=K))
+    monkeypatch.setattr(api, "POOL_MIN_BATCH", 1)
+    try:
+        pooled = _rows(api.search(idx, qdf, k=K))
+    finally:
+        pool = idx.__dict__.pop("_tier_pool", None)
+        if pool is not None:
+            try:
+                api._POOLS.remove(pool)
+            except ValueError:
+                pass
+            pool.close()
+    assert inproc == dist
+    assert pooled == dist
+
+
+class _BoomPool:
+    def __init__(self):
+        self.closed = False
+
+    def search(self, *a, **kw):
+        raise RuntimeError("boom")
+
+    def close(self):
+        self.closed = True
+
+
+def test_pool_failure_closes_and_unregisters(base, monkeypatch):
+    """ADVICE r9 (medium): a failing pool must be closed and removed
+    from _POOLS in the fallback branch — popping it from the index
+    alone leaked worker processes + shm until interpreter exit."""
+    _, vdf, qdf = base
+    idx = api.build_index(vdf, index_type="flat")
+    want = _rows(api.search(idx, qdf, k=K, params={"tier": "distributed"}))
+    boom = _BoomPool()
+    idx.__dict__["_tier_pool"] = boom
+    api._POOLS.append(boom)
+    monkeypatch.setattr(api, "POOL_MIN_BATCH", 1)
+    got = _rows(api.search(idx, qdf, k=K))  # falls back in-process
+    assert got == want
+    assert boom.closed
+    assert boom not in api._POOLS
+    assert idx.__dict__.get("_tier_pool") is not boom
 
 
 def test_localization_cached_once(base):
