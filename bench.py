@@ -93,44 +93,77 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 4)
         return out
 
-    # --- throttle sentinel (r9 verdict item 2): a fixed CPU-bound FMA
-    # kernel timed at the start of every major section. 100 passes of
-    # in-place multiply-add over a 1M-element f64 array = 2e8 FLOP,
-    # single-threaded numpy elementwise (no BLAS pool, no Spark) — so
-    # it is insensitive to executor load and sensitive ONLY to host
-    # CPU throttle. Reference time 0.062 s measured on this box on a
-    # clean window (6 repeats, 0.0618-0.0656, with a full pytest
-    # suite running concurrently — core count isolates it); a section
-    # whose sentinel lands >1.5x the reference is tagged throttled
-    # IN the artifact, so cross-window per-row deltas adjudicate
-    # themselves without prose. On a throttled first probe the
-    # sentinel re-queues itself once (2 s backoff) and keeps the
-    # better — hypervisor waves on this box pass in seconds.
+    # --- throttle sentinel (r9 verdict item 2): TWO fixed CPU-bound
+    # probes timed at the start of every major section, because this
+    # box throttles in two distinct shapes:
+    #   fma1   — 100 in-place multiply-add passes over a 1M f64 array
+    #            (2e8 FLOP, single numpy thread, no BLAS pool): sees
+    #            per-core clock throttle only.
+    #   gemm32 — one 4096x4096 f32 BLAS matmul (137 GFLOP, full
+    #            thread pool): sees the AGGREGATE multi-core /
+    #            memory-bandwidth cap the hypervisor actually applies
+    #            in its waves (measured on an idle box: fma1 steady
+    #            at 1.1-1.2x while the 32-core QPS rows ran 3.5x
+    #            slow and gemm32 swung 0.085-0.78 s within seconds).
+    # Each probe takes the MIN of 3 back-to-back runs (waves are
+    # sub-second; the min is the window's capability ceiling), and
+    # the section ratio is the WORSE of the two probes vs their
+    # clean-window references (fma1 0.062 s, gemm32 0.085 s,
+    # calibrated on this box). ratio > 1.5 tags the section
+    # throttled IN the artifact, so cross-window per-row deltas
+    # adjudicate themselves without prose; a throttled first probe
+    # set re-queues once (2 s backoff) and keeps the better.
     SENTINEL_REF = float(
         os.environ.get("SPARK_GRAFT_SENTINEL_REF_SEC", "0.062"))
+    SENTINEL_GEMM_REF = float(
+        os.environ.get("SPARK_GRAFT_SENTINEL_GEMM_REF_SEC", "0.085"))
     sentinels: dict[str, dict] = {}
 
-    def _sentinel_once() -> float:
+    def _sentinel_fma() -> float:
         import numpy as np
 
-        x = np.full(1_000_000, 1.000001, dtype=np.float64)
-        t0 = time.monotonic()
-        for _ in range(100):
-            np.multiply(x, 1.0000001, out=x)
-            np.add(x, 1e-9, out=x)
-        return time.monotonic() - t0
+        best = float("inf")
+        for _ in range(3):
+            x = np.full(1_000_000, 1.000001, dtype=np.float64)
+            t0 = time.monotonic()
+            for _ in range(100):
+                np.multiply(x, 1.0000001, out=x)
+                np.add(x, 1e-9, out=x)
+            best = min(best, time.monotonic() - t0)
+        return best
+
+    def _sentinel_gemm() -> float:
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((4096, 4096), dtype=np.float32)
+        bm = rng.standard_normal((4096, 4096), dtype=np.float32)
+        a @ bm  # warm the BLAS pool outside the timing
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            a @ bm
+            best = min(best, time.monotonic() - t0)
+        return best
+
+    def _sentinel_probe() -> tuple[float, float, float]:
+        f, g = _sentinel_fma(), _sentinel_gemm()
+        return f, g, max(f / SENTINEL_REF, g / SENTINEL_GEMM_REF)
 
     def sentinel(section: str) -> dict:
-        best = _sentinel_once()
+        f, g, ratio = _sentinel_probe()
         requeued = False
-        if best / SENTINEL_REF > 1.5:
+        if ratio > 1.5:
             requeued = True
             time.sleep(2.0)
-            best = min(best, _sentinel_once())
+            f2, g2, r2 = _sentinel_probe()
+            if r2 < ratio:
+                f, g, ratio = f2, g2, r2
         rec = {
-            "sec": round(best, 4),
-            "ratio": round(best / SENTINEL_REF, 2),
-            "throttled": best / SENTINEL_REF > 1.5,
+            "fma1_sec": round(f, 4),
+            "gemm32_sec": round(g, 4),
+            "ratio": round(ratio, 2),
+            "throttled": ratio > 1.5,
             **({"requeued_once": True} if requeued else {}),
         }
         sentinels[section] = rec
@@ -167,8 +200,9 @@ def main() -> None:
             "budget_sec": budget_wall,
             "budget_gate_sec": budget,
             "sentinel": {
-                "ref_sec": SENTINEL_REF,
-                "throttled_rule": "section sentinel > 1.5x ref",
+                "fma1_ref_sec": SENTINEL_REF,
+                "gemm32_ref_sec": SENTINEL_GEMM_REF,
+                "throttled_rule": "max(probe/ref) > 1.5 over both probes",
                 "sections": sentinels,
             },
             "baseline": {
@@ -1767,6 +1801,7 @@ def main() -> None:
                 "memory_mb": round(n10m * 128 * 4 / 2**20, 2),
             }
             bvec1m_i.unpersist()
+            emit_summary()  # flat_10m row checkpoint
 
             # shared by both sharded rows: the 2k serving batch and
             # the exact flat truth on bq's 1000 queries
@@ -1869,6 +1904,7 @@ def main() -> None:
                 finally:
                     _sh10.rmtree(qshard10, ignore_errors=True)
                 bivfpq10m.codes.unpersist()
+                emit_summary()  # ivfpq m8 10M checkpoint
 
             # tuned-RECALL quantized arm at 10M (r7 verdict item 3):
             # the m=8 row above proves FOOTPRINT (64×) but its ADC
@@ -1932,6 +1968,7 @@ def main() -> None:
                 finally:
                     _sh10.rmtree(shard16, ignore_errors=True)
                 bq16.codes.unpersist()
+                emit_summary()  # ivfpq m16 tuned 10M checkpoint
 
             # mid-Pareto quantized arm at 10M (r8 verdict item 3):
             # IVFSQ — residual SQ8 under a TRAINED coarse quantizer.
@@ -2016,6 +2053,7 @@ def main() -> None:
                 finally:
                     _sh10.rmtree(shardsq, ignore_errors=True)
                 bqsq.codes.unpersist()
+                emit_summary()  # ivfsq 10M checkpoint
 
             # IVF (uncompressed) sharded serving at 10M/16 shards: the
             # design case one decade past the single-node pool's
@@ -2095,6 +2133,7 @@ def main() -> None:
                     }
                 finally:
                     _sh10.rmtree(shard_dir10m, ignore_errors=True)
+            emit_summary()  # ivf 10M shard-exec checkpoint
 
             if elapsed() + 300 > budget:
                 baseline["lsh_10m"] = {

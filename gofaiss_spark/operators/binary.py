@@ -104,3 +104,44 @@ def search_binary(
     if k > 0:
         ranked = ranked.filter(F.col("rank") <= k)
     return ranked
+
+
+def search_binary_refined(
+    packed: DataFrame,
+    base: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    refine: int = 10,
+    metric: str = "l2",
+    vec_col: str = "vec",
+    id_col: str = "id",
+    qvec_col: str = "qvec",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage retrieval: Hamming pre-filter over the 32×-compressed
+    sign codes, exact re-rank of the top-(k·refine) survivors against
+    the original rows — the FAISS IndexBinaryFlat + RefineFlat
+    composition, and THE 100 TB first-pass shape (a ~3 TB packed scan
+    nominates candidates; the full-precision corpus is touched only
+    at candidate ids via an equi-join, never rescanned). Returns the
+    exact-metric contract (query_id, id, distance, rank 1..k).
+
+    ``refine`` ≥ ceil(n/k) makes the candidate set the whole corpus,
+    so the result is provably identical to exact flat search — the
+    driver-oracle gate construction (binary_refine_topk)."""
+    from gofaiss_spark.operators.topk import refine_exact
+
+    if refine < 1:
+        raise ValueError(f"refine must be >= 1, got {refine}")
+    q = queries.select(
+        F.col(query_id_col).alias(query_id_col),
+        F.col(qvec_col).alias(qvec_col),
+    )
+    pq = binarize(q, dim, vec_col=qvec_col, id_col=query_id_col)
+    cands = search_binary(packed, pq, dim, k=k * refine)
+    return refine_exact(
+        cands, base, q, k, metric=metric,
+        vec_col=vec_col, id_col=id_col,
+        qvec_col=qvec_col, query_id_col=query_id_col,
+    )

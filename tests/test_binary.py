@@ -106,3 +106,62 @@ def test_self_match_is_rank1(spark):
         .collect()[0]
     )
     assert top["id"] == 17 and top["hamming"] == 0
+
+
+# --- round 10: Hamming pre-filter + exact re-rank (two-stage) -------
+
+
+def _qdf(spark, mat, ids):
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in ids]
+    return spark.createDataFrame(rows, "query_id long, qvec array<float>")
+
+
+def test_refined_full_oversample_equals_flat(spark):
+    """refine covering the whole corpus ⇒ the candidate set is every
+    row ⇒ results provably identical to exact flat search — the
+    driver-oracle gate construction."""
+    from gofaiss_spark.operators.binary import search_binary_refined
+    from gofaiss_spark.operators.topk import search_flat
+
+    rng = np.random.default_rng(21)
+    mat = rng.standard_normal((90, 64))
+    base = _mk(spark, mat).cache()
+    packed = binarize(base, dim=64).cache()
+    q = _qdf(spark, mat, range(4))
+    got = sorted(
+        (r.query_id, r.id, round(float(r.distance), 9), r.rank)
+        for r in search_binary_refined(
+            packed, base, q, dim=64, k=5, refine=90 // 5 + 1).collect()
+    )
+    want = sorted(
+        (r.query_id, r.id, round(float(r.distance), 9), r.rank)
+        for r in search_flat(base, q, k=5).collect()
+    )
+    assert got == want
+
+
+def test_refined_candidates_bound_and_exact_distances(spark):
+    """At shallow refine the result ids must come from the Hamming
+    top-(k·refine) candidate set, and every reported distance must be
+    the EXACT metric (recomputed vs numpy) — quantization error may
+    cost recall, never distance fidelity."""
+    from gofaiss_spark.operators.binary import search_binary_refined
+
+    rng = np.random.default_rng(22)
+    mat = rng.standard_normal((150, 64))
+    base = _mk(spark, mat).cache()
+    packed = binarize(base, dim=64).cache()
+    q = _qdf(spark, mat, [3])
+    k, refine = 4, 3
+    res = search_binary_refined(
+        packed, base, q, dim=64, k=k, refine=refine).collect()
+    assert len(res) == k
+    pw = _np_pack(mat)
+    dist = _np_hamming(pw[3:4], pw)[0]
+    cand = set(sorted(range(150), key=lambda i: (dist[i], i))[: k * refine])
+    for r in res:
+        assert r.id in cand
+        exact = float(np.sum((mat[3] - mat[r.id]) ** 2) ** 0.5)
+        assert abs(float(r.distance) - exact) < 1e-6
+    with pytest.raises(ValueError):
+        search_binary_refined(packed, base, q, dim=64, k=4, refine=0)
