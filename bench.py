@@ -1245,6 +1245,11 @@ def main() -> None:
         # family above was shed — it no longer rides hnsw_skip.
         routed_want = (big and os.environ.get(
             "SPARK_GRAFT_BASELINE_ROUTED", "1") != "0")
+        if routed_want:
+            # own sentinel: this block carries the auto-tier headline
+            # row, and the hnsw_family probe may be a full sharded
+            # section (minutes) stale by now — waves turn over faster
+            sentinel("routed_clustered")
         routed_skip = elapsed() + 200 + reserve_pending() > budget
         if routed_want and routed_skip:
             for _rk in ("hnsw_routed_cl_np8", "auto_tier_batch10k"):
