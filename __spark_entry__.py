@@ -5012,11 +5012,7 @@ def _auto_tier_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         # close the path-cached searcher BEFORE deleting the artifact
         # (its host-shm segments outlive python workers by design)
-        import os
-
-        srv = api._SHARDED_OPEN.pop(os.path.realpath(tmp), None)
-        if srv is not None:
-            srv.close()
+        api.invalidate_cached(tmp)
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 

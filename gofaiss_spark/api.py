@@ -274,13 +274,55 @@ def is_sharded_artifact(path: str) -> bool:
         os.path.exists(os.path.join(path, CURRENT_PTR))
 
 
-_SHARDED_OPEN: dict = {}  # realpath → ShardedSearcher (serving cache)
-_LOADED_OPEN: dict = {}   # realpath → loaded plain-artifact index
+_SHARDED_OPEN: dict = {}  # realpath → (stamp, ShardedSearcher)
+_LOADED_OPEN: dict = {}   # realpath → (stamp, loaded plain-artifact index)
+
+
+def _artifact_stamp(path: str) -> tuple:
+    """Staleness key for the per-path serving caches: the mtime_ns of
+    the artifact's metadata sidecar(s). Overwriting a plain
+    ``save_index`` artifact rewrites ``_meta.json``; re-creating a
+    sharded root rewrites ``_shard_meta.json``; ``refresh_sharded``
+    bumps ``_current.json`` (the ShardedSearcher already follows the
+    generation pointer per batch, but a bumped pointer on a NEW root
+    must not be served by a searcher opened on the old one). A changed
+    stamp evicts the cached object instead of silently serving stale
+    state (ADVICE r10)."""
+    from gofaiss_spark.operators.shard_serve import CURRENT_PTR, SHARD_META
+
+    stamp = []
+    for name in ("_meta.json", SHARD_META, CURRENT_PTR):
+        p = os.path.join(path, name)
+        try:
+            stamp.append(os.stat(p).st_mtime_ns)
+        except OSError:
+            stamp.append(None)
+    return tuple(stamp)
+
+
+def invalidate_cached(path: str | None = None) -> None:
+    """Explicitly drop the per-path serving caches (both the sharded
+    searcher cache and the plain-artifact load cache). With a path,
+    only that artifact; without, everything. The caches also
+    self-invalidate when the artifact's metadata sidecar mtime
+    changes — this is the manual override for same-mtime rewrites."""
+    if path is None:
+        _close_sharded()
+        _LOADED_OPEN.clear()
+        return
+    key = os.path.realpath(path)
+    ent = _SHARDED_OPEN.pop(key, None)
+    if ent is not None:
+        try:
+            ent[1].close()
+        except Exception:
+            pass
+    _LOADED_OPEN.pop(key, None)
 
 
 @atexit.register
 def _close_sharded() -> None:
-    for srv in _SHARDED_OPEN.values():
+    for _stamp, srv in _SHARDED_OPEN.values():
         try:
             srv.close()
         except Exception:
@@ -289,29 +331,69 @@ def _close_sharded() -> None:
 
 
 def _open_sharded(spark, path: str):
-    """Open (once per path, cached) the executor/host-colocated tier
-    over a saved sharded artifact. The cached searcher stays valid
-    across ``refresh_sharded`` generations — it re-resolves the
-    ``_current.json`` pointer per batch."""
+    """Open (once per path+stamp, cached) the executor/host-colocated
+    tier over a saved sharded artifact. The cached searcher stays
+    valid across ``refresh_sharded`` generations — it re-resolves the
+    ``_current.json`` pointer per batch — and is EVICTED (closed,
+    reopened) when the artifact's sidecar mtimes change, i.e. the
+    root was re-created at the same path."""
     from gofaiss_spark.operators.shard_serve import ShardedSearcher
 
     key = os.path.realpath(path)
-    srv = _SHARDED_OPEN.get(key)
-    if srv is None:
-        srv = ShardedSearcher(spark, path)
-        _SHARDED_OPEN[key] = srv
-    return srv
+    stamp = _artifact_stamp(key)
+    ent = _SHARDED_OPEN.get(key)
+    if ent is not None and ent[0] != stamp:
+        try:
+            ent[1].close()
+        except Exception:
+            pass
+        ent = None
+    if ent is None:
+        ent = (stamp, ShardedSearcher(spark, path))
+        _SHARDED_OPEN[key] = ent
+    return ent[1]
 
 
-def resolve_tier(index, params: dict | None = None) -> str:
+def _load_cached(spark, path: str):
+    """Load a plain ``save_index`` artifact, cached per
+    (realpath, sidecar-mtime stamp) — overwriting the artifact at the
+    same path evicts the stale in-memory index (ADVICE r10)."""
+    from gofaiss_spark.plans.artifacts import load_index
+
+    key = os.path.realpath(path)
+    stamp = _artifact_stamp(key)
+    ent = _LOADED_OPEN.get(key)
+    if ent is None or ent[0] != stamp:
+        ent = (stamp, load_index(spark, path))
+        _LOADED_OPEN[key] = ent
+    return ent[1]
+
+
+def resolve_tier(index, params: dict | None = None,
+                 n_queries: int | None = None) -> str:
     """The auto-routing decision, exposed for tests/inspection.
     Returns the concrete tier ("local" | "sharded" | "distributed")
     that ``tier="auto"`` would pick for this index. Accepts an index
     object, a live ShardedSearcher, or a saved-artifact PATH (a
     shard-partitioned artifact routes to the sharded tier; batch
     shape never changes the tier — inside the local tier it only
-    picks pool vs in-process serving at POOL_MIN_BATCH)."""
+    picks pool vs in-process serving at POOL_MIN_BATCH).
+
+    ``n_queries`` is the deprecated pre-r10 second positional
+    parameter — batch shape no longer affects the tier, so it is
+    accepted and ignored (ADVICE r10: the old positional form
+    ``resolve_tier(idx, n)`` must not bind ``n`` to ``params`` and
+    die with an opaque AttributeError)."""
     from gofaiss_spark.operators.shard_serve import ShardedSearcher
+
+    if isinstance(params, int):
+        # old positional call shape resolve_tier(idx, n_queries)
+        n_queries, params = params, None
+    if params is not None and not isinstance(params, dict):
+        raise TypeError(
+            f"resolve_tier params must be a dict (got "
+            f"{type(params).__name__}); the pre-r10 n_queries "
+            f"argument is deprecated and ignored")
 
     if isinstance(index, ShardedSearcher):
         return "sharded"
@@ -529,17 +611,16 @@ def serve(index, tier: str = "auto", spark: SparkSession | None = None):
         if spark is None:
             raise ValueError("serve(path) needs spark=")
         if is_sharded_artifact(index):
+            if tier not in ("auto", "sharded"):
+                raise ValueError(
+                    f"{index!r} is a shard-partitioned artifact — it "
+                    f"serves on the sharded tier only; explicit "
+                    f"tier={tier!r} cannot be honored (load_index() "
+                    f"the shards yourself to serve another tier)")
             return TierServer(_open_sharded(spark, index), "sharded")
-        # plain save_index artifact: load (cached) and auto-route the
-        # loaded object like any live index
-        from gofaiss_spark.plans.artifacts import load_index
-
-        key = os.path.realpath(index)
-        cached = _LOADED_OPEN.get(key)
-        if cached is None:
-            cached = load_index(spark, index)
-            _LOADED_OPEN[key] = cached
-        index = cached
+        # plain save_index artifact: load (cached per path+mtime) and
+        # auto-route the loaded object like any live index
+        index = _load_cached(spark, index)
     if tier == "auto":
         tier = resolve_tier(index)
     if tier not in ("local", "sharded", "distributed"):
@@ -574,16 +655,16 @@ def search(index, queries: DataFrame, k: int = DEFAULT_K, params: dict | None = 
     if isinstance(index, str):
         spark = queries.sparkSession
         if is_sharded_artifact(index):
+            if tier not in ("auto", "sharded"):
+                raise ValueError(
+                    f"{index!r} is a shard-partitioned artifact — it "
+                    f"serves on the sharded tier only; explicit "
+                    f"params['tier']={tier!r} cannot be honored "
+                    f"(load_index() the shards yourself to serve "
+                    f"another tier)")
             index = _open_sharded(spark, index)
         else:
-            from gofaiss_spark.plans.artifacts import load_index
-
-            key = os.path.realpath(index)
-            cached = _LOADED_OPEN.get(key)
-            if cached is None:
-                cached = load_index(spark, index)
-                _LOADED_OPEN[key] = cached
-            index = cached
+            index = _load_cached(spark, index)
     if isinstance(index, ShardedSearcher):
         qids, qmat = _collect_queries(queries)
         ids, d = index.search(

@@ -160,9 +160,7 @@ def test_sharded_artifact_path_routes_sharded(base, tmp_path):
         again = api.serve(path, spark=vdf.sparkSession)
         assert again.index is srv.index
     finally:
-        opened = api._SHARDED_OPEN.pop(os.path.realpath(path), None)
-        if opened is not None:
-            opened.close()
+        api.invalidate_cached(path)
 
 
 def test_plain_artifact_path_loads_and_routes(base, tmp_path):
@@ -184,7 +182,7 @@ def test_plain_artifact_path_loads_and_routes(base, tmp_path):
     assert os.path.realpath(path) in api._LOADED_OPEN
     srv = api.serve(path, spark=vdf.sparkSession)
     assert srv.tier == "local"
-    assert srv.index is api._LOADED_OPEN[os.path.realpath(path)]
+    assert srv.index is api._LOADED_OPEN[os.path.realpath(path)][1]
 
 
 def test_hnsw_routed_pool_nprobe_default_invariance(base, monkeypatch):
@@ -259,3 +257,77 @@ def test_empty_query_batch(base):
     out = api.search(idx, empty, k=K)
     assert out.count() == 0
     assert out.columns == ["query_id", "id", "distance", "rank"]
+
+
+# --- ADVICE r10 fixes: deprecated resolve_tier arg, cache staleness,
+#     explicit-tier override on sharded-artifact paths ---
+
+
+def test_resolve_tier_deprecated_n_queries_positional(base):
+    """ADVICE r10 (low): the pre-r10 positional form
+    resolve_tier(idx, n_queries) must not bind the int to params and
+    die with AttributeError — it is accepted and ignored (batch shape
+    no longer affects the tier)."""
+    _, vdf, _ = base
+    idx = api.build_index(vdf, index_type="flat")
+    assert api.resolve_tier(idx, 1000) == api.resolve_tier(idx)
+    assert api.resolve_tier(idx, n_queries=1) == api.resolve_tier(idx)
+    with pytest.raises(TypeError, match="params must be a dict"):
+        api.resolve_tier(idx, "local")
+
+
+def test_plain_artifact_cache_invalidates_on_overwrite(base, tmp_path):
+    """ADVICE r10 (low): overwriting a save_index artifact at the
+    same path must evict the cached in-memory index — the next
+    path-search serves the NEW vectors, not the stale cache."""
+    import time
+
+    _, vdf, qdf = base
+    from gofaiss_spark.plans.artifacts import save_index
+
+    idx1 = api.build_index(vdf, index_type="flat")
+    path = str(tmp_path / "overwrite_art")
+    save_index(idx1, path)
+    got1 = _rows(api.search(path, qdf, k=K))
+    # rebuild on shifted vectors, overwrite the artifact in place
+    vdf2 = vdf.withColumn(
+        "vec", F.transform("vec", lambda x: x + F.lit(10.0)))
+    idx2 = api.build_index(vdf2, index_type="flat")
+    time.sleep(0.01)  # ensure a distinct mtime_ns stamp
+    save_index(idx2, path)
+    got2 = _rows(api.search(path, qdf, k=K))
+    want2 = _rows(api.search(idx2, qdf, k=K, params={"tier": "distributed"}))
+    # ids must match exactly; distances to 1e-3 (parquet f32 roundtrip
+    # of the shifted vectors is 1 ulp off the live index)
+    assert [(q, i) for q, i, _ in got2] == [(q, i) for q, i, _ in want2]
+    assert all(abs(a[2] - b[2]) < 1e-3 for a, b in zip(got2, want2))
+    assert got2 != got1
+    # manual override also drops the entry
+    api.invalidate_cached(path)
+    assert os.path.realpath(path) not in api._LOADED_OPEN
+
+
+def test_sharded_path_rejects_explicit_tier_override(base, tmp_path):
+    """ADVICE r10 (low): serve(path, tier='local') / search(path,
+    params={'tier': 'distributed'}) on a shard-partitioned artifact
+    must raise instead of silently serving the sharded tier."""
+    _, vdf, qdf = base
+    from gofaiss_spark.operators.shard_serve import save_sharded
+
+    idx = api.build_index(vdf, index_type="ivf", params={"nlist": 6})
+    path = str(tmp_path / "shard_override")
+    save_sharded(idx, path, num_shards=2)
+    try:
+        with pytest.raises(ValueError, match="sharded tier only"):
+            api.serve(path, tier="local", spark=vdf.sparkSession)
+        with pytest.raises(ValueError, match="sharded tier only"):
+            api.search(path, qdf, k=K, params={"tier": "distributed"})
+        # explicit 'sharded' and 'auto' still work
+        srv = api.serve(path, tier="sharded", spark=vdf.sparkSession)
+        assert srv.tier == "sharded"
+        got = _rows(api.search(path, qdf, k=K, params={"nprobe": 6}))
+        want = _rows(api.search(
+            idx, qdf, k=K, params={"tier": "distributed", "nprobe": 6}))
+        assert got == want
+    finally:
+        api.invalidate_cached(path)
