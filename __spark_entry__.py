@@ -3905,6 +3905,71 @@ FROM lum GROUP BY id
 """
 
 
+def _multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec path (round 11, r10-verdict item 6):
+    deterministic multi-frame 24-bit pixel grids keyed on doc_id are
+    ENCODED into uncompressed RIFF AVI containers (hdrl/avih/strh/
+    strf chunk tree + movi 00db DIB frames, bottom-up BGR rows,
+    4-byte stride) and DECODED back through the stdlib struct+numpy
+    RIFF walker (operators/multimodal.py: synth_avi → avi_features);
+    the oracle recomputes width/height/n_frames/duration, the exact
+    per-channel and rec-601 luma means over ALL frames, and the
+    consecutive-frame motion mean analytically from doc_id — a chunk
+    mis-walk, frame-order swap, row-order flip, BGR/RGB swap, or
+    stride error breaks the hash. With WAV (r9), BMP (r10) and AVI
+    (r11) real, the NotImplementedError seam is compressed formats
+    only."""
+    from gofaiss_spark.operators.multimodal import avi_features, synth_avi
+    from gofaiss_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    return avi_features(synth_avi(docs))
+
+
+_MULTIMODAL_VIDEO_SQL = """
+WITH p AS (
+  SELECT doc_id AS id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         2 + doc_id % 3 AS nf
+  FROM documents
+),
+xs AS (SELECT id, w, h, nf, unnest(range(w)) AS x FROM p),
+ys AS (SELECT id, w, h, nf, x, unnest(range(h)) AS y FROM xs),
+px AS (SELECT id, w, h, nf, x, y, unnest(range(nf)) AS t FROM ys),
+lum AS (
+  SELECT id, w, h, nf, t,
+         (7*id + 3*x + 5*y + 17*t) % 256 AS r,
+         (11*id + 5*x + 7*y + 19*t) % 256 AS g,
+         (13*id + 7*x + 3*y + 23*t) % 256 AS b,
+         (299*((7*id + 3*x + 5*y + 17*t) % 256)
+          + 587*((11*id + 5*x + 7*y + 19*t) % 256)
+          + 114*((13*id + 7*x + 3*y + 23*t) % 256)) // 1000 AS l,
+         CASE WHEN t > 0 THEN abs(
+           (299*((7*id + 3*x + 5*y + 17*t) % 256)
+            + 587*((11*id + 5*x + 7*y + 19*t) % 256)
+            + 114*((13*id + 7*x + 3*y + 23*t) % 256)) // 1000
+           - ((299*((7*id + 3*x + 5*y + 17*(t-1)) % 256)
+               + 587*((11*id + 5*x + 7*y + 19*(t-1)) % 256)
+               + 114*((13*id + 7*x + 3*y + 23*(t-1)) % 256)) // 1000)
+         ) END AS md
+  FROM px
+)
+SELECT id,
+       CAST(any_value(w) AS INT) AS width,
+       CAST(any_value(h) AS INT) AS height,
+       CAST(any_value(nf) AS INT) AS n_frames,
+       CAST(any_value(nf) * 100000 AS BIGINT) AS duration_us,
+       CAST(sum(r) AS DOUBLE) / (any_value(nf) * any_value(w) * any_value(h)) AS mean_r,
+       CAST(sum(g) AS DOUBLE) / (any_value(nf) * any_value(w) * any_value(h)) AS mean_g,
+       CAST(sum(b) AS DOUBLE) / (any_value(nf) * any_value(w) * any_value(h)) AS mean_b,
+       CAST(sum(l) AS DOUBLE) / (any_value(nf) * any_value(w) * any_value(h)) AS luma_mean,
+       CAST(coalesce(sum(md), 0) AS DOUBLE)
+         / ((any_value(nf) - 1) * any_value(w) * any_value(h)) AS motion_mean
+FROM lum GROUP BY id
+"""
+
+
 # --- full-text retrieval (BM25 / TF-IDF, operators/retrieval.py) ----
 
 # Deterministic lexical query batch over the synthetic corpus
@@ -5036,30 +5101,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window the same round; by the same spirit, touching any operator
     module re-queues the rows whose plan runs that module.
 
-    Round-10 window (slots 1-50), per the r9 verdict's #1 directive
-    ("rotate to the 40-query r7 cohort"): the three round-10
-    additions first (the binary two-stage-retrieval row, the
-    real-BMP-codec image row and the persisted-sharded-artifact
-    auto-tier row), then the FULL 40-query r7 cohort (every
-    query whose latest green check is r7 — pq/ivfpq/sq/ivfsq/lsh/
-    hybrid/maxsim/mmr topk rows, the sketch rows, BPE rows, funnel/
-    cohort/zscore/histogram/running-total rows, bm25/tfidf/dsir/
-    dedup-cluster rows, ann_recall_report, stream_event_windows),
-    then the standing-rule re-queues for code touched THIS round
-    filling exactly slot 50 (api.py tier dispatch -> auto_tier_topk;
-    multimodal.py -> its other driver rows; hnsw.py packed-_mark
-    kernel -> four hnsw rows). After this round no registered
-    query's latest green check is older than r8. All remain
-    regression-guarded by the local sf0.001 DuckDB oracle suite
-    (tests/test_entry_oracle.py)."""
+    Round-11 window (slots 1-50), per the r10 verdict's #2 directive
+    ("rotate to the 39-query r8 cohort"): the round-11 addition first
+    (the real-AVI-codec video row), then the FULL 39-query r8 cohort
+    (every query whose latest green check is r8 per the
+    CORRECTNESS_r01-r10 union — flat/opq/pca/range/stream rows, the
+    doc_* curation/quality/dedup rows, embedding_semdedup,
+    tpch_q12), then the standing-rule re-queues for code touched
+    THIS round (api.py serving-cache staleness + tier-override fixes
+    -> both auto-tier rows; multimodal.py AVI codec -> the module's
+    other five driver rows), then three r9 serving rows whose bench
+    twins regressed in the r10 driver window (VERDICT "What's wrong"
+    #3: ivf_shard_exec/lsh-family/hnsw_sharded) filling slots 48-50.
+    After this round no registered query's latest green check is
+    older than r9. All remain regression-guarded by the local
+    sf0.001 DuckDB oracle suite (tests/test_entry_oracle.py)."""
     return {
-        # --- new round-10 queries (prepended per the standing rule) ---
-        "binary_refine_topk": _binary_refine_topk,
-        "multimodal_image_features": _multimodal_image_features,
+        # --- new round-11 query (prepended per the standing rule) ---
+        "multimodal_video_features": _multimodal_video_features,
+        # --- the r8 cohort (39 rows, latest green r8 per the
+        #     CORRECTNESS_r01-r10 union — the whole stale tail,
+        #     the r10 verdict's #2 directive) ---
+        "doc_bigram_perplexity": _doc_bigram_perplexity,
+        "doc_char_entropy": _doc_char_entropy,
+        "doc_chunks": _doc_chunks,
+        "doc_contamination": _doc_contamination,
+        "doc_curation_pipeline": _doc_curation_pipeline,
+        "doc_exact_dedup": _doc_exact_dedup,
+        "doc_hash_sample": _doc_hash_sample,
+        "doc_lang_dist": _doc_lang_dist,
+        "doc_lang_id": _doc_lang_id,
+        "doc_minhash_near_dup": _doc_minhash_near_dup,
+        "doc_mix_plan": _doc_mix_plan,
+        "doc_ngram_jaccard": _doc_ngram_jaccard,
+        "doc_normalize": _doc_normalize,
+        "doc_packed_batches": _doc_packed_batches,
+        "doc_pii_redaction": _doc_pii_redaction,
+        "doc_quality": _doc_quality,
+        "doc_quality_classifier": _doc_quality_classifier,
+        "doc_repetition": _doc_repetition,
+        "doc_snapshot_diff": _doc_snapshot_diff,
+        "doc_stratified_sample": _doc_stratified_sample,
+        "doc_substring_dup": _doc_substring_dup,
+        "doc_token_percentiles": _doc_token_percentiles,
+        "doc_token_stats": _doc_token_stats,
+        "doc_top_quality_per_lang": _doc_top_quality_per_lang,
+        "doc_vocab": _doc_vocab,
+        "embedding_near_dup_exact": _embedding_near_dup_exact,
+        "embedding_semdedup": _embedding_semdedup,
+        "flat_local_cosine_topk": _flat_local_cosine_topk,
+        "flat_local_dot_topk": _flat_local_dot_topk,
+        "flat_topk_cosine": _flat_topk('cosine'),
+        "flat_topk_dot": _flat_topk('dot'),
+        "flat_topk_l2": _flat_topk('l2'),
+        "ivf_fullprobe_topk": _ivf_fullprobe_topk,
+        "ivf_local_topk": _ivf_local_topk,
+        "opq_topk": _opq_topk,
+        "pca_topk": _pca_topk,
+        "range_search_l2": _range_search_l2,
+        "stream_flat_topk": _stream_flat_topk,
+        "tpch_q12": _tpch_q12,
+        # --- standing-rule re-queues for code touched THIS round:
+        #     api.py (serving-cache mtime staleness, deprecated
+        #     resolve_tier arg, sharded-path tier-override rejection)
+        #     -> both auto-tier rows ---
+        "auto_tier_topk": _auto_tier_topk,
         "auto_tier_sharded_topk": _auto_tier_sharded_topk,
-        # --- the r7 cohort (40 rows, latest green r7 per the
-        #     CORRECTNESS_r01-r09 union — the whole stale tail,
-        #     the r9 verdict's #1 directive), oldest cohort first ---
+        # --- multimodal.py touched (real AVI codec beside the
+        #     WAV/BMP paths) -> the module's other driver rows ---
+        "multimodal_stats": _multimodal_stats,
+        "multimodal_features": _multimodal_features,
+        "multimodal_audio_features": _multimodal_audio_features,
+        "multimodal_frame_sample": _multimodal_frame_sample,
+        "multimodal_image_features": _multimodal_image_features,
+        # --- three r9 serving rows whose bench twins regressed in
+        #     the r10 driver window (VERDICT "What's wrong" #3) —
+        #     correctness re-check alongside the perf adjudication ---
+        "ivf_sharded_exec_topk": _ivf_sharded_exec_topk,
+        "hnsw_sharded_topk": _hnsw_sharded_topk,
+        "ivfsq_sharded_exec_topk": _ivfsq_sharded_exec_topk,
+        # ---- window boundary (slot 50) ----
+        # --- r10-verified green (latest driver check r10) ---
+        "binary_refine_topk": _binary_refine_topk,
         "ann_recall_report": _ann_recall_report,
         "customer_running_total": _customer_running_total,
         "doc_bm25_persisted": _doc_bm25_persisted,
@@ -5092,7 +5215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _lsh_topk,
         "maxsim_topk": _maxsim_topk,
         "mmr_topk": _mmr_topk,
-        "multimodal_stats": _multimodal_stats,
         "orders_profile": _orders_profile,
         "pq_refine_topk": _pq_refine_topk,
         "pq_topk": _pq_topk,
@@ -5100,37 +5222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_reconstruct": _sq_reconstruct,
         "sq_topk": _sq_topk,
         "stream_event_windows": _stream_event_windows,
-        # --- standing-rule re-queues for code touched THIS round:
-        #     api.py (tier dispatch: per-kind nprobe resolution,
-        #     pool-failure cleanup, sharded-artifact path routing)
-        #     -> the auto-tier default-API row ---
-        "auto_tier_topk": _auto_tier_topk,
-        # --- multimodal.py touched (real BMP codec beside the WAV
-        #     path) -> the module's other driver rows;
-        #     multimodal_stats is already in the r7 cohort above ---
-        "multimodal_audio_features": _multimodal_audio_features,
-        "multimodal_features": _multimodal_features,
-        "multimodal_frame_sample": _multimodal_frame_sample,
-        # --- hnsw.py touched (packed _mark -> one unbuffered
-        #     np.bitwise_or.at, BENCH_AB hnsw_mark_ab_r10) -> the
-        #     four metric/tier-diverse hnsw rows; the routed
-        #     cosine/dot twins run the IDENTICAL kernel lines
-        #     (only the untouched scoring branch differs), stay
-        #     r9-green and sf0.001-oracle-guarded ---
         "hnsw_topk": _hnsw_topk,
         "hnsw_local_topk": _hnsw_local_topk,
         "hnsw_routed_topk": _hnsw_routed_topk,
-        # ---- window boundary (slot 50) ----
-        # --- r9-verified green (latest driver check r9).
-        #     hnsw_sharded_topk is the row the third r10 addition
-        #     (binary_refine_topk) displaced from the hnsw re-queue:
-        #     its per-shard search runs the IDENTICAL
-        #     _search_graph_batch kernel lines the three in-window
-        #     hnsw rows execute (the r10 hnsw diff is metric-agnostic
-        #     packed-visited marking), and it stays r9-green and
-        #     sf0.001-oracle-guarded ---
-        "hnsw_sharded_topk": _hnsw_sharded_topk,
-        "ivfsq_sharded_exec_topk": _ivfsq_sharded_exec_topk,
+        # --- r9-verified green (latest driver check r9) ---
         "hnsw_routed_cosine_topk": _hnsw_routed_metric_topk('cosine'),
         "hnsw_routed_dot_topk": _hnsw_routed_metric_topk('dot'),
         "sql_topk": _sql_topk,
@@ -5169,55 +5264,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _events_range_join,
         "ivf_sharded_cosine_topk": _ivf_sharded_cosine_topk,
         "ivf_sharded_dot_topk": _ivf_sharded_dot_topk,
-        "ivf_sharded_exec_topk": _ivf_sharded_exec_topk,
         "ivf_sharded_refresh_topk": _ivf_sharded_refresh_topk,
         "ivfpq_sharded_exec_topk": _ivfpq_sharded_exec_topk,
-        # --- r8-verified green (latest driver check r8) ---
-        "flat_local_dot_topk": _flat_local_dot_topk,
-        "opq_topk": _opq_topk,
-        "doc_exact_dedup": _doc_exact_dedup,
-        "doc_minhash_near_dup": _doc_minhash_near_dup,
-        "doc_ngram_jaccard": _doc_ngram_jaccard,
-        "doc_lang_id": _doc_lang_id,
-        "doc_quality": _doc_quality,
-        "embedding_near_dup_exact": _embedding_near_dup_exact,
-        "doc_lang_dist": _doc_lang_dist,
-        "doc_normalize": _doc_normalize,
-        "doc_char_entropy": _doc_char_entropy,
-        "doc_token_stats": _doc_token_stats,
-        "doc_token_percentiles": _doc_token_percentiles,
-        "doc_bigram_perplexity": _doc_bigram_perplexity,
-        "doc_substring_dup": _doc_substring_dup,
-        "embedding_semdedup": _embedding_semdedup,
-        "doc_quality_classifier": _doc_quality_classifier,
-        "doc_mix_plan": _doc_mix_plan,
-        "doc_snapshot_diff": _doc_snapshot_diff,
-        "doc_vocab": _doc_vocab,
-        "tpch_q12": _tpch_q12,
-        "doc_chunks": _doc_chunks,
-        "doc_contamination": _doc_contamination,
-        "doc_curation_pipeline": _doc_curation_pipeline,
-        "doc_hash_sample": _doc_hash_sample,
-        "doc_packed_batches": _doc_packed_batches,
-        "doc_pii_redaction": _doc_pii_redaction,
-        "doc_repetition": _doc_repetition,
-        "doc_stratified_sample": _doc_stratified_sample,
-        "doc_top_quality_per_lang": _doc_top_quality_per_lang,
-        "flat_local_cosine_topk": _flat_local_cosine_topk,
-        "ivf_local_topk": _ivf_local_topk,
-        "flat_topk_l2": _flat_topk('l2'),
-        "flat_topk_cosine": _flat_topk('cosine'),
-        "flat_topk_dot": _flat_topk('dot'),
-        "stream_flat_topk": _stream_flat_topk,
-        "ivf_fullprobe_topk": _ivf_fullprobe_topk,
-        "range_search_l2": _range_search_l2,
-        "pca_topk": _pca_topk,
     }
-
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # round-11: the AVI video row's oracle recomputes every pixel
+        # of every frame (plus the consecutive-frame motion mean)
+        # analytically from doc_id — the 3-D unnest twin of the BMP
+        # construction below
+        "multimodal_video_features": _MULTIMODAL_VIDEO_SQL,
         # round-10: the BMP image row's oracle recomputes every pixel
         # feature analytically from doc_id (the WAV-row construction);
         # the sharded-artifact auto-tier row runs at nprobe = nlist

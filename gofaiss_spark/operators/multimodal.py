@@ -24,9 +24,14 @@ north-star surface (SURVEY.md §7 phase E). Design rules:
 - IMAGE joined it in round 10: uncompressed 24-bit BMP needs only
   ``struct`` + numpy, so ``bmp_features`` (container parse → pixel
   decode → mean-RGB / luma histogram) and ``resize_images`` (nearest-
-  neighbor resample + BMP re-encode) are REAL codec paths. The
-  ``NotImplementedError`` seam is now VIDEO plus compressed image/
-  audio formats (JPEG/PNG → Pillow, MP3/FLAC → soundfile) only.
+  neighbor resample + BMP re-encode) are REAL codec paths.
+- VIDEO joined in round 11: uncompressed RIFF AVI is a chunk tree of
+  fixed-layout structs whose frame payloads are the SAME DIB pixel
+  arrays the BMP path decodes, so ``avi_features`` (RIFF chunk walk →
+  per-frame decode → channel/luma means + consecutive-frame motion)
+  is a REAL codec path too. The ``NotImplementedError`` seam is now
+  COMPRESSED formats only (JPEG/PNG → Pillow, MP3/FLAC → soundfile,
+  H.264 → a real video lib).
 """
 
 from __future__ import annotations
@@ -512,6 +517,253 @@ def resize_images(
             yield pd.DataFrame({"id": ids, "content": payloads})
 
     return base.mapInPandas(part, schema="id long, content binary")
+
+
+# --- REAL video codec path (round 11): uncompressed RIFF AVI ---------
+#
+# An uncompressed AVI is three fixed-layout RIFF pieces — a header
+# LIST (avih + per-stream strh/strf), a ``movi`` LIST of raw DIB
+# frame chunks (the SAME bottom-up BGR stride-padded pixel array the
+# r10 BMP decoder parses, minus the BMP file header), and an optional
+# idx1 — all parseable with stdlib ``struct`` + numpy, no codec lib.
+# Same move r9 made for audio (WAV) and r10 for image (BMP): the
+# NotImplementedError seam shrinks to COMPRESSED formats only
+# (JPEG/PNG, MP3/FLAC, H.264). Reference analogue: external-payload
+# ingest, examples/kaggle_foodpanda_reviews/main.go:26-48.
+
+_AVI_FOURCC_VIDS = b"vids"
+
+
+def encode_avi(frames: list[np.ndarray], micro_sec_per_frame: int = 100_000) -> bytes:
+    """List of (h, w, 3) uint8 BGR frames (row 0 = TOP, all the same
+    shape) → uncompressed 24-bit RIFF AVI bytes: hdrl (avih + one
+    'vids'/'DIB ' stream), movi with one ``00db`` chunk per frame
+    (bottom-up rows padded to 4-byte stride), and an idx1 index."""
+    import struct
+
+    if not frames:
+        raise ValueError("encode_avi needs at least one frame")
+    h, w, c = frames[0].shape
+    if c != 3:
+        raise ValueError(f"encode_avi needs (h, w, 3) BGR, got {frames[0].shape}")
+    if any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("all frames must share one (h, w, 3) shape")
+    stride = (w * 3 + 3) // 4 * 4
+    frame_bytes = stride * h
+
+    def dib(img: np.ndarray) -> bytes:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = img[::-1].reshape(h, w * 3)  # bottom-up
+        return rows.tobytes()
+
+    n = len(frames)
+    avih = struct.pack(
+        "<14I", int(micro_sec_per_frame),
+        frame_bytes * 1_000_000 // max(int(micro_sec_per_frame), 1),
+        0, 0x10,  # dwPaddingGranularity, AVIF_HASINDEX
+        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        _AVI_FOURCC_VIDS, b"DIB ", 0, 0, 0, 0,
+        int(micro_sec_per_frame), 1_000_000,  # dwScale/dwRate = spf
+        0, n, frame_bytes, 0, 0, 0, 0, w, h)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) + \
+        b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh + \
+        b"strf" + struct.pack("<I", len(strf)) + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl)) + \
+        b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+    movi_chunks = b"".join(
+        b"00db" + struct.pack("<I", frame_bytes) + dib(f) for f in frames)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_chunks)) + \
+        b"movi" + movi_chunks
+    idx1_entries = b"".join(
+        struct.pack("<4sIII", b"00db", 0x10,
+                    4 + i * (8 + frame_bytes), frame_bytes)
+        for i in range(n))
+    idx1 = b"idx1" + struct.pack("<I", len(idx1_entries)) + idx1_entries
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes):
+    """Uncompressed 24-bit RIFF AVI bytes → (frames, micro_sec_per_
+    frame) where ``frames`` is a list of (h, w, 3) uint8 BGR arrays
+    with row 0 = TOP. Walks the RIFF chunk tree (hdrl for dims +
+    frame timing, movi for ``00db``/``00dc`` DIB chunks; both
+    bottom-up ``height>0`` and top-down ``height<0`` strf arrays are
+    handled). Returns ``None`` for anything unparseable, compressed,
+    or non-24bpp — poison-blob tolerance: one corrupt video must not
+    kill an ingest job."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+
+    def chunks(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            cid = buf[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            data_end = pos + 8 + size
+            if data_end > end:
+                return
+            yield cid, pos + 8, data_end
+            pos = data_end + (size & 1)  # RIFF chunks are word-aligned
+
+    w = h_signed = None
+    spf = 0
+    dib_spans: list[tuple[int, int]] = []
+    for cid, s, e in chunks(payload, 12, len(payload)):
+        if cid != b"LIST" or e - s < 4:
+            continue
+        kind = payload[s:s + 4]
+        if kind == b"hdrl":
+            for c2, s2, e2 in chunks(payload, s + 4, e):
+                if c2 == b"avih" and e2 - s2 >= 4:
+                    (spf,) = struct.unpack_from("<I", payload, s2)
+                elif c2 == b"LIST" and payload[s2:s2 + 4] == b"strl":
+                    is_vids = False
+                    for c3, s3, e3 in chunks(payload, s2 + 4, e2):
+                        if c3 == b"strh" and e3 - s3 >= 8:
+                            is_vids = payload[s3:s3 + 4] == _AVI_FOURCC_VIDS
+                        elif c3 == b"strf" and is_vids and e3 - s3 >= 40:
+                            _hdr, w, h_signed, _pl, bpp, comp = \
+                                struct.unpack_from("<IiiHHI", payload, s3)
+                            if bpp != 24 or comp != 0 or w <= 0 or h_signed == 0:
+                                return None
+        elif kind == b"movi":
+            for c2, s2, e2 in chunks(payload, s + 4, e):
+                if c2[2:4] in (b"db", b"dc"):
+                    dib_spans.append((s2, e2))
+    if w is None or h_signed is None or not dib_spans:
+        return None
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4
+    frames = []
+    for s, e in dib_spans:
+        if e - s < stride * h:
+            return None
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=s
+        ).reshape(h, stride)
+        img = rows[:, : w * 3].reshape(h, w, 3)
+        frames.append(np.ascontiguousarray(
+            img[::-1] if h_signed > 0 else img))
+    return frames, int(spf)
+
+
+def synth_avi(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic synthetic AVI payloads keyed on ``id`` — the
+    video twin of ``synth_bmp``/``synth_wav``. Per id ``d``: width
+    ``4 + d%5``, height ``3 + d%4``, ``2 + d%3`` frames at 10 fps,
+    and at (x, y) of frame ``t`` (y=0 top row) the channels are
+    ``r=(7d+3x+5y+17t)%256``, ``g=(11d+5x+7y+19t)%256``,
+    ``b=(13d+7x+3y+23t)%256`` — every pixel of every frame an
+    analytic function of ``d``, so a SQL oracle can recompute the
+    features ``avi_features`` extracts from the ENCODED container;
+    the encode→decode round trip through the real RIFF/DIB codec
+    (chunk walking, bottom-up rows, BGR order, stride padding, frame
+    ordering) is what the driver row verifies."""
+    base = df.select(F.col(id_col).alias("id"))
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for d in pdf["id"].to_numpy(dtype=np.int64):
+                d = int(d)
+                w, h, nf = 4 + d % 5, 3 + d % 4, 2 + d % 3
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                frames = []
+                for t in range(nf):
+                    r = (7 * d + 3 * x + 5 * y + 17 * t) % 256
+                    g = (11 * d + 5 * x + 7 * y + 19 * t) % 256
+                    b = (13 * d + 7 * x + 3 * y + 23 * t) % 256
+                    frames.append(
+                        np.stack([b, g, r], axis=-1).astype(np.uint8))
+                payloads.append(encode_avi(frames))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    "modality": "video",
+                    "content": payloads,
+                }
+            )
+
+    return base.mapInPandas(
+        part, schema="id long, modality string, content binary"
+    )
+
+
+def avi_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """REAL video decode: AVI container bytes → per-video features,
+    no external codec libs. Emits (id, width, height, n_frames,
+    duration_us, mean_r, mean_g, mean_b, luma_mean, motion_mean)
+    where the channel/luma means are exact ``integer_sum / n_pixels``
+    doubles over ALL frames (luma = integer rec-601
+    ``(299r+587g+114b) // 1000``) and ``motion_mean`` is the mean
+    per-pixel absolute luma difference between consecutive frames —
+    the temporal feature a frame-dedup / scene-cut pipeline keys on.
+    Arrow-batched in ``mapInPandas``; unparseable payloads are
+    dropped."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content")
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "id": [], "width": [], "height": [], "n_frames": [],
+                "duration_us": [], "mean_r": [], "mean_g": [],
+                "mean_b": [], "luma_mean": [], "motion_mean": [],
+            }
+            for i, payload in zip(
+                pdf["id"].to_numpy(dtype=np.int64), pdf["content"]
+            ):
+                if payload is None:
+                    continue
+                got = decode_avi(bytes(payload))
+                if got is None:
+                    continue
+                frames, spf = got
+                h, w = frames[0].shape[:2]
+                nf = len(frames)
+                stack = np.stack(frames).astype(np.int64)  # (nf,h,w,3)
+                b, g, r = stack[..., 0], stack[..., 1], stack[..., 2]
+                luma = (299 * r + 587 * g + 114 * b) // 1000
+                n = nf * h * w
+                rows["id"].append(int(i))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(nf)
+                rows["duration_us"].append(nf * spf)
+                rows["mean_r"].append(float(int(r.sum())) / n)
+                rows["mean_g"].append(float(int(g.sum())) / n)
+                rows["mean_b"].append(float(int(b.sum())) / n)
+                rows["luma_mean"].append(float(int(luma.sum())) / n)
+                if nf > 1:
+                    diff = np.abs(luma[1:] - luma[:-1])
+                    rows["motion_mean"].append(
+                        float(int(diff.sum())) / ((nf - 1) * h * w))
+                else:
+                    rows["motion_mean"].append(0.0)
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        part,
+        schema=(
+            "id long, width int, height int, n_frames int, "
+            "duration_us long, mean_r double, mean_g double, "
+            "mean_b double, luma_mean double, motion_mean double"
+        ),
+    )
 
 
 def modality_stats(df: DataFrame) -> DataFrame:

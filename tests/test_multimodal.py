@@ -268,3 +268,92 @@ def test_wav_features_skips_corrupt_payloads(spark):
     rows = wav_features(df).collect()
     assert [r.id for r in rows] == [3]
     assert rows[0].sample_rate == 8000
+
+
+# --- round 11: REAL video codec path (uncompressed RIFF AVI) --------
+
+
+def test_avi_codec_roundtrip_exact_pixels():
+    from gofaiss_spark.operators.multimodal import decode_avi, encode_avi
+
+    rng = np.random.default_rng(3)
+    for (h, w, nf) in [(3, 4, 2), (5, 7, 4), (6, 8, 1)]:
+        frames = [
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for _ in range(nf)
+        ]
+        got = decode_avi(encode_avi(frames, 40_000))
+        assert got is not None
+        fr2, spf = got
+        assert spf == 40_000 and len(fr2) == nf
+        for a, b in zip(frames, fr2):
+            assert np.array_equal(a, b)
+
+
+def test_avi_decode_rejects_poison():
+    from gofaiss_spark.operators.multimodal import decode_avi, encode_avi
+
+    rng = np.random.default_rng(4)
+    p = encode_avi([rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)])
+    assert decode_avi(b"garbage") is None
+    assert decode_avi(b"RIFF\x04\x00\x00\x00AVI ") is None
+    assert decode_avi(p[:40]) is None                 # truncated hdrl
+    # clipping only the trailing idx1 is TOLERATED (frames intact)...
+    assert decode_avi(p[:-20]) is not None
+    # ...but clipping into the movi frame data is not (idx1 is 24
+    # bytes here; the single 00db chunk is 8+36): no partial frames
+    assert decode_avi(p[:-70]) is None
+    bad = bytearray(p)
+    bad[8:12] = b"WAVE"
+    assert decode_avi(bytes(bad)) is None             # wrong form type
+
+
+def test_avi_roundtrip_features(spark):
+    """synth_avi encodes real RIFF AVI containers; avi_features must
+    decode them back to the exact analytic per-pixel statistics,
+    including the consecutive-frame motion mean."""
+    from gofaiss_spark.operators.multimodal import avi_features, synth_avi
+
+    ids = spark.range(0, 20).select(F.col("id"))
+    out = {r.id: r for r in avi_features(synth_avi(ids)).collect()}
+    assert set(out) == set(range(20))
+    for d, r in out.items():
+        w, h, nf = 4 + d % 5, 3 + d % 4, 2 + d % 3
+        assert (r.width, r.height, r.n_frames) == (w, h, nf)
+        assert r.duration_us == nf * 100_000
+        x = np.arange(w, dtype=np.int64)[None, None, :]
+        y = np.arange(h, dtype=np.int64)[None, :, None]
+        t = np.arange(nf, dtype=np.int64)[:, None, None]
+        rr = (7 * d + 3 * x + 5 * y + 17 * t) % 256
+        gg = (11 * d + 5 * x + 7 * y + 19 * t) % 256
+        bb = (13 * d + 7 * x + 3 * y + 23 * t) % 256
+        n = nf * w * h
+        assert r.mean_r == rr.sum() / n
+        assert r.mean_g == gg.sum() / n
+        assert r.mean_b == bb.sum() / n
+        luma = (299 * rr + 587 * gg + 114 * bb) // 1000
+        assert r.luma_mean == luma.sum() / n
+        if nf > 1:
+            motion = np.abs(luma[1:] - luma[:-1]).sum() / ((nf - 1) * w * h)
+        else:
+            motion = 0.0
+        assert r.motion_mean == motion
+
+
+def test_avi_features_skips_corrupt_payloads(spark):
+    from gofaiss_spark.operators.multimodal import avi_features, synth_avi
+
+    good = synth_avi(spark.range(5, 6)).collect()[0]
+    df = spark.createDataFrame(
+        [
+            (1, b"RIFFbogus"),
+            (2, None),
+            (3, bytes(good.content)),
+            (4, bytes(good.content)[:60]),
+        ],
+        schema="id long, content binary",
+    )
+    rows = avi_features(df).collect()
+    assert [r.id for r in rows] == [3]
+    assert (rows[0].width, rows[0].height, rows[0].n_frames) == (
+        4 + 5 % 5, 3 + 5 % 4, 2 + 5 % 3)
