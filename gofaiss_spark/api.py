@@ -151,6 +151,7 @@ def build_index(
             n_iter=params.get("n_iter", 10),
             train_fraction=params.get("train_fraction"),
             seed=params.get("seed", 42),
+            rotate=params.get("rotate", True),
             vec_col=vec_col,
             id_col=id_col,
         )

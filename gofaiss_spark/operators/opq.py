@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 
 from gofaiss_spark.operators.pq import PqIndex, validate_pq_params
 
-__all__ = ["OpqIndex", "build_opq", "search_opq", "train_opq_rotation"]
+__all__ = [
+    "OpqIndex", "build_opq", "search_opq", "spectral_concentration",
+    "train_opq_rotation",
+]
 
 
 @dataclass
@@ -46,12 +49,45 @@ class OpqIndex:
     nbits: int
     rotation: np.ndarray  # (dim, dim), orthogonal
     pq: PqIndex = field(repr=False)
+    #: True when the rotation was actually trained (False = identity:
+    #: rotate="auto" measured a flat eigenspectrum and skipped it)
+    rotation_trained: bool = True
+    #: the measured top-(dim//4) energy fraction (rotate="auto" only)
+    spectral_energy: float | None = None
 
     def stats(self) -> dict:
         s = self.pq.stats()
         s["index_type"] = "opq"
         s["memory_mb"] = s["memory_mb"] + (self.dim * self.dim * 4) / (1024 * 1024)
+        s["rotation_trained"] = self.rotation_trained
+        if self.spectral_energy is not None:
+            s["spectral_energy"] = round(self.spectral_energy, 4)
         return s
+
+
+#: rotate="auto" trains the rotation only when the top dim//4
+#: eigenvalues of the training sample's covariance carry at least
+#: this fraction of total variance (measured rule, BENCH_AB
+#: opq_10m_pareto_r10: OPQ is a no-op on full-rank/uniform data —
+#: top-quarter energy ≈ 0.25-0.35 — and 1.41x recall on rank-16
+#: low-rank data, where it is ≈ 1.0).
+AUTO_ROTATE_ENERGY = 0.6
+
+
+def spectral_concentration(data: np.ndarray) -> float:
+    """Fraction of total variance in the top ``dim//4`` eigenvalues
+    of the (mean-centered) sample covariance — the rotate="auto"
+    decision statistic. Cheap: one dim x dim eigendecomposition on
+    the already-collected training sample."""
+    x = np.ascontiguousarray(data, dtype=np.float64)
+    x = x - x.mean(axis=0, keepdims=True)
+    cov = x.T @ x
+    eigs = np.linalg.eigvalsh(cov)  # ascending
+    total = float(eigs.sum())
+    if total <= 0:
+        return 0.0
+    top_r = max(1, x.shape[1] // 4)
+    return float(eigs[-top_r:].sum()) / total
 
 
 def train_opq_rotation(
@@ -126,6 +162,27 @@ def _rotate_encode_fused(
     )
 
 
+def _train_pq_identity(
+    data: np.ndarray, m: int, nbits: int, kmeans_iter: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Plain per-subspace PQ codebooks on the UNROTATED sample — the
+    rotate="auto" skip path (one k-means pass per subspace, no
+    alternating minimization, no Procrustes SVDs)."""
+    from gofaiss_spark.functions.kmeans_np import lloyd_kmeans
+
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    dim = data.shape[1]
+    ksub, dsub = validate_pq_params(dim, m, nbits)
+    codebooks = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        sl = slice(j * dsub, (j + 1) * dsub)
+        codebooks[j], _ = lloyd_kmeans(
+            data[:, sl], ksub, max_iter=kmeans_iter, init="++", seed=seed + j
+        )
+    return codebooks
+
+
 def build_opq(
     vectors: DataFrame,
     m: int = 8,
@@ -133,11 +190,22 @@ def build_opq(
     n_iter: int = 10,
     train_fraction: float | None = None,
     seed: int = 42,
+    rotate: bool | str = True,
     vec_col: str = "vec",
     id_col: str = "id",
 ) -> OpqIndex:
     """Train R + codebooks on the bounded sample, then one fused
-    rotate+encode pass over the full set."""
+    rotate+encode pass over the full set.
+
+    ``rotate``: ``True`` always trains the rotation (the classic
+    OPQ); ``False`` skips it (identity R — plain PQ wearing the OPQ
+    interface); ``"auto"`` applies the measured decision rule
+    (BENCH_AB opq_10m_pareto_r10, r10-verdict item 7): train the
+    rotation only when the training sample's eigenspectrum is
+    concentrated (top dim//4 energy >= AUTO_ROTATE_ENERGY), because
+    on flat-spectrum data the alternating minimization provably buys
+    nothing (recall 0.9337 -> 0.9354 at 10M) while costing ~n_iter
+    SVD+kmeans rounds."""
     from gofaiss_spark.operators.ivf import collect_vector_matrix
 
     dim = int(vectors.select(F.first(F.size(vec_col)).alias("d")).collect()[0]["d"])
@@ -146,12 +214,25 @@ def build_opq(
     if train_fraction is not None and train_fraction < 1.0:
         train_df = vectors.sample(fraction=train_fraction, seed=seed)
     data = collect_vector_matrix(train_df, vec_col, order_col=id_col)
-    rotation, codebooks = train_opq_rotation(
-        data, m, nbits, n_iter=n_iter, seed=seed
-    )
+    energy = None
+    do_rotate = rotate
+    if rotate == "auto":
+        energy = spectral_concentration(data)
+        do_rotate = energy >= AUTO_ROTATE_ENERGY
+    elif not isinstance(rotate, bool):
+        raise ValueError(f"rotate must be True/False/'auto', got {rotate!r}")
+    if do_rotate:
+        rotation, codebooks = train_opq_rotation(
+            data, m, nbits, n_iter=n_iter, seed=seed
+        )
+    else:
+        rotation = np.eye(dim)
+        codebooks = _train_pq_identity(data, m, nbits, seed=seed)
     codes = _rotate_encode_fused(vectors, rotation, codebooks, vec_col, id_col)
     pq = PqIndex(dim=dim, m=m, nbits=nbits, codebooks=codebooks, codes=codes)
-    return OpqIndex(dim=dim, m=m, nbits=nbits, rotation=rotation, pq=pq)
+    return OpqIndex(
+        dim=dim, m=m, nbits=nbits, rotation=rotation, pq=pq,
+        rotation_trained=bool(do_rotate), spectral_energy=energy)
 
 
 def _rotate_queries(
