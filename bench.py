@@ -67,16 +67,24 @@ def main() -> None:
     # the 1M/10M scale anchors are the only MEASURED evidence for the
     # 100x-scale story, so a tight window must shed the re-derivable
     # 100k extras (hnsw_sharded family first, then the routed/
-    # clustered block, then the 1M extras) BEFORE it sheds the
+    # clustered EXTRAS, then the 1M extras) BEFORE it sheds the
     # anchors — r9 spent its throttled window on the extras and
-    # arrived at the 10M gate with nothing left. Sections that run
-    # before a still-pending anchor add the anchor's minimum section
-    # estimate to their own budget gate.
+    # arrived at the 10M gate with nothing left. Round 11 adds a
+    # "headline" reservation (r10 verdict "what's wrong" #1): the
+    # auto_tier_batch10k row + one routed/clustered row are the
+    # default-API serving evidence the >=0.5x-reference gate is
+    # about, so sections running before them reserve a minimal
+    # ~130 s sub-block the same way they reserve the anchors —
+    # tuned-variant 100k extras shed BEFORE the auto-tier row does.
     _anchors_done: set[str] = set()
 
     def reserve_pending(exclude: str = "") -> float:
         r = 0.0
         if baseline_n >= 100_000:
+            if (exclude != "headline" and "headline" not in _anchors_done
+                    and os.environ.get(
+                        "SPARK_GRAFT_BASELINE_ROUTED", "1") != "0"):
+                r += 130
             if (exclude != "1m" and "1m" not in _anchors_done
                     and os.environ.get(
                         "SPARK_GRAFT_BASELINE_1M", "1") != "0"):
@@ -150,12 +158,26 @@ def main() -> None:
         f, g = _sentinel_fma(), _sentinel_gemm()
         return f, g, max(f / SENTINEL_REF, g / SENTINEL_GEMM_REF)
 
-    def sentinel(section: str) -> dict:
+    def sentinel(section: str, patient: bool = False) -> dict:
+        """Probe the window; on a throttled first probe, re-queue.
+        Default: once with a 2 s backoff (waves are often sub-second).
+        ``patient=True`` (r10 verdict item 3 — the 10M anchors): the
+        2 s single retry cannot outlast multi-minute hypervisor
+        waves, so the anchor sections retry with exponential backoff
+        (2 s → 60 s → 240 s → 300 s, ~10 min bounded budget) before
+        accepting a tagged window — still honoring the wall budget."""
         f, g, ratio = _sentinel_probe()
-        requeued = False
-        if ratio > 1.5:
-            requeued = True
-            time.sleep(2.0)
+        requeues = 0
+        waited = 0.0
+        backoffs = (2.0, 60.0, 240.0, 300.0) if patient else (2.0,)
+        for b in backoffs:
+            if ratio <= 1.5:
+                break
+            if elapsed() + b + 30 > budget_wall:
+                break  # the wait itself would blow the wall budget
+            time.sleep(b)
+            waited += b
+            requeues += 1
             f2, g2, r2 = _sentinel_probe()
             if r2 < ratio:
                 f, g, ratio = f2, g2, r2
@@ -164,7 +186,9 @@ def main() -> None:
             "gemm32_sec": round(g, 4),
             "ratio": round(ratio, 2),
             "throttled": ratio > 1.5,
-            **({"requeued_once": True} if requeued else {}),
+            **({"requeued": requeues,
+                "requeue_waited_sec": round(waited, 1)}
+               if requeues else {}),
         }
         sentinels[section] = rec
         return rec
@@ -250,12 +274,14 @@ def main() -> None:
                     elif isinstance(v, list):
                         v = [round(x, 1) for x in v]
                     out[short] = v
-            # a shed/skipped row has ONLY a note — carry it (short)
-            # so the parsed artifact never shows a silent bare {}
-            # (r7 verdict item: lsh_10m compacted to {} while every
-            # other shed section kept its skip note)
+            # a shed/skipped row has ONLY a note — carry it WHOLE
+            # (r10 verdict "what's wrong" #2: two notes were clipped
+            # mid-sentence at 60 chars; the skip reason is exactly
+            # what a future window reader needs. The notes_dropped
+            # fallback below still protects the tail budget, and the
+            # emitter keeps the source notes compact.)
             if not out and "note" in row:
-                out["note"] = str(row["note"])[:60]
+                out["note"] = str(row["note"])
             return out
 
         # The driver records only the LAST ~2000 chars of stdout; a
@@ -1250,14 +1276,22 @@ def main() -> None:
             # row, and the hnsw_family probe may be a full sharded
             # section (minutes) stale by now — waves turn over faster
             sentinel("routed_clustered")
-        routed_skip = elapsed() + 200 + reserve_pending() > budget
+        # Two-level shed (r10 verdict "what's wrong" #1): the MINIMAL
+        # headline sub-block (clustered fixture + routed build + the
+        # np8 row + auto_tier_batch10k, ~130 s) is in the reserved
+        # set and sheds LAST; the block's re-derivable extras (np16,
+        # the ivf_local_clustered pool rows, hnsw_local_mp, the
+        # DataFrame auto-tier arm, ~+90 s) shed first.
+        routed_skip = elapsed() + 130 + reserve_pending("headline") > budget
+        routed_extras_skip = (
+            elapsed() + 220 + reserve_pending("headline") > budget)
         if routed_want and routed_skip:
             for _rk in ("hnsw_routed_cl_np8", "auto_tier_batch10k"):
                 baseline[_rk] = {
                     "note": f"skipped: {elapsed():.0f}s elapsed + "
-                            f"~200s routed/clustered section + "
-                            f"{reserve_pending():.0f}s anchor reserve "
-                            f"> {budget:.0f}s budget",
+                            f"~130s headline sub-block + "
+                            f"{reserve_pending('headline'):.0f}s "
+                            f"anchor reserve > {budget:.0f}s budget",
                 }
         if routed_want and not routed_skip:
             import numpy as np
@@ -1288,22 +1322,100 @@ def main() -> None:
             t0 = time.monotonic()
             brt = build_hnsw_routed(cvec, nlist=n_cl, m=16, ef_construction=100)
             build_s = round(time.monotonic() - t0, 4)
-            for npr in (8, 16):
-                sec, res = bsearch(
-                    lambda npr=npr: search_hnsw_routed(
-                        brt, cq, k=K, nprobe=npr, ef_search=100
-                    )
+            # headline sub-block rows first (np8 + auto-tier below);
+            # np16 and the pool extras run after the checkpoint,
+            # behind their own shed gate
+            npr = 8
+            sec, res = bsearch(
+                lambda: search_hnsw_routed(
+                    brt, cq, k=K, nprobe=npr, ef_search=100
                 )
-                row = {
-                    "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
-                    "search_sec_range": bs_range(),
-                    "recall": round(recall_at_k(res, ctruth, K), 4),
-                    "nprobe": npr, "nlist": n_cl,
+            )
+            baseline["hnsw_routed_cl_np8"] = {
+                "build_sec": build_s,
+                "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+                "search_sec_range": bs_range(),
+                "recall": round(recall_at_k(res, ctruth, K), 4),
+                "nprobe": npr, "nlist": n_cl,
+                "workload": "mixture-of-100-Gaussians (sigma=0.05)",
+            }
+            # 10k query batch + exact truth (driver-local flat scan):
+            # shared by the auto-tier headline row and the pool extras
+            cflat = to_local(cvec)
+            cq10k = cdata[rng.integers(0, baseline_n, size=10_000)] \
+                + rng.normal(0, 0.01, (10_000, 128)).astype(np.float32)
+            ct10k, _ = cflat.search(cq10k, k=K)
+
+            # the serving regime through the DEFAULT API path
+            # (r8 verdict item 6): api.serve / api.search resolve
+            # tier="auto" on the routed index → driver replica +
+            # process pool, no caller tier selection. This is the
+            # headline row the >=0.5x-reference gate is about, so it
+            # runs INSIDE the reserved sub-block, before any extras
+            # (r10 verdict "what's wrong" #1). Raw-matrix serve-handle
+            # arm (the reference Search() shape — []float32 in, ids
+            # out, search.go:56-84); the DataFrame arm is an extra.
+            from gofaiss_spark import api as _api
+
+            brt.set_ef_search(50)  # serve-time knob (SetEfSearch)
+            t0 = time.monotonic()
+            asrv = _api.serve(brt)  # auto → local; localizes now
+            bind_s = round(time.monotonic() - t0, 4)
+            try:
+                assert asrv.tier == "local", asrv.tier
+                # ≥POOL_MIN_BATCH warm call spawns the pool so the
+                # timed runs measure serving, not worker startup
+                asrv.search_np(cq10k[:1024], k=K, params={"nprobe": 4})
+                best, runs = float("inf"), []
+                for _ in range(3):
+                    t0 = time.monotonic()
+                    aids, _ = asrv.search_np(
+                        cq10k, k=K, params={"nprobe": 4})
+                    runs.append(round(time.monotonic() - t0, 4))
+                    best = min(best, runs[-1])
+                rec = float(np.mean([
+                    len(set(aids[i]) & set(ct10k[i])) / K
+                    for i in range(len(cq10k))
+                ]))
+                baseline["auto_tier_batch10k"] = {
+                    "search_sec": round(best, 4),
+                    "search_sec_range": [min(runs), max(runs)],
+                    "qps_batch": round(len(cq10k) / best, 1),
+                    "recall": round(rec, 4),
+                    "tier": asrv.tier, "bind_sec": bind_s,
+                    "nlist": n_cl, "nprobe": 4, "ef_search": 50,
+                    "n_queries": len(cq10k),
                     "workload": "mixture-of-100-Gaussians (sigma=0.05)",
                 }
-                if npr == 8:
-                    row["build_sec"] = build_s
-                baseline[f"hnsw_routed_cl_np{npr}"] = row
+            finally:
+                asrv.close()
+            _anchors_done.add("headline")
+            emit_summary()  # headline sub-block checkpoint
+
+            if routed_extras_skip:
+                for _rk in ("ivf_local_mp_clustered_batch10k",
+                            "ivf_local_mp_clustered_np2_batch10k",
+                            "hnsw_local_mp_clustered_batch10k"):
+                    baseline[_rk] = {
+                        "note": f"skipped: {elapsed():.0f}s elapsed + "
+                                f"~90s routed/clustered extras + "
+                                f"{reserve_pending():.0f}s anchor "
+                                f"reserve > {budget:.0f}s budget",
+                    }
+        if routed_want and not routed_skip and not routed_extras_skip:
+            npr = 16
+            sec, res = bsearch(
+                lambda: search_hnsw_routed(
+                    brt, cq, k=K, nprobe=npr, ef_search=100
+                )
+            )
+            baseline["hnsw_routed_cl_np16"] = {
+                "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+                "search_sec_range": bs_range(),
+                "recall": round(recall_at_k(res, ctruth, K), 4),
+                "nprobe": npr, "nlist": n_cl,
+                "workload": "mixture-of-100-Gaussians (sigma=0.05)",
+            }
 
             # the same clustered workload through the driver-colocated
             # IVF server: when the corpus actually clusters, nprobe
@@ -1313,11 +1425,7 @@ def main() -> None:
             civf = build_ivf(cvec, nlist=316, seed=42, train_fraction=0.05)
             civf.assignments.cache().count()
             clocal = to_local_ivf(civf)
-            cflat = to_local(cvec)
-            cq10k = cdata[rng.integers(0, baseline_n, size=10_000)] \
-                + rng.normal(0, 0.01, (10_000, 128)).astype(np.float32)
             ct1k, _ = cflat.search(cqdata, k=K)
-            ct10k, _ = cflat.search(cq10k, k=K)
             clocal.search(cqdata[:128], k=K, nprobe=4)  # warm
             for lq, tt, npr, tag in (
                 (cqdata, ct1k, 4, "ivf_local_clustered"),
@@ -1420,74 +1528,39 @@ def main() -> None:
                 "workload": "mixture-of-100-Gaussians (sigma=0.05)",
             }
 
-            # the same serving regime through the DEFAULT API path
-            # (r8 verdict item 6): api.serve / api.search resolve
-            # tier="auto" on the routed index → driver replica +
-            # process pool, no caller tier selection. Two arms:
-            # the serve-handle raw-matrix path (the reference
-            # Search() shape — []float32 in, ids out,
-            # search.go:56-84) and the DataFrame api.search path
-            # (adds the query collect + result createDataFrame that
-            # the reference never pays). Same graphs/queries/truth
-            # as hnsw_local_mp_clustered_batch10k.
+            # DataFrame-in/DataFrame-out auto-tier arm, single timed
+            # run (the conversion overhead is deterministic). The
+            # raw-matrix auto_tier_batch10k headline arm already ran
+            # inside the reserved sub-block above.
             from gofaiss_spark import api as _api
 
-            brt.set_ef_search(50)  # serve-time knob (SetEfSearch)
+            brt.set_ef_search(50)
+            cq10k_df = spark.createDataFrame(
+                pd.DataFrame({
+                    "query_id": np.arange(10_000, dtype=np.int64),
+                    "qvec": list(cq10k)}),
+                schema="query_id long, qvec array<float>",
+            ).cache()
+            cq10k_df.count()
+            _api.search(brt, cq10k_df.limit(1024), k=K,
+                        params={"nprobe": 4}).count()  # warm
             t0 = time.monotonic()
-            asrv = _api.serve(brt)  # auto → local; localizes now
-            bind_s = round(time.monotonic() - t0, 4)
-            try:
-                assert asrv.tier == "local", asrv.tier
-                # ≥POOL_MIN_BATCH warm call spawns the pool so the
-                # timed runs measure serving, not worker startup
-                asrv.search_np(cq10k[:1024], k=K, params={"nprobe": 4})
-                best, runs = float("inf"), []
-                for _ in range(3):
-                    t0 = time.monotonic()
-                    aids, _ = asrv.search_np(
-                        cq10k, k=K, params={"nprobe": 4})
-                    runs.append(round(time.monotonic() - t0, 4))
-                    best = min(best, runs[-1])
-                rec = float(np.mean([
-                    len(set(aids[i]) & set(ct10k[i])) / K
-                    for i in range(len(cq10k))
-                ]))
-                baseline["auto_tier_batch10k"] = {
-                    "search_sec": round(best, 4),
-                    "search_sec_range": [min(runs), max(runs)],
-                    "qps_batch": round(len(cq10k) / best, 1),
-                    "recall": round(rec, 4),
-                    "tier": asrv.tier, "bind_sec": bind_s,
-                    "nlist": n_cl, "nprobe": 4, "ef_search": 50,
-                    "n_queries": len(cq10k),
-                    "workload": "mixture-of-100-Gaussians (sigma=0.05)",
-                }
-                # DataFrame-in/DataFrame-out arm, single timed run
-                # (the conversion overhead is deterministic)
-                cq10k_df = spark.createDataFrame(
-                    pd.DataFrame({
-                        "query_id": np.arange(10_000, dtype=np.int64),
-                        "qvec": list(cq10k)}),
-                    schema="query_id long, qvec array<float>",
-                ).cache()
-                cq10k_df.count()
-                _api.search(brt, cq10k_df.limit(1024), k=K,
-                            params={"nprobe": 4}).count()  # warm
-                t0 = time.monotonic()
-                n_out = _api.search(
-                    brt, cq10k_df, k=K, params={"nprobe": 4}).count()
-                df_sec = round(time.monotonic() - t0, 4)
-                baseline["auto_tier_df_batch10k"] = {
-                    "search_sec": df_sec,
-                    "qps_batch": round(10_000 / df_sec, 1),
-                    "rows_out": int(n_out),
-                    "nprobe": 4, "ef_search": 50,
-                    "n_queries": 10_000, "n_runs": 1,
-                }
-                cq10k_df.unpersist()
-            finally:
-                asrv.close()
+            n_out = _api.search(
+                brt, cq10k_df, k=K, params={"nprobe": 4}).count()
+            df_sec = round(time.monotonic() - t0, 4)
+            baseline["auto_tier_df_batch10k"] = {
+                "search_sec": df_sec,
+                "qps_batch": round(10_000 / df_sec, 1),
+                "rows_out": int(n_out),
+                "nprobe": 4, "ef_search": 50,
+                "n_queries": 10_000, "n_runs": 1,
+            }
+            cq10k_df.unpersist()
             civf.assignments.unpersist()
+        # headline reservation released whether the sub-block ran,
+        # was shed (notes recorded), or was env-excluded — later
+        # gates must not keep reserving for it (idempotent)
+        _anchors_done.add("headline")
 
         # HNSW, single-graph: driver-side fidelity path. The insert
         # loop is driver-bound by design (honestly capped, hnsw.py),
@@ -1742,7 +1815,7 @@ def main() -> None:
     want_10m = baseline_n >= 100_000 and os.environ.get(
         "SPARK_GRAFT_BASELINE_10M", "1") != "0"
     if want_10m:
-        sentinel("anchor_10m")
+        sentinel("anchor_10m", patient=True)
     if want_10m and elapsed() + 420 > budget:
         baseline["scaling_10m"] = {
             "note": f"10M anchor skipped: {elapsed():.0f}s elapsed + "

@@ -1,0 +1,262 @@
+"""Round-11 verdict item 5: adjudicate the three r10 driver-window
+regressions on essentially-untouched code via bracketed, repeated
+same-window measurements.
+
+Rows (r10 vs r9 driver windows, sf0.1 cohort):
+- lsh                      247 vs 297 QPS (-17%)   @100k, L=4, mp=1
+- hnsw_sharded             330 vs 450 QPS (-27%)   @100k, m=16, efS=50
+- ivf_shard_exec_1m_batch10k 127 vs 158 QPS (-20%) @1M, 8 shards, np=100
+
+Protocol per row: replicate the bench.py fixture exactly, then N
+attempts of [sentinel probe -> bench-identical timed measurement ->
+sentinel probe]. Verdict rule (compare_baseline.py's -10% QPS gate):
+WINDOW if any clean-bracketed attempt reaches >= 0.9x the r9 value;
+CODE if every clean attempt stays at-or-below the regressed r10
+value; INCONCLUSIVE if no clean window was obtained.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SENTINEL_REF = 0.062
+SENTINEL_GEMM_REF = 0.085
+K = 10
+ATTEMPTS = int(os.environ.get("AB_ATTEMPTS", "4"))
+CLEAN = 1.5
+
+R9 = {"lsh": 297.0, "hnsw_sharded": 450.2, "ivf_shard_exec_1m_batch10k": 158.0}
+R10 = {"lsh": 247.0, "hnsw_sharded": 330.0, "ivf_shard_exec_1m_batch10k": 127.0}
+
+
+def _fma() -> float:
+    best = float("inf")
+    for _ in range(3):
+        x = np.full(1_000_000, 1.000001, dtype=np.float64)
+        t0 = time.monotonic()
+        for _ in range(100):
+            np.multiply(x, 1.0000001, out=x)
+            np.add(x, 1e-9, out=x)
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+_G = np.random.default_rng(0)
+_GA = _G.standard_normal((4096, 4096), dtype=np.float32)
+_GB = _G.standard_normal((4096, 4096), dtype=np.float32)
+
+
+def _gemm() -> float:
+    _GA @ _GB
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        _GA @ _GB
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def probe() -> dict:
+    f, g = _fma(), _gemm()
+    return {
+        "fma1_sec": round(f, 4),
+        "gemm32_sec": round(g, 4),
+        "ratio": round(max(f / SENTINEL_REF, g / SENTINEL_GEMM_REF), 2),
+    }
+
+
+def bracketed(name: str, measure) -> list[dict]:
+    attempts = []
+    backoff = 10.0
+    for i in range(ATTEMPTS):
+        before = probe()
+        qps = measure()
+        after = probe()
+        clean = before["ratio"] <= CLEAN and after["ratio"] <= CLEAN
+        rec = {
+            "attempt": i, "sentinel_before": before,
+            "sentinel_after": after,
+            "window": "clean" if clean else "throttled",
+            "qps_batch": round(qps, 1),
+        }
+        attempts.append(rec)
+        print(name, json.dumps(rec), flush=True)
+        # early exit once a clean attempt answers the question
+        if clean and qps >= 0.9 * R9[name]:
+            break
+        if not clean:
+            time.sleep(min(backoff, 180.0))
+            backoff *= 1.8
+    return attempts
+
+
+def adjudicate(name: str, attempts: list[dict]) -> dict:
+    clean = [a for a in attempts if a["window"] == "clean"]
+    best_clean = max((a["qps_batch"] for a in clean), default=None)
+    if not clean:
+        verdict = "inconclusive: no clean window in the attempt budget"
+    elif best_clean >= 0.9 * R9[name]:
+        verdict = (
+            f"window: clean-bracketed {best_clean} QPS >= 0.9x r9 "
+            f"({R9[name]}) on unchanged code — the r10 driver number "
+            f"({R10[name]}) was a throttle-wave artifact")
+    else:
+        verdict = (
+            f"code-or-box: best clean-bracketed {best_clean} QPS < 0.9x "
+            f"r9 ({R9[name]}) — not adjudicated as window; investigate")
+    return {
+        "r9_qps": R9[name], "r10_qps": R10[name],
+        "attempts": attempts, "best_clean_qps": best_clean,
+        "verdict": verdict,
+    }
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "110g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from gofaiss_spark.cli import generate_random_vectors
+    from gofaiss_spark.operators.hnsw import (
+        build_hnsw_sharded,
+        search_hnsw_sharded,
+    )
+    from gofaiss_spark.operators.ivf import build_ivf
+    from gofaiss_spark.operators.lsh import build_lsh, search_lsh
+
+    results: dict[str, dict] = {}
+    n, bn_q = 100_000, 1000
+    bvec = generate_random_vectors(spark, n, 128, 42).cache()
+    bvec.count()
+    bq = (
+        generate_random_vectors(spark, bn_q, 128, 43)
+        .select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+        .cache()
+    )
+    bq.count()
+
+    which = set(os.environ.get(
+        "AB_ROWS", "lsh,hnsw_sharded,ivf_shard_exec_1m_batch10k"
+    ).split(","))
+
+    if "lsh" in which:
+        blsh = build_lsh(bvec, num_hash_tables=4)
+        blsh.buckets.cache().count()
+
+        def m_lsh() -> float:
+            # bench-identical: warm once, best of 2 timed cached runs
+            search_lsh(blsh, bq, k=K, multiprobe=1).count()
+            best, res = float("inf"), None
+            for _ in range(2):
+                if res is not None:
+                    res.unpersist(blocking=True)
+                t0 = time.monotonic()
+                res = search_lsh(blsh, bq, k=K, multiprobe=1).cache()
+                res.count()
+                best = min(best, time.monotonic() - t0)
+            res.unpersist(blocking=True)
+            return bn_q / best
+
+        results["lsh"] = adjudicate("lsh", bracketed("lsh", m_lsh))
+        blsh.buckets.unpersist()
+
+    if "hnsw_sharded" in which:
+        bhs = build_hnsw_sharded(bvec, m=16, ef_construction=200)
+
+        def m_hnsw() -> float:
+            search_hnsw_sharded(bhs, bq, k=K, ef_search=50).count()
+            best, res = float("inf"), None
+            for _ in range(2):
+                if res is not None:
+                    res.unpersist(blocking=True)
+                t0 = time.monotonic()
+                res = search_hnsw_sharded(
+                    bhs, bq, k=K, ef_search=50).cache()
+                res.count()
+                best = min(best, time.monotonic() - t0)
+            res.unpersist(blocking=True)
+            return bn_q / best
+
+        results["hnsw_sharded"] = adjudicate(
+            "hnsw_sharded", bracketed("hnsw_sharded", m_hnsw))
+
+    if "ivf_shard_exec_1m_batch10k" in which:
+        import shutil
+        import tempfile
+
+        from gofaiss_spark.operators.shard_serve import (
+            ShardedSearcher,
+            save_sharded,
+        )
+
+        n1m = 1_000_000
+        bvec1m = generate_random_vectors(spark, n1m, 128, 52).cache()
+        bvec1m.count()
+        bivf1m = build_ivf(bvec1m, nlist=1000, seed=42,
+                           train_fraction=5000.0 / n1m)
+        bivf1m.assignments.cache().count()
+        rngq = np.random.default_rng(43)
+        lq10k = rngq.random((10_000, 128), dtype=np.float32)
+        shard_dir = tempfile.mkdtemp(prefix="gofaiss_ab_shards1m_")
+        try:
+            save_sharded(bivf1m, shard_dir, num_shards=8)
+            srv = ShardedSearcher(spark, shard_dir)
+            try:
+                srv.search(lq10k[:128], k=K, nprobe=100)  # cold
+                srv.search(lq10k[:128], k=K, nprobe=100)  # warm
+
+                def m_shard() -> float:
+                    t0 = time.monotonic()
+                    srv.search(lq10k, k=K, nprobe=100)
+                    return 10_000 / (time.monotonic() - t0)
+
+                results["ivf_shard_exec_1m_batch10k"] = adjudicate(
+                    "ivf_shard_exec_1m_batch10k",
+                    bracketed("ivf_shard_exec_1m_batch10k", m_shard))
+            finally:
+                srv.close()
+        finally:
+            shutil.rmtree(shard_dir, ignore_errors=True)
+
+    out = {
+        "ts": datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"),
+        "protocol": (
+            "bench-identical fixtures and timing loops; per attempt: "
+            "sentinel probe -> measurement -> sentinel probe; verdict "
+            "rule: WINDOW if any clean-bracketed attempt >= 0.9x r9, "
+            "CODE-OR-BOX if clean attempts stay below, INCONCLUSIVE "
+            "without a clean window"),
+        "rows": results,
+    }
+    path = os.path.join(REPO, "BENCH_AB.json")
+    with open(path) as f:
+        ab = json.load(f)
+    ab["driver_regressions_r11"] = out
+    with open(path, "w") as f:
+        json.dump(ab, f, indent=1)
+    print("WROTE driver_regressions_r11", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
