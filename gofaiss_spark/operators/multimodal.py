@@ -766,6 +766,67 @@ def avi_features(
     )
 
 
+def avi_frames(
+    df: DataFrame,
+    every_nth: int = 1,
+    max_frames: int | None = None,
+    content_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """REAL video→image frame extraction: decode the AVI container,
+    take every ``every_nth``-th frame (capped at ``max_frames`` per
+    video when set), re-encode each as a standalone BMP — the
+    fan-out step a multimodal corpus runs before image-side dedup /
+    feature extraction (each output row feeds ``bmp_features`` or
+    ``resize_images`` unchanged). Emits (id, frame_idx, width,
+    height, content BINARY). Arrow-batched in ``mapInPandas``;
+    unparseable payloads are dropped. Fan-out cardinality is bounded
+    by every_nth/max_frames — the knob that keeps the exploded table
+    a controlled multiple of the video table at 100 TB."""
+    if every_nth < 1:
+        raise ValueError("every_nth must be >= 1")
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content")
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "id": [], "frame_idx": [], "width": [], "height": [],
+                "content": [],
+            }
+            for i, payload in zip(
+                pdf["id"].to_numpy(dtype=np.int64), pdf["content"]
+            ):
+                if payload is None:
+                    continue
+                got = decode_avi(bytes(payload))
+                if got is None:
+                    continue
+                frames, _spf = got
+                taken = 0
+                for t in range(0, len(frames), every_nth):
+                    if max_frames is not None and taken >= max_frames:
+                        break
+                    img = frames[t]
+                    h, w = img.shape[:2]
+                    rows["id"].append(int(i))
+                    rows["frame_idx"].append(t)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["content"].append(encode_bmp(img))
+                    taken += 1
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        part,
+        schema=(
+            "id long, frame_idx int, width int, height int, "
+            "content binary"
+        ),
+    )
+
+
 def modality_stats(df: DataFrame) -> DataFrame:
     """Per-modality corpus accounting: pure column ops, fully
     pushdown-friendly. (modality, n_items, total_bytes, avg_bytes)."""

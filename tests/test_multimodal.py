@@ -357,3 +357,44 @@ def test_avi_features_skips_corrupt_payloads(spark):
     assert [r.id for r in rows] == [3]
     assert (rows[0].width, rows[0].height, rows[0].n_frames) == (
         4 + 5 % 5, 3 + 5 % 4, 2 + 5 % 3)
+
+
+def test_avi_frames_extraction_roundtrip(spark):
+    """avi_frames is a REAL video->image step: every extracted frame,
+    decoded back through the BMP codec, must equal the analytic pixel
+    grid for its (id, frame_idx); every_nth/max_frames bound the
+    fan-out; outputs feed bmp_features unchanged."""
+    from gofaiss_spark.operators.multimodal import (
+        avi_frames,
+        bmp_features,
+        decode_bmp,
+        synth_avi,
+    )
+
+    vids = synth_avi(spark.range(0, 12))
+    out = avi_frames(vids).collect()
+    # fan-out cardinality: sum over ids of n_frames = 2 + d%3
+    assert len(out) == sum(2 + d % 3 for d in range(12))
+    for r in out:
+        d, t = r.id, r.frame_idx
+        w, h = 4 + d % 5, 3 + d % 4
+        assert (r.width, r.height) == (w, h)
+        img = decode_bmp(bytes(r.content))
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        rr = (7 * d + 3 * x + 5 * y + 17 * t) % 256
+        gg = (11 * d + 5 * x + 7 * y + 19 * t) % 256
+        bb = (13 * d + 7 * x + 3 * y + 23 * t) % 256
+        want = np.stack([bb, gg, rr], axis=-1).astype(np.uint8)
+        assert np.array_equal(img, want)
+    # every_nth=2 keeps frames 0, 2; max_frames=1 keeps only frame 0
+    sub = avi_frames(vids, every_nth=2).collect()
+    assert all(r.frame_idx % 2 == 0 for r in sub)
+    one = avi_frames(vids, max_frames=1).collect()
+    assert len(one) == 12 and all(r.frame_idx == 0 for r in one)
+    with pytest.raises(ValueError, match="every_nth"):
+        avi_frames(vids, every_nth=0)
+    # extracted frames feed the image feature extractor unchanged
+    feats = bmp_features(
+        avi_frames(vids, max_frames=1).drop("frame_idx")).collect()
+    assert len(feats) == 12
