@@ -125,14 +125,9 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "110g"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    from gofaiss_spark.session import get_spark
+
+    spark = get_spark("gofaiss_ab_r11", cpus=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
     from gofaiss_spark.cli import generate_random_vectors
