@@ -1393,9 +1393,17 @@ def main() -> None:
             emit_summary()  # headline sub-block checkpoint
 
             if routed_extras_skip:
-                for _rk in ("ivf_local_mp_clustered_batch10k",
+                # note-carrying rule: EVERY row the extras block would
+                # have emitted gets a skip note, not just the pool
+                # rows (ADVICE r11 — silent sheds read as coverage)
+                for _rk in ("hnsw_routed_cl_np16",
+                            "ivf_local_clustered",
+                            "ivf_local_clustered_batch10k",
+                            "ivf_local_clustered_np2_batch10k",
+                            "ivf_local_mp_clustered_batch10k",
                             "ivf_local_mp_clustered_np2_batch10k",
-                            "hnsw_local_mp_clustered_batch10k"):
+                            "hnsw_local_mp_clustered_batch10k",
+                            "auto_tier_df_batch10k"):
                     baseline[_rk] = {
                         "note": f"skipped: {elapsed():.0f}s elapsed + "
                                 f"~90s routed/clustered extras + "

@@ -281,18 +281,27 @@ _LOADED_OPEN: dict = {}   # realpath → (stamp, loaded plain-artifact index)
 
 def _artifact_stamp(path: str) -> tuple:
     """Staleness key for the per-path serving caches: the mtime_ns of
-    the artifact's metadata sidecar(s). Overwriting a plain
+    the artifact's ROOT metadata sidecar(s). Overwriting a plain
     ``save_index`` artifact rewrites ``_meta.json``; re-creating a
-    sharded root rewrites ``_shard_meta.json``; ``refresh_sharded``
-    bumps ``_current.json`` (the ShardedSearcher already follows the
-    generation pointer per batch, but a bumped pointer on a NEW root
-    must not be served by a searcher opened on the old one). A changed
-    stamp evicts the cached object instead of silently serving stale
-    state (ADVICE r10)."""
-    from gofaiss_spark.operators.shard_serve import CURRENT_PTR, SHARD_META
+    plain sharded root rewrites ``_shard_meta.json`` — both must evict
+    the cached object instead of silently serving stale state (ADVICE
+    r10).
+
+    ``_current.json`` is deliberately NOT a stamp component (ADVICE
+    r11): a ``refresh_sharded`` generation bump rewrites the pointer
+    under the SAME root, and the cached ShardedSearcher already
+    follows the pointer per batch (``_maybe_refresh``) — that covers
+    root re-creation too, because generation names embed a random
+    ``build_id`` so a re-created root resolves to a new path and the
+    searcher re-binds. Stamping the pointer made every bump evict and
+    ``close()`` the cached searcher, releasing host-shm segments of
+    the NEW generation out from under a freshly re-bound handle (and
+    releasing segments the caller kept alive with
+    ``release_old=False``)."""
+    from gofaiss_spark.operators.shard_serve import SHARD_META
 
     stamp = []
-    for name in ("_meta.json", SHARD_META, CURRENT_PTR):
+    for name in ("_meta.json", SHARD_META):
         p = os.path.join(path, name)
         try:
             stamp.append(os.stat(p).st_mtime_ns)

@@ -548,6 +548,17 @@ def encode_avi(frames: list[np.ndarray], micro_sec_per_frame: int = 100_000) -> 
         raise ValueError(f"encode_avi needs (h, w, 3) BGR, got {frames[0].shape}")
     if any(f.shape != (h, w, 3) for f in frames):
         raise ValueError("all frames must share one (h, w, 3) shape")
+    # ADVICE r11: validate the header-field domains up front instead
+    # of dying in struct.pack — rcFrame packs w/h as '<H' (<= 65535)
+    # and dwMicroSecPerFrame as '<I'
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        raise ValueError(
+            f"encode_avi frame size {w}x{h} out of range: AVI rcFrame "
+            f"stores width/height as uint16 (1..65535)")
+    if not (1 <= int(micro_sec_per_frame) <= 0xFFFFFFFF):
+        raise ValueError(
+            f"micro_sec_per_frame must be in 1..2^32-1 (got "
+            f"{micro_sec_per_frame})")
     stride = (w * 3 + 3) // 4 * 4
     frame_bytes = stride * h
 
@@ -557,9 +568,12 @@ def encode_avi(frames: list[np.ndarray], micro_sec_per_frame: int = 100_000) -> 
         return rows.tobytes()
 
     n = len(frames)
+    # dwMaxBytesPerSec is advisory — clamp instead of overflowing the
+    # '<I' field at small spf / large frames (ADVICE r11)
+    max_bps = min(frame_bytes * 1_000_000 // max(int(micro_sec_per_frame), 1),
+                  0xFFFFFFFF)
     avih = struct.pack(
-        "<14I", int(micro_sec_per_frame),
-        frame_bytes * 1_000_000 // max(int(micro_sec_per_frame), 1),
+        "<14I", int(micro_sec_per_frame), max_bps,
         0, 0x10,  # dwPaddingGranularity, AVIF_HASINDEX
         n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0)
     strh = struct.pack(
@@ -613,7 +627,9 @@ def decode_avi(payload: bytes):
 
     w = h_signed = None
     spf = 0
-    dib_spans: list[tuple[int, int]] = []
+    vids_no = None  # the FIRST vids stream's index in strl order
+    stream_no = 0
+    dib_spans: list[tuple[bytes, int, int]] = []
     for cid, s, e in chunks(payload, 12, len(payload)):
         if cid != b"LIST" or e - s < 4:
             continue
@@ -623,25 +639,38 @@ def decode_avi(payload: bytes):
                 if c2 == b"avih" and e2 - s2 >= 4:
                     (spf,) = struct.unpack_from("<I", payload, s2)
                 elif c2 == b"LIST" and payload[s2:s2 + 4] == b"strl":
+                    # streams are numbered by strl order (ADVICE r11:
+                    # movi chunks are accepted only when their
+                    # two-digit prefix matches the vids stream, so a
+                    # second stream's '01wb'/'01dc' chunks can no
+                    # longer interleave into the frame sequence)
                     is_vids = False
                     for c3, s3, e3 in chunks(payload, s2 + 4, e2):
                         if c3 == b"strh" and e3 - s3 >= 8:
-                            is_vids = payload[s3:s3 + 4] == _AVI_FOURCC_VIDS
+                            is_vids = (
+                                vids_no is None
+                                and payload[s3:s3 + 4] == _AVI_FOURCC_VIDS)
                         elif c3 == b"strf" and is_vids and e3 - s3 >= 40:
                             _hdr, w, h_signed, _pl, bpp, comp = \
                                 struct.unpack_from("<IiiHHI", payload, s3)
                             if bpp != 24 or comp != 0 or w <= 0 or h_signed == 0:
                                 return None
+                            vids_no = stream_no
+                    stream_no += 1
         elif kind == b"movi":
             for c2, s2, e2 in chunks(payload, s + 4, e):
                 if c2[2:4] in (b"db", b"dc"):
-                    dib_spans.append((s2, e2))
-    if w is None or h_signed is None or not dib_spans:
+                    dib_spans.append((c2[:2], s2, e2))
+    if w is None or h_signed is None or vids_no is None:
+        return None
+    want = b"%02d" % vids_no
+    spans = [(s, e) for p, s, e in dib_spans if p == want]
+    if not spans:
         return None
     h = abs(h_signed)
     stride = (w * 3 + 3) // 4 * 4
     frames = []
-    for s, e in dib_spans:
+    for s, e in spans:
         if e - s < stride * h:
             return None
         rows = np.frombuffer(

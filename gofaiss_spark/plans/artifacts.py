@@ -275,7 +275,17 @@ def save_index(index, path: str, fmt: str = "parquet") -> None:
                 "index_type": "opq",
                 "dim": index.dim,
                 "metric": "l2",
-                "params": {"m": index.m, "nbits": index.nbits},
+                "params": {
+                    "m": index.m,
+                    "nbits": index.nbits,
+                    # ADVICE r11: persist the rotate="auto" decision
+                    # so stats() after a save/load round trip reports
+                    # the same rotation_trained/spectral_energy the
+                    # live index did (a skipped rotation must not
+                    # come back as "trained")
+                    "rotation_trained": bool(index.rotation_trained),
+                    "spectral_energy": index.spectral_energy,
+                },
             }
         )
         spark = index.pq.codes.sparkSession
@@ -519,7 +529,15 @@ def load_index(spark: SparkSession, path: str):
         for r in rd("rotation").collect():
             rot[r.i] = np.asarray(r.row)
         pq = PqIndex(dim=dim, m=m, nbits=nbits, codebooks=cb, codes=rd("codes"))
-        return OpqIndex(dim=dim, m=m, nbits=nbits, rotation=rot, pq=pq)
+        # pre-r12 artifacts lack the two fields: derive
+        # rotation_trained from the matrix itself (identity ⇔ the
+        # auto gate skipped rotation) — the ADVICE r11 fallback
+        se = meta["params"].get("spectral_energy")
+        rt = meta["params"].get(
+            "rotation_trained", not np.allclose(rot, np.eye(dim)))
+        return OpqIndex(dim=dim, m=m, nbits=nbits, rotation=rot, pq=pq,
+                        rotation_trained=bool(rt),
+                        spectral_energy=se)
     if itype == "ivfpq":
         p = meta["params"]
         nlist, m, nbits = int(p["nlist"]), int(p["m"]), int(p["nbits"])

@@ -398,3 +398,63 @@ def test_avi_frames_extraction_roundtrip(spark):
     feats = bmp_features(
         avi_frames(vids, max_frames=1).drop("frame_idx")).collect()
     assert len(feats) == 12
+
+
+def test_avi_encode_validates_header_domains():
+    """ADVICE r11 (low): legal-looking inputs that overflow AVI
+    header fields raise a descriptive ValueError up front instead of
+    a struct.error mid-pack; the advisory dwMaxBytesPerSec is clamped
+    rather than overflowed."""
+    from gofaiss_spark.operators.multimodal import decode_avi, encode_avi
+
+    rng = np.random.default_rng(0)
+    f = rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="uint16"):
+        encode_avi([np.zeros((70_000, 4, 3), dtype=np.uint8)])
+    with pytest.raises(ValueError, match="micro_sec_per_frame"):
+        encode_avi([f], micro_sec_per_frame=0)
+    with pytest.raises(ValueError, match="micro_sec_per_frame"):
+        encode_avi([f], micro_sec_per_frame=1 << 32)
+    # spf=1 with any frame would overflow dwMaxBytesPerSec unclamped
+    got = decode_avi(encode_avi([f], micro_sec_per_frame=1))
+    assert got is not None and len(got[0]) == 1
+    assert np.array_equal(got[0][0], f)
+
+
+def test_avi_decode_filters_non_vids_stream_chunks():
+    """ADVICE r11 (low): movi chunks are accepted only when their
+    two-digit stream prefix matches the vids stream from hdrl strl
+    order — a second stream's chunks must not interleave into the
+    frame sequence (same-size chunks silently mixed frames before)."""
+    import struct
+
+    from gofaiss_spark.operators.multimodal import decode_avi, encode_avi
+
+    rng = np.random.default_rng(1)
+    frames = [rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)
+              for _ in range(2)]
+    p = bytearray(encode_avi(frames, 40_000))
+    # splice a same-size '01dc' chunk (a hypothetical second stream)
+    # into movi, right after the first '00db' chunk
+    h, w = 3, 4
+    stride = (w * 3 + 3) // 4 * 4
+    fb = stride * h
+    first = bytes(p).index(b"00db")
+    insert_at = first + 8 + fb
+    alien = b"01dc" + struct.pack("<I", fb) + bytes(fb)
+    spliced = bytes(p[:insert_at]) + alien + bytes(p[insert_at:])
+    # grow the RIFF and movi LIST sizes to stay well-formed
+    spliced = bytearray(spliced)
+    (riff_sz,) = struct.unpack_from("<I", spliced, 4)
+    struct.pack_into("<I", spliced, 4, riff_sz + len(alien))
+    movi_hdr = bytes(spliced).index(b"LIST", 12)
+    while spliced[movi_hdr + 8:movi_hdr + 12] != b"movi":
+        movi_hdr = bytes(spliced).index(b"LIST", movi_hdr + 1)
+    (movi_sz,) = struct.unpack_from("<I", spliced, movi_hdr + 4)
+    struct.pack_into("<I", spliced, movi_hdr + 4, movi_sz + len(alien))
+    got = decode_avi(bytes(spliced))
+    assert got is not None
+    dec, _spf = got
+    assert len(dec) == 2  # the alien chunk did NOT become frame 2
+    assert np.array_equal(dec[0], frames[0])
+    assert np.array_equal(dec[1], frames[1])

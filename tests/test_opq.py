@@ -201,3 +201,46 @@ def test_auto_rotate_via_unified_api(spark):
         df, index_type="opq",
         params={"m": 4, "nbits": 4, "n_iter": 2, "rotate": "auto"})
     assert idx.rotation_trained is True
+
+
+def test_auto_rotate_decision_survives_save_load(spark, tmp_path):
+    """ADVICE r11 (low): rotation_trained/spectral_energy are now
+    persisted in the artifact params, so a rotate='auto' index that
+    SKIPPED rotation does not come back reporting
+    rotation_trained=True after a save/load round trip (and a legacy
+    artifact without the fields derives the flag from
+    rotation == identity)."""
+    from gofaiss_spark.plans.artifacts import load_index, save_index
+
+    rng = np.random.default_rng(12)
+    df = spark.createDataFrame(
+        [(int(i), v.tolist())
+         for i, v in enumerate(rng.normal(size=(600, 32)))],
+        "id long, vec array<float>",
+    )
+    idx = build_opq(df, m=4, nbits=4, n_iter=2, rotate="auto")
+    assert idx.rotation_trained is False
+    path = str(tmp_path / "opq_auto_skip")
+    save_index(idx, path)
+    loaded = load_index(spark, path)
+    assert loaded.rotation_trained is False
+    assert loaded.spectral_energy == pytest.approx(
+        idx.spectral_energy)
+    s = loaded.stats()
+    assert s["rotation_trained"] is False
+    assert s["spectral_energy"] == pytest.approx(
+        round(idx.spectral_energy, 4))
+    # legacy-artifact fallback: strip the new params and re-load —
+    # the flag derives from the identity rotation
+    import json as _json
+    import os as _os
+    mp = _os.path.join(path, "_meta.json")
+    with open(mp) as f:
+        meta = _json.load(f)
+    meta["params"].pop("rotation_trained")
+    meta["params"].pop("spectral_energy")
+    with open(mp, "w") as f:
+        _json.dump(meta, f)
+    legacy = load_index(spark, path)
+    assert legacy.rotation_trained is False
+    assert legacy.spectral_energy is None

@@ -331,3 +331,46 @@ def test_sharded_path_rejects_explicit_tier_override(base, tmp_path):
         assert got == want
     finally:
         api.invalidate_cached(path)
+
+
+def test_refresh_generation_bump_keeps_cached_searcher(base, tmp_path):
+    """ADVICE r11 (medium): a refresh_sharded generation bump under
+    the SAME root must NOT evict the cached ShardedSearcher — it
+    already re-resolves the ``_current.json`` pointer per batch — so
+    the stamp-eviction no longer ``close()``s (releases the host-shm
+    segments of) the NEW generation out from under a freshly re-bound
+    handle, and no longer releases shm the caller kept alive with
+    ``release_old=False``. The stamp keys only the ROOT sidecars
+    (_meta.json / _shard_meta.json), whose rewrite still means 'a
+    different artifact now lives at this path'."""
+    _, vdf, qdf = base
+    from gofaiss_spark.operators.shard_serve import refresh_sharded
+
+    idx = api.build_index(vdf, index_type="ivf", params={"nlist": 6})
+    path = str(tmp_path / "refresh_root")
+    refresh_sharded(idx, path, num_shards=2)
+    try:
+        srv1 = api.serve(path, spark=vdf.sparkSession)
+        got1 = _rows(api.search(path, qdf, k=K, params={"nprobe": 6}))
+        # publish a NEW generation (shifted vectors) under the same
+        # root, keeping the old generation's shm alive
+        vdf2 = vdf.withColumn(
+            "vec", F.transform("vec", lambda x: x + F.lit(10.0)))
+        idx2 = api.build_index(vdf2, index_type="ivf",
+                               params={"nlist": 6})
+        refresh_sharded(idx2, path, num_shards=2, release_old=False)
+        srv2 = api.serve(path, spark=vdf.sparkSession)
+        # the pointer bump must not have evicted the cached searcher
+        assert srv2.index is srv1.index
+        # and the cached searcher serves the NEW generation
+        got2 = _rows(api.search(path, qdf, k=K, params={"nprobe": 6}))
+        want2 = _rows(api.search(
+            idx2, qdf, k=K,
+            params={"tier": "distributed", "nprobe": 6}))
+        assert [(q, i) for q, i, _ in got2] == \
+            [(q, i) for q, i, _ in want2]
+        assert all(abs(a[2] - b[2]) < 1e-3
+                   for a, b in zip(got2, want2))
+        assert got2 != got1
+    finally:
+        api.invalidate_cached(path)

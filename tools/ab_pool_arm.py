@@ -1,7 +1,10 @@
 """One arm of the HEAD-vs-r8 pool A/B: build the clustered routed-HNSW
 fixture, serve via LocalServerPool (hand-built, same as the bench pool
-row), print probe/measure/probe JSON. The driver alternates
-PYTHONPATH between /root/repo (HEAD) and /tmp/r8tree (r8 snapshot)."""
+row), print one ``ABRESULT {json}`` line. Driven by
+``tools/ab_harness.py pool_headvr8``, which alternates PYTHONPATH
+between the repo (HEAD) and an r8 worktree and brackets each pair
+with its own sentinel probes. Self-contained (no harness import) so
+it runs identically under BOTH trees' PYTHONPATH."""
 import json
 import os
 import sys
