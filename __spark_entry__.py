@@ -3905,6 +3905,59 @@ FROM lum GROUP BY id
 """
 
 
+def _multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-image codec path (round 12, r11-verdict item
+    6): deterministic pixel grids keyed on doc_id (different formulas
+    and dimensions than the BMP row) are ENCODED to PNG — per-row
+    scanline filter ``(y+d) % 5`` so the corpus exercises all five
+    PNG filters, DEFLATE via stdlib zlib — and DECODED back through
+    the CRC-checked chunk walk + numpy filter reconstruction
+    (operators/multimodal.py: synth_png → png_features); the oracle
+    recomputes the features analytically from doc_id, so a chunk
+    mis-walk, CRC skip, inflate error, or any filter-reconstruction
+    bug (Sub/Up/Average/Paeth) breaks the hash. The codec is also
+    cross-validated both directions against Java ImageIO in pytest.
+    With PNG real, the NotImplementedError seam is LOSSY formats
+    only (JPEG/MP3/H.264)."""
+    from gofaiss_spark.operators.multimodal import png_features, synth_png
+    from gofaiss_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    return png_features(synth_png(docs))
+
+
+_MULTIMODAL_PNG_SQL = """
+WITH p AS (
+  SELECT doc_id AS id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h
+  FROM documents
+),
+xs AS (SELECT id, w, h, unnest(range(w)) AS x FROM p),
+px AS (SELECT id, w, h, x, unnest(range(h)) AS y FROM xs),
+rgb AS (
+  SELECT id, w, h,
+         (17*id + 5*x + 3*y) % 256 AS r,
+         (19*id + 7*x + 5*y) % 256 AS g,
+         (23*id + 3*x + 7*y) % 256 AS b
+  FROM px
+),
+lum AS (SELECT *, (299*r + 587*g + 114*b) // 1000 AS l FROM rgb)
+SELECT id,
+       CAST(any_value(w) AS INT) AS width,
+       CAST(any_value(h) AS INT) AS height,
+       CAST(sum(r) AS DOUBLE) / (any_value(w) * any_value(h)) AS mean_r,
+       CAST(sum(g) AS DOUBLE) / (any_value(w) * any_value(h)) AS mean_g,
+       CAST(sum(b) AS DOUBLE) / (any_value(w) * any_value(h)) AS mean_b,
+       CAST(sum(l) AS DOUBLE) / (any_value(w) * any_value(h)) AS luma_mean,
+       CAST(sum(CASE WHEN l // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS luma_h0,
+       CAST(sum(CASE WHEN l // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS luma_h1,
+       CAST(sum(CASE WHEN l // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS luma_h2,
+       CAST(sum(CASE WHEN l // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS luma_h3
+FROM lum GROUP BY id
+"""
+
+
 def _multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video codec path (round 11, r10-verdict item 6):
     deterministic multi-frame 24-bit pixel grids keyed on doc_id are
@@ -5101,27 +5154,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window the same round; by the same spirit, touching any operator
     module re-queues the rows whose plan runs that module.
 
-    Round-11 window (slots 1-50), per the r10 verdict's #2 directive
-    ("rotate to the 39-query r8 cohort"): the round-11 addition first
-    (the real-AVI-codec video row), then the FULL 39-query r8 cohort
-    (every query whose latest green check is r8 per the
-    CORRECTNESS_r01-r10 union — flat/opq/pca/range/stream rows, the
-    doc_* curation/quality/dedup rows, embedding_semdedup,
-    tpch_q12), then the standing-rule re-queues for code touched
-    THIS round (api.py serving-cache staleness + tier-override fixes
-    -> both auto-tier rows; multimodal.py AVI codec -> the module's
-    other five driver rows), then three r9 serving rows whose bench
-    twins regressed in the r10 driver window (VERDICT "What's wrong"
-    #3: ivf_shard_exec/lsh-family/hnsw_sharded) filling slots 48-50.
-    After this round no registered query's latest green check is
-    older than r9. All remain regression-guarded by the local
+    Round-12 window (slots 1-50), per the r11 verdict's #2 directive
+    ("rotate to the 40-query r9 cohort"): the round-12 addition first
+    (the real compressed-PNG-codec row), then the FULL 40-query r9
+    cohort (every query whose latest green check is r9 per the
+    CORRECTNESS_r01-r11 union — the 21 TPC-H rows, the events
+    temporal/rollup rows, the vector/centroid/filtered/sql/binary/
+    ivf-nprobe rows, the metric-variant sharded/routed serving rows),
+    then the standing-rule re-queues for code touched THIS round:
+    multimodal.py (AVI header validation + stream-index filter, PNG
+    codec) -> the module's six existing driver rows; api.py (serving-
+    cache stamp no longer keys _current.json) -> both auto-tier rows;
+    plans/artifacts.py (OPQ rotation_trained/spectral_energy
+    persisted) -> opq_topk, the one row whose plan runs the changed
+    branch. After this round no registered query's latest green check
+    is older than r10. All remain regression-guarded by the local
     sf0.001 DuckDB oracle suite (tests/test_entry_oracle.py)."""
     return {
-        # --- new round-11 query (prepended per the standing rule) ---
+        # --- new round-12 query (prepended per the standing rule) ---
+        "multimodal_png_features": _multimodal_png_features,
+        # --- the r9 cohort (40 rows, latest green r9 per the
+        #     CORRECTNESS_r01-r11 union — the r11 verdict's #2
+        #     directive) ---
+        "tpch_q1": _tpch_q1,
+        "tpch_q2": _tpch_q2,
+        "tpch_q3": _tpch_q3,
+        "tpch_q4": _tpch_q4,
+        "tpch_q5": _tpch_q5,
+        "tpch_q6": _tpch_q6,
+        "tpch_q7": _tpch_q7,
+        "tpch_q8": _tpch_q8,
+        "tpch_q9": _tpch_q9,
+        "tpch_q10": _tpch_q10,
+        "tpch_q11": _tpch_q11,
+        "tpch_q13": _tpch_q13,
+        "tpch_q14": _tpch_q14,
+        "tpch_q15": _tpch_q15,
+        "tpch_q16": _tpch_q16,
+        "tpch_q17": _tpch_q17,
+        "tpch_q18": _tpch_q18,
+        "tpch_q19": _tpch_q19,
+        "tpch_q20": _tpch_q20,
+        "tpch_q21": _tpch_q21,
+        "tpch_q22": _tpch_q22,
+        "revenue_by_nation": _revenue_by_nation,
+        "events_hourly": _events_hourly,
+        "event_sessions": _event_sessions,
+        "events_asof_clicks": _events_asof_clicks,
+        "events_rollup": _events_rollup,
+        "events_range_join": _events_range_join,
+        "doc_fingerprint": _doc_fingerprint,
+        "vector_norms": _vector_norms,
+        "centroid_by_label": _centroid_by_label,
+        "filtered_topk": _filtered_topk,
+        "sql_topk": _sql_topk,
+        "binary_topk": _binary_topk,
+        "ivf_topk_nprobe": _ivf_topk_nprobe,
+        "ivf_sharded_cosine_topk": _ivf_sharded_cosine_topk,
+        "ivf_sharded_dot_topk": _ivf_sharded_dot_topk,
+        "ivf_sharded_refresh_topk": _ivf_sharded_refresh_topk,
+        "ivfpq_sharded_exec_topk": _ivfpq_sharded_exec_topk,
+        "hnsw_routed_cosine_topk": _hnsw_routed_metric_topk('cosine'),
+        "hnsw_routed_dot_topk": _hnsw_routed_metric_topk('dot'),
+        # --- standing-rule re-queues: multimodal.py touched (AVI
+        #     validation/stream-filter fixes + the PNG codec) ---
         "multimodal_video_features": _multimodal_video_features,
-        # --- the r8 cohort (39 rows, latest green r8 per the
-        #     CORRECTNESS_r01-r10 union — the whole stale tail,
-        #     the r10 verdict's #2 directive) ---
+        "multimodal_image_features": _multimodal_image_features,
+        "multimodal_audio_features": _multimodal_audio_features,
+        "multimodal_frame_sample": _multimodal_frame_sample,
+        "multimodal_features": _multimodal_features,
+        "multimodal_stats": _multimodal_stats,
+        # --- api.py touched (serving-cache stamp fix) ---
+        "auto_tier_topk": _auto_tier_topk,
+        "auto_tier_sharded_topk": _auto_tier_sharded_topk,
+        # --- plans/artifacts.py touched (OPQ persistence fix):
+        #     the opq save/load branch ---
+        "opq_topk": _opq_topk,
+        # ---- window boundary (slot 50) ----
+        # --- r11/r10-verified green (latest driver check r10+) ---
         "doc_bigram_perplexity": _doc_bigram_perplexity,
         "doc_char_entropy": _doc_char_entropy,
         "doc_chunks": _doc_chunks,
@@ -5156,32 +5266,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flat_topk_l2": _flat_topk('l2'),
         "ivf_fullprobe_topk": _ivf_fullprobe_topk,
         "ivf_local_topk": _ivf_local_topk,
-        "opq_topk": _opq_topk,
         "pca_topk": _pca_topk,
         "range_search_l2": _range_search_l2,
         "stream_flat_topk": _stream_flat_topk,
         "tpch_q12": _tpch_q12,
-        # --- standing-rule re-queues for code touched THIS round:
-        #     api.py (serving-cache mtime staleness, deprecated
-        #     resolve_tier arg, sharded-path tier-override rejection)
-        #     -> both auto-tier rows ---
-        "auto_tier_topk": _auto_tier_topk,
-        "auto_tier_sharded_topk": _auto_tier_sharded_topk,
-        # --- multimodal.py touched (real AVI codec beside the
-        #     WAV/BMP paths) -> the module's other driver rows ---
-        "multimodal_stats": _multimodal_stats,
-        "multimodal_features": _multimodal_features,
-        "multimodal_audio_features": _multimodal_audio_features,
-        "multimodal_frame_sample": _multimodal_frame_sample,
-        "multimodal_image_features": _multimodal_image_features,
-        # --- three r9 serving rows whose bench twins regressed in
-        #     the r10 driver window (VERDICT "What's wrong" #3) —
-        #     correctness re-check alongside the perf adjudication ---
         "ivf_sharded_exec_topk": _ivf_sharded_exec_topk,
         "hnsw_sharded_topk": _hnsw_sharded_topk,
         "ivfsq_sharded_exec_topk": _ivfsq_sharded_exec_topk,
-        # ---- window boundary (slot 50) ----
-        # --- r10-verified green (latest driver check r10) ---
         "binary_refine_topk": _binary_refine_topk,
         "ann_recall_report": _ann_recall_report,
         "customer_running_total": _customer_running_total,
@@ -5225,52 +5316,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_topk": _hnsw_topk,
         "hnsw_local_topk": _hnsw_local_topk,
         "hnsw_routed_topk": _hnsw_routed_topk,
-        # --- r9-verified green (latest driver check r9) ---
-        "hnsw_routed_cosine_topk": _hnsw_routed_metric_topk('cosine'),
-        "hnsw_routed_dot_topk": _hnsw_routed_metric_topk('dot'),
-        "sql_topk": _sql_topk,
-        "binary_topk": _binary_topk,
-        "filtered_topk": _filtered_topk,
-        "ivf_topk_nprobe": _ivf_topk_nprobe,
-        "vector_norms": _vector_norms,
-        "centroid_by_label": _centroid_by_label,
-        "tpch_q1": _tpch_q1,
-        "tpch_q2": _tpch_q2,
-        "tpch_q3": _tpch_q3,
-        "tpch_q4": _tpch_q4,
-        "tpch_q5": _tpch_q5,
-        "tpch_q6": _tpch_q6,
-        "tpch_q7": _tpch_q7,
-        "tpch_q8": _tpch_q8,
-        "tpch_q9": _tpch_q9,
-        "tpch_q10": _tpch_q10,
-        "tpch_q11": _tpch_q11,
-        "tpch_q13": _tpch_q13,
-        "tpch_q14": _tpch_q14,
-        "tpch_q15": _tpch_q15,
-        "tpch_q16": _tpch_q16,
-        "tpch_q17": _tpch_q17,
-        "tpch_q18": _tpch_q18,
-        "tpch_q19": _tpch_q19,
-        "tpch_q20": _tpch_q20,
-        "tpch_q21": _tpch_q21,
-        "tpch_q22": _tpch_q22,
-        "doc_fingerprint": _doc_fingerprint,
-        "revenue_by_nation": _revenue_by_nation,
-        "events_hourly": _events_hourly,
-        "event_sessions": _event_sessions,
-        "events_asof_clicks": _events_asof_clicks,
-        "events_rollup": _events_rollup,
-        "events_range_join": _events_range_join,
-        "ivf_sharded_cosine_topk": _ivf_sharded_cosine_topk,
-        "ivf_sharded_dot_topk": _ivf_sharded_dot_topk,
-        "ivf_sharded_refresh_topk": _ivf_sharded_refresh_topk,
-        "ivfpq_sharded_exec_topk": _ivfpq_sharded_exec_topk,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # round-12: the PNG row's oracle recomputes every pixel
+        # analytically from doc_id (the BMP construction, different
+        # formulas/dims) — the Spark side decodes the COMPRESSED
+        # container (zlib inflate + CRC chunk walk + all-5-filter
+        # reconstruction), so the hash gates the codec end to end
+        "multimodal_png_features": _MULTIMODAL_PNG_SQL,
         # round-11: the AVI video row's oracle recomputes every pixel
         # of every frame (plus the consecutive-frame motion mean)
         # analytically from doc_id — the 3-D unnest twin of the BMP

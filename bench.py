@@ -158,18 +158,28 @@ def main() -> None:
         f, g = _sentinel_fma(), _sentinel_gemm()
         return f, g, max(f / SENTINEL_REF, g / SENTINEL_GEMM_REF)
 
-    def sentinel(section: str, patient: bool = False) -> dict:
+    def sentinel(section: str, patient: bool = False,
+                 core: bool = False) -> dict:
         """Probe the window; on a throttled first probe, re-queue.
         Default: once with a 2 s backoff (waves are often sub-second).
         ``patient=True`` (r10 verdict item 3 — the 10M anchors): the
         2 s single retry cannot outlast multi-minute hypervisor
         waves, so the anchor sections retry with exponential backoff
         (2 s → 60 s → 240 s → 300 s, ~10 min bounded budget) before
-        accepting a tagged window — still honoring the wall budget."""
+        accepting a tagged window — still honoring the wall budget.
+        ``core=True`` (r11 verdict item 5 — the two core sections
+        under the DRIVER budget): a bounded middle tier
+        (2 s → 30 s → 90 s, ~2 min cap) so the per-round trend line
+        on the headline families stays interpretable without
+        spending the anchors' 10-minute budget; the ~2 min worst
+        case is paid for by the existing shed gates (a tuned-variant
+        extra sheds before any anchor does)."""
         f, g, ratio = _sentinel_probe()
         requeues = 0
         waited = 0.0
-        backoffs = (2.0, 60.0, 240.0, 300.0) if patient else (2.0,)
+        backoffs = ((2.0, 60.0, 240.0, 300.0) if patient
+                    else (2.0, 30.0, 90.0) if core
+                    else (2.0,))
         for b in backoffs:
             if ratio <= 1.5:
                 break
@@ -370,7 +380,7 @@ def main() -> None:
         sys.stdout.flush()
 
     # --- vector search -------------------------------------------------
-    sentinel("core_sf")
+    sentinel("core_sf", core=True)
     from gofaiss_spark.operators.ivf import build_ivf, default_nlist, search_ivf
     from gofaiss_spark.operators.ivfpq import build_ivfpq, search_ivfpq
     from gofaiss_spark.operators.lsh import build_lsh, search_lsh
@@ -587,8 +597,516 @@ def main() -> None:
     # (baseline sections append to the same artifact incrementally)
     emit_summary()
 
+    # --- 10M-vector anchor (r5 verdict item 7): the second decade
+    # step, so the 100 TB extrapolation is two-point-calibrated
+    # (1M→10M ratio measured in ONE throttle window) instead of
+    # extrapolated from a single decade. Rows: distributed flat
+    # (interleaved 1M re-measure), quantized sharded serving (r6
+    # verdict item 4 — codes in shm, refine against shard rows), IVF
+    # sharded serving at 16 shards (5 GB of CSR arrays in host shm —
+    # past the comfortable single-collect regime), LSH. Sub-sections
+    # are individually budget-gated, highest-value-first, so a slow
+    # window degrades to fewer rows instead of a driver timeout.
+    def run_10m_anchor(patient: bool = True) -> bool:
+        """The whole 10M anchor section as a callable (r11 verdict
+        item 3): schedulable EARLY — probe the sentinel FIRST and,
+        in a clean window, run the anchor at the START of a
+        canonical run instead of after ~90 min of sustained load
+        (two rounds of tail-position patient backoff were outlasted
+        by the waves). The early attempt (``patient=False``) only
+        proceeds in a clean window and returns False otherwise so
+        the tail call retries with the patient backoff. Sharded
+        artifacts are persisted under SPARK_GRAFT_10M_CACHE
+        (builds are deterministic at fixed seed), so a retry costs
+        ~search-only. Returns True when the section recorded rows
+        (or a terminal skip note)."""
+        want_10m = baseline_n >= 100_000 and os.environ.get(
+            "SPARK_GRAFT_BASELINE_10M", "1") != "0"
+        if not want_10m or "10m" in _anchors_done:
+            return False
+        probe = sentinel("anchor_10m", patient=patient)
+        if probe["throttled"] and not patient:
+            # early opportunistic attempt: leave the reserve in
+            # place and let the tail call wait the wave out
+            return False
+        if elapsed() + 420 > budget:
+            baseline["scaling_10m"] = {
+                "note": f"10M anchor skipped: {elapsed():.0f}s elapsed + "
+                        f"~420s minimum section would exceed the "
+                        f"{budget:.0f}s budget "
+                        "(SPARK_GRAFT_BENCH_BUDGET_SEC)",
+            }
+            _anchors_done.add("10m")
+            return True
+        import math
+
+        import numpy as np
+        from pyspark import StorageLevel
+
+        def _cached_artifact(tag: str, build_save) -> tuple:
+            """Sharded-artifact cache (r11 verdict item 3): the 10M
+            builds are deterministic at fixed seed, so their parquet
+            artifacts persist across rounds under
+            ``SPARK_GRAFT_10M_CACHE`` (default
+            spark-warehouse/bench10m_cache, gitignored) and a retry
+            costs ~search-only (~7 min vs ~55). ``build_save(path)``
+            builds the index, writes the artifact, and returns its
+            build/write-seconds dict; on a hit it never runs. A
+            failed build removes the partial dir so a later round
+            never opens a torn artifact."""
+            root = os.environ.get(
+                "SPARK_GRAFT_10M_CACHE",
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "spark-warehouse", "bench10m_cache"))
+            path = os.path.join(root, tag)
+            if os.path.exists(os.path.join(path, "_shard_meta.json")):
+                return path, {"artifact_cache":
+                              "hit (build+write skipped; deterministic "
+                              "seed — see the miss round for build_sec)"}
+            os.makedirs(root, exist_ok=True)
+            try:
+                info = build_save(path)
+            except BaseException:
+                shutil.rmtree(path, ignore_errors=True)
+                raise
+            info["artifact_cache"] = "miss (artifact persisted for later rounds)"
+            return path, info
+
+        # Memory discipline (round-6 OOM post-mortem: cache() of the
+        # 10M corpus + repeated wide Arrow passes OOM-killed the JVM
+        # at 56 GB RSS on the 125 GB box): the 10M tables persist
+        # DISK_ONLY — spark.range+rand regenerates deterministically,
+        # the OS page cache serves re-reads, and the JVM stayed
+        # ≤ 19 GB across the whole section when probed this way.
+        try:
+            n10m = 10_000_000
+            bvec10m = generate_random_vectors(spark, n10m, 128, 62) \
+                .persist(StorageLevel.DISK_ONLY)
+            bvec10m.count()
+            # regenerate the 1M arm fresh (the earlier one is
+            # unpersisted) and time it IN THIS WINDOW for the honest
+            # decade ratio. FRESH seed — seed 52 would plan-match the
+            # 1M section's still-cached truth1m and read the cache
+            # instead of searching (the 194× "ratio" a contaminated
+            # run reported was 33 s real / 0.17 s cache read).
+            bvec1m_i = generate_random_vectors(spark, 1_000_000, 128, 152) \
+                .persist(StorageLevel.DISK_ONLY)
+            bvec1m_i.count()
+            sec1m_i, _r = bsearch(lambda: search_flat(bvec1m_i, bq, k=K))
+            # throttle guard: the warm pass is ~35-40 s un-throttled;
+            # a 4-20× throttled box would turn the remaining section
+            # into an hour — record the skip instead of garbage rows
+            t0 = time.monotonic()
+            search_flat(bvec10m, bq, k=K).count()
+            warm10m = time.monotonic() - t0
+            if warm10m > 240:
+                raise RuntimeError(
+                    f"skipped: flat warm pass took {warm10m:.0f}s "
+                    f"(>240s — box throttled this window)"
+                )
+            # single timed run after the guard's warm pass (r8 budget
+            # trim): bsearch here was warm + 2 timed = three more full
+            # 10M scans (~40-90 s each) on a row whose range has been
+            # recorded stable r5-r7; the guard pass above already
+            # warmed plan + workers + page cache.
+            t0 = time.monotonic()
+            truth10m = search_flat(bvec10m, bq, k=K).cache()
+            truth10m.count()
+            sec = round(time.monotonic() - t0, 4)
+            baseline["flat_10m"] = {
+                "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+                "warm_pass_sec": round(warm10m, 4), "n_runs": 1,
+                "recall": 1.0, "n_vectors": n10m,
+                "flat_1m_interleaved_sec": sec1m_i,
+                "memory_mb": round(n10m * 128 * 4 / 2**20, 2),
+            }
+            bvec1m_i.unpersist()
+            emit_summary()  # flat_10m row checkpoint
+
+            # shared by both sharded rows: the 2k serving batch and
+            # the exact flat truth on bq's 1000 queries
+            from gofaiss_spark.operators.shard_serve import (
+                ShardedSearcher as _ShS10,
+            )
+            from gofaiss_spark.operators.shard_serve import (
+                save_sharded as _ssh10,
+            )
+
+            rngq10 = np.random.default_rng(44)
+            lq2k_10m = rngq10.random((2_000, 128), dtype=np.float32)
+            bqrows = bq.orderBy("query_id").collect()
+            bqmat = np.stack([
+                np.asarray(r["qvec"], dtype=np.float32) for r in bqrows
+            ])
+            tmap = {}
+            for r in truth10m.collect():
+                tmap.setdefault(int(r["query_id"]), set()).add(
+                    int(r["id"]))
+
+            def _rec_vs_flat(sids) -> float:
+                return float(np.mean([
+                    len(set(sids[i])
+                        & tmap[int(bqrows[i]["query_id"])]) / K
+                    for i in range(len(bqrows))
+                ]))
+
+            # QUANTIZED sharded serving at 10M (r6 verdict item 4):
+            # codes + codebooks + refine rows in host shm. The codes
+            # themselves are 64× smaller than the raw vectors
+            # (m=8 × 1 byte vs 128 × 4 bytes) — the measured proof of
+            # SCALE.md's corpus-per-host claim; the refine rows are
+            # the optional exactness tier a deployment can keep on
+            # flash instead. Runs FIRST among the index rows: it is
+            # the round's new evidence, so a slow window sheds the
+            # already-established ivf/lsh rows before this one.
+            if elapsed() + 540 > budget:
+                baseline["ivfpq_shard_exec_10m_batch1k"] = {
+                    "note": f"skipped: {elapsed():.0f}s elapsed + "
+                            f"~540s sub-section > {budget:.0f}s "
+                            "budget",
+                }
+            else:
+                from gofaiss_spark.operators.ivfpq import build_ivfpq
+
+                def _build_pq8(path: str) -> dict:
+                    t0 = time.monotonic()
+                    idx = build_ivfpq(
+                        bvec10m, nlist=1000, m=8, nbits=8, seed=42,
+                        train_fraction=5000.0 / n10m)
+                    idx.codes.persist(StorageLevel.DISK_ONLY).count()
+                    bsec = round(time.monotonic() - t0, 4)
+                    t0 = time.monotonic()
+                    _ssh10(idx, path, num_shards=16, vectors=bvec10m)
+                    wsec = round(time.monotonic() - t0, 4)
+                    idx.codes.unpersist()
+                    return {"build_sec": bsec,
+                            "artifact_write_sec": wsec}
+
+                qshard10, pq8_info = _cached_artifact(
+                    "ivfpq_m8_nl1000_s42_sh16", _build_pq8)
+                if True:
+                    qsrv10 = _ShS10(spark, qshard10)
+                    try:
+                        # nprobe=20 (2% corpus scan) + refine=50 + ONE
+                        # timed 1k-query run that doubles as the recall
+                        # pass: the deep-probe arm (nprobe=100, 2×2k
+                        # runs) measured 649 s/run on this box — the
+                        # per-query 1M-row ADC gather is the scan cost
+                        # the row exposes, but at that shape the
+                        # sub-section alone outruns any driver window.
+                        # The r7 canonical artifact carries the
+                        # deep-probe arm once (SCALE.md §7).
+                        qsrv10.search(bqmat[:128], k=K, nprobe=20,
+                                      refine=50)  # cold + warm
+                        t0 = time.monotonic()
+                        sids_q, _dq = qsrv10.search(
+                            bqmat, k=K, nprobe=20, refine=50)
+                        best = time.monotonic() - t0
+                    finally:
+                        qsrv10.close()
+                    baseline["ivfpq_shard_exec_10m_batch1k"] = {
+                        **pq8_info,
+                        "search_sec": round(best, 4),
+                        "qps_batch": round(len(bqmat) / best, 1),
+                        "recall": round(_rec_vs_flat(sids_q), 4),
+                        "nlist": 1000, "m": 8, "nbits": 8,
+                        "nprobe": 20, "refine": 50,
+                        "n_queries": len(bqmat), "n_vectors": n10m,
+                        "num_shards": 16, "n_runs": 1,
+                        "shm_mb_codes": round(n10m * 8 / 2**20, 1),
+                        "shm_mb_refine_rows": round(
+                            n10m * 128 * 4 / 2**20, 1),
+                        "note": "codes 64x smaller than raw vectors "
+                                "(8 vs 512 B/vec): one host's shm "
+                                "holds ~64x more corpus codes-only; "
+                                "refine rows optional per deployment",
+                    }
+                emit_summary()  # ivfpq m8 10M checkpoint
+
+            # tuned-RECALL quantized arm at 10M (r7 verdict item 3):
+            # the m=8 row above proves FOOTPRINT (64×) but its ADC
+            # ordering caps recall at ~0.76 even at refine=1000 —
+            # measured sweep (one window): m8 np50/rf500 0.69,
+            # np50/rf1000 0.75, np100/rf500 0.76; m16 np50/rf200
+            # 0.82, np100/rf200 0.93. A recall-tuned deployment picks
+            # finer codes: m=16 (16 B/vec, still 32× vs raw),
+            # nprobe=100 + refine=200 exact re-rank ≈ the exact-IVF
+            # row's 0.956 cell ceiling. Own build: gate the whole
+            # sub-section.
+            if elapsed() + 550 > budget:
+                baseline["ivfpq_shard_exec_10m_m16_tuned_batch1k"] = {
+                    "note": f"skipped: {elapsed():.0f}s elapsed + "
+                            f"~550s m16 tuned sub-section > "
+                            f"{budget:.0f}s budget "
+                            "(row lives in the committed canonical "
+                            "BENCH_full.json)",
+                }
+            else:
+                from gofaiss_spark.operators.ivfpq import build_ivfpq
+
+                def _build_pq16(path: str) -> dict:
+                    t0 = time.monotonic()
+                    idx = build_ivfpq(
+                        bvec10m, nlist=1000, m=16, nbits=8, seed=42,
+                        train_fraction=5000.0 / n10m)
+                    idx.codes.persist(StorageLevel.DISK_ONLY).count()
+                    bsec = round(time.monotonic() - t0, 4)
+                    t0 = time.monotonic()
+                    _ssh10(idx, path, num_shards=16, vectors=bvec10m)
+                    wsec = round(time.monotonic() - t0, 4)
+                    idx.codes.unpersist()
+                    return {"build_sec": bsec,
+                            "artifact_write_sec": wsec}
+
+                shard16, pq16_info = _cached_artifact(
+                    "ivfpq_m16_nl1000_s42_sh16", _build_pq16)
+                srv16 = _ShS10(spark, shard16)
+                try:
+                    srv16.search(bqmat[:64], k=K, nprobe=100,
+                                 refine=200)  # cold + warm
+                    t0 = time.monotonic()
+                    sids16, _d16 = srv16.search(
+                        bqmat, k=K, nprobe=100, refine=200)
+                    s16 = time.monotonic() - t0
+                finally:
+                    srv16.close()
+                baseline["ivfpq_shard_exec_10m_m16_tuned_batch1k"] = {
+                    **pq16_info,
+                    "search_sec": round(s16, 4),
+                    "qps_batch": round(len(bqmat) / s16, 1),
+                    "recall": round(_rec_vs_flat(sids16), 4),
+                    "nlist": 1000, "m": 16, "nbits": 8,
+                    "nprobe": 100, "refine": 200,
+                    "n_queries": len(bqmat), "n_vectors": n10m,
+                    "num_shards": 16, "n_runs": 1,
+                    "shm_mb_codes": round(n10m * 16 / 2**20, 1),
+                    "note": "recall-tuned quantized serving at "
+                            "10M: m=16 codes (32x vs raw), "
+                            "np=100 + exact refine=200",
+                }
+                emit_summary()  # ivfpq m16 tuned 10M checkpoint
+
+            # mid-Pareto quantized arm at 10M (r8 verdict item 3):
+            # IVFSQ — residual SQ8 under a TRAINED coarse quantizer.
+            # Two r9-measured mechanisms motivate this row: (a) the
+            # m16 ADC row's cost tracks probed MASS, not nprobe — the
+            # 0.05%-sample quantizer the other 10M rows share is
+            # degenerate on uniform 128-d data (cell sizes 1/5/35k
+            # min/med/max even at a 1% sample) and its mega-cells
+            # soak up the probe mass; (b) per scanned row, the SQ
+            # decode→f32 GEMM selector is ~4-6× faster than the PQ
+            # table gather. Together they buy the recall≥0.9
+            # operating point at >25 QPS with 4× compression
+            # (128 B/vec codes vs 512 B/vec raw).
+            if elapsed() + 900 > budget:
+                baseline["ivfsq_shard_exec_10m_batch1k"] = {
+                    "note": f"skipped: {elapsed():.0f}s elapsed + "
+                            f"~900s ivfsq sub-section > {budget:.0f}s "
+                            "budget (row lives in the committed "
+                            "canonical BENCH_full.json)",
+                }
+            else:
+                from gofaiss_spark.operators.ivfsq import build_ivfsq
+
+                def _build_sq(path: str) -> dict:
+                    t0 = time.monotonic()
+                    idx = build_ivfsq(
+                        bvec10m, nlist=1000, seed=42,
+                        train_fraction=100_000.0 / n10m)
+                    idx.codes.persist(StorageLevel.DISK_ONLY).count()
+                    bsec = round(time.monotonic() - t0, 4)
+                    # quantizer-balance evidence (the Pareto
+                    # narrative): one vocabulary-sized groupBy —
+                    # recorded on the miss round only (needs the
+                    # in-memory build)
+                    cs = (idx.codes.groupBy("list_id").count()
+                          .agg(F.min("count").alias("mn"),
+                               F.expr("percentile(count, 0.5)")
+                               .alias("md"),
+                               F.max("count").alias("mx")).collect()[0])
+                    t0 = time.monotonic()
+                    _ssh10(idx, path, num_shards=16, vectors=bvec10m)
+                    wsec = round(time.monotonic() - t0, 4)
+                    idx.codes.unpersist()
+                    return {"build_sec": bsec,
+                            "artifact_write_sec": wsec,
+                            "train_sample": 100_000,
+                            "cell_rows_min_med_max": [
+                                int(cs["mn"]), float(cs["md"]),
+                                int(cs["mx"])]}
+
+                shardsq, sq_info = _cached_artifact(
+                    "ivfsq_nl1000_s42_sh16", _build_sq)
+                srvq = _ShS10(spark, shardsq)
+                try:
+                    srvq.search(bqmat[:64], k=K, nprobe=200,
+                                refine=10)  # cold + warm
+                    arms = {}
+                    for npr in (200, 100):
+                        t0 = time.monotonic()
+                        sids_s, _ds = srvq.search(
+                            bqmat, k=K, nprobe=npr, refine=10)
+                        ssq = time.monotonic() - t0
+                        arms[npr] = (ssq, _rec_vs_flat(sids_s))
+                finally:
+                    srvq.close()
+                ssq, rec200 = arms[200]
+                baseline["ivfsq_shard_exec_10m_batch1k"] = {
+                    **sq_info,
+                    "search_sec": round(ssq, 4),
+                    "qps_batch": round(len(bqmat) / ssq, 1),
+                    "recall": round(rec200, 4),
+                    "nlist": 1000, "nprobe": 200, "refine": 10,
+                    "n_queries": len(bqmat), "n_vectors": n10m,
+                    "num_shards": 16, "n_runs": 1,
+                    "shm_mb_codes": round(n10m * 128 / 2**20, 1),
+                    "note": "mid-Pareto quantized serving: SQ8 "
+                            "codes (4x vs raw) scanned by "
+                            "decode->f32 GEMM + exact refine=10",
+                }
+                s100, rec100 = arms[100]
+                baseline["ivfsq_shard_exec_10m_np100_batch1k"] = {
+                    "search_sec": round(s100, 4),
+                    "qps_batch": round(len(bqmat) / s100, 1),
+                    "recall": round(rec100, 4),
+                    "nlist": 1000, "nprobe": 100, "refine": 10,
+                    "n_queries": len(bqmat), "n_runs": 1,
+                }
+                emit_summary()  # ivfsq 10M checkpoint
+
+            # IVF (uncompressed) sharded serving at 10M/16 shards: the
+            # design case one decade past the single-node pool's
+            # comfort zone. 2k-query batches: at nprobe=100/nlist=1000
+            # each query scans ~10% of 10M rows, and on ONE box all 16
+            # shards share a single memory bus — the cluster design
+            # point gives each shard its own host (SCALE.md §7).
+            if elapsed() + 700 > budget:
+                # honest estimate bumped r8: the 10M assignment build
+                # alone measured 252-475 s across windows; the old
+                # ~360 s figure made slow windows overshoot the wall
+                baseline["ivf_10m"] = {
+                    "note": f"skipped: {elapsed():.0f}s elapsed + "
+                            f"~700s sub-section > {budget:.0f}s "
+                            "budget (row lives in the committed "
+                            "canonical BENCH_full.json)",
+                }
+                # the serving row shares this build — note it too so
+                # the parsed baseline never silently lacks it
+                baseline["ivf_shard_exec_10m_batch2k"] = {
+                    "note": "skipped with ivf_10m (shares its build); "
+                            "see the committed canonical "
+                            "BENCH_full.json",
+                }
+            else:
+                def _build_ivf10(path: str) -> dict:
+                    t0 = time.monotonic()
+                    idx = build_ivf(bvec10m, nlist=1000, seed=42,
+                                    train_fraction=5000.0 / n10m)
+                    idx.assignments.persist(
+                        StorageLevel.DISK_ONLY).count()
+                    bsec = round(time.monotonic() - t0, 4)
+                    t0 = time.monotonic()
+                    _ssh10(idx, path, num_shards=16)
+                    wsec = round(time.monotonic() - t0, 4)
+                    idx.assignments.unpersist()
+                    return {"build_sec": bsec,
+                            "artifact_write_sec": wsec}
+
+                shard_dir10m, ivf10_info = _cached_artifact(
+                    "ivf_nl1000_s42_sh16", _build_ivf10)
+                # the 10M serving row is the SHARDED path (that is the
+                # architecture at this scale); one distributed
+                # search_ivf pass probed at ~107 s/1k queries —
+                # recorded as build-only here to keep the bench
+                # inside its budget
+                baseline["ivf_10m"] = {
+                    **{k: v for k, v in ivf10_info.items()
+                       if k != "artifact_write_sec"},
+                    "nlist": 1000, "n_vectors": n10m,
+                    "note": "search served via ivf_shard_exec_10m",
+                }
+                srv10m = _ShS10(spark, shard_dir10m)
+                try:
+                    srv10m.search(lq2k_10m[:128], k=K,
+                                  nprobe=100)  # cold
+                    # single timed run (r8 budget trim): range
+                    # recorded stable r6-r7 (38-77 s); the second
+                    # run re-spent its own duration
+                    t0 = time.monotonic()
+                    srv10m.search(lq2k_10m, k=K, nprobe=100)
+                    best = time.monotonic() - t0
+                    sids_bq, _d = srv10m.search(
+                        bqmat, k=K, nprobe=100)
+                finally:
+                    srv10m.close()
+                baseline["ivf_shard_exec_10m_batch2k"] = {
+                    **ivf10_info,
+                    "search_sec": round(best, 4),
+                    "n_runs": 1,
+                    "qps_batch": round(len(lq2k_10m) / best, 1),
+                    "recall": round(_rec_vs_flat(sids_bq), 4),
+                    "nlist": 1000, "nprobe": 100,
+                    "n_queries": len(lq2k_10m), "n_vectors": n10m,
+                    "num_shards": 16,
+                    "slices_per_shard": srv10m.slices,
+                    "shm_mb": round(n10m * 128 * 4 / 2**20, 1),
+                    "note": "16 shards share one memory bus on "
+                            "this box; cluster design point = "
+                            "shard/host",
+                }
+            emit_summary()  # ivf 10M shard-exec checkpoint
+
+            if elapsed() + 300 > budget:
+                baseline["lsh_10m"] = {
+                    "note": f"skipped: {elapsed():.0f}s elapsed + "
+                            f"~300s sub-section > {budget:.0f}s "
+                            "budget",
+                }
+            else:
+                t0 = time.monotonic()
+                blsh10m = build_lsh(bvec10m, num_hash_tables=4)
+                blsh10m.buckets.persist(StorageLevel.DISK_ONLY).count()
+                lsh10m_build = round(time.monotonic() - t0, 4)
+                # single timed run (probed ~156 s/1k queries — a
+                # warmed best-of-2 would double the section for a
+                # ±2 s refinement)
+                t0 = time.monotonic()
+                res = search_lsh(blsh10m, bq, k=K, multiprobe=1).cache()
+                res.count()
+                sec = round(time.monotonic() - t0, 4)
+                baseline["lsh_10m"] = {
+                    "build_sec": lsh10m_build, "search_sec": sec,
+                    "qps_batch": round(bn_q / sec, 1),
+                    "recall": brec(res, truth10m),
+                    "num_hash_tables": 4, "multiprobe": 1,
+                    "n_vectors": n10m, "n_runs": 1,
+                }
+                blsh10m.buckets.unpersist()
+            bvec10m.unpersist()
+            r10 = baseline["flat_10m"]["search_sec"] / max(1e-9, sec1m_i)
+            baseline["scaling_10m"] = {
+                "note": "second decade (10M vs 1M), flat interleaved "
+                        "in one window; with scaling_1m this two-"
+                        "point-calibrates the 100 TB extrapolation. "
+                        "Linear work = ratio 10 (exponent 1).",
+                "flat_interleaved": {
+                    "time_ratio_10m_vs_1m": round(r10, 2),
+                    "exponent_per_decade": round(
+                        math.log10(max(1e-9, r10)), 3),
+                },
+            }
+        except Exception as e:  # record the skip, never lose the run
+            baseline["scaling_10m"] = {
+                "note": f"10M anchor aborted: "
+                        f"{type(e).__name__}: {e}"[:300],
+            }
+
+        _anchors_done.add("10m")
+        return True
+
     if baseline_n:
-        sentinel("baseline_100k")
+        sentinel("baseline_100k", core=True)
         from gofaiss_spark.bench_util import recall_at_k
         from gofaiss_spark.cli import generate_random_vectors
 
@@ -652,6 +1170,18 @@ def main() -> None:
 
         def mem_mb(idx) -> float:
             return round(idx.stats()["memory_mb"], 2)
+
+        # r11 verdict item 3 — anchor-FIRST scheduling: probe the
+        # sentinel and, in a clean window, run the 10M anchor NOW,
+        # before ~90 min of sustained load makes clean windows
+        # unobtainable (the tail-position patient backoff was
+        # outlasted by the waves two rounds running). Auto mode only
+        # fires when the budget affords the anchor up front and still
+        # leaves the whole 100k/1M program (canonical runs); the
+        # 1,944 s driver window keeps its tail-gated skip behavior.
+        _af = os.environ.get("SPARK_GRAFT_10M_FIRST", "auto")
+        if big and (_af == "1" or (_af == "auto" and budget >= 5400)):
+            run_10m_anchor(patient=False)
 
         sec, truth = bsearch(lambda: search_flat(bvec, bq, k=K))
         baseline["flat"] = {"search_sec": sec, "qps_batch": round(bn_q / sec, 1),
@@ -1164,13 +1694,23 @@ def main() -> None:
         # here and shed the anchors instead.
         sentinel("hnsw_family")
         hnsw_skip = elapsed() + 250 + reserve_pending() > budget
-        if hnsw_skip:
+        # r11 verdict item 4: when the FULL family doesn't fit, one
+        # CHEAP arm (single build + the 1k-query efS=50 search, ~90 s)
+        # still runs — every serving family appears in every driver
+        # window. It must leave room for the routed/clustered block's
+        # ~130 s headline sub-block (higher shed priority), so that
+        # cost rides in its gate.
+        hnsw_cheap = (hnsw_skip and
+                      elapsed() + 90 + 130 + reserve_pending() <= budget)
+        if hnsw_skip and not hnsw_cheap:
             # note only the rows that were actually ELIGIBLE in this
             # configuration — the artifact must not claim a row was
             # shed for budget when env/size had already excluded it
             _hkeys = ["hnsw_sharded"]
             if big:
                 _hkeys.append("hnsw_sharded_tuned")
+            if big:
+                _hkeys.append("hnsw_sharded_batch10k")
             for _hk in _hkeys:
                 baseline[_hk] = {
                     "note": f"skipped: {elapsed():.0f}s elapsed + "
@@ -1178,6 +1718,36 @@ def main() -> None:
                             f"{reserve_pending():.0f}s anchor reserve "
                             f"> {budget:.0f}s budget",
                 }
+        if hnsw_cheap:
+            t0 = time.monotonic()
+            bhs = build_hnsw_sharded(bvec, m=16, ef_construction=200)
+            build_s = round(time.monotonic() - t0, 4)
+            sec, res = bsearch(
+                lambda: search_hnsw_sharded(bhs, bq, k=K, ef_search=50)
+            )
+            baseline["hnsw_sharded"] = {
+                "build_sec": build_s,
+                "search_sec": sec,
+                "search_sec_range": bs_range(),
+                "qps_batch": round(bn_q / sec, 1),
+                "recall": brec(res, truth),
+                "m": 16, "ef_construction": 200, "ef_search": 50,
+                "num_shards": bhs.num_shards, "memory_mb": mem_mb(bhs),
+                "cheap_arm": True,
+                "note": "cheap arm (single build, 1k-query efS=50 "
+                        "only): the full family did not fit the "
+                        "budget — tuned/batch10k arms shed",
+            }
+            if big:
+                for _hk in ("hnsw_sharded_tuned",
+                            "hnsw_sharded_batch10k"):
+                    baseline[_hk] = {
+                        "note": "skipped with the cheap hnsw_sharded "
+                                "arm (full ~250s family over budget); "
+                                "hnsw_sharded itself ran the "
+                                "single-build efS=50 arm",
+                    }
+            bhs.blobs.unpersist()
         if not hnsw_skip:
             # HNSW, distributed: the sharded build (FAISS IndexShards
             # pattern — one independent graph per hash shard, built in
@@ -1810,464 +2380,11 @@ def main() -> None:
     # 1M anchor complete — checkpoint before the 10M anchor
     emit_summary()
 
-    # --- 10M-vector anchor (r5 verdict item 7): the second decade
-    # step, so the 100 TB extrapolation is two-point-calibrated
-    # (1M→10M ratio measured in ONE throttle window) instead of
-    # extrapolated from a single decade. Rows: distributed flat
-    # (interleaved 1M re-measure), quantized sharded serving (r6
-    # verdict item 4 — codes in shm, refine against shard rows), IVF
-    # sharded serving at 16 shards (5 GB of CSR arrays in host shm —
-    # past the comfortable single-collect regime), LSH. Sub-sections
-    # are individually budget-gated, highest-value-first, so a slow
-    # window degrades to fewer rows instead of a driver timeout.
-    want_10m = baseline_n >= 100_000 and os.environ.get(
-        "SPARK_GRAFT_BASELINE_10M", "1") != "0"
-    if want_10m:
-        sentinel("anchor_10m", patient=True)
-    if want_10m and elapsed() + 420 > budget:
-        baseline["scaling_10m"] = {
-            "note": f"10M anchor skipped: {elapsed():.0f}s elapsed + "
-                    f"~420s minimum section would exceed the "
-                    f"{budget:.0f}s budget "
-                    "(SPARK_GRAFT_BENCH_BUDGET_SEC)",
-        }
-        want_10m = False
-    if want_10m:
-        import math
 
-        import numpy as np
-        from pyspark import StorageLevel
-
-        # Memory discipline (round-6 OOM post-mortem: cache() of the
-        # 10M corpus + repeated wide Arrow passes OOM-killed the JVM
-        # at 56 GB RSS on the 125 GB box): the 10M tables persist
-        # DISK_ONLY — spark.range+rand regenerates deterministically,
-        # the OS page cache serves re-reads, and the JVM stayed
-        # ≤ 19 GB across the whole section when probed this way.
-        try:
-            n10m = 10_000_000
-            bvec10m = generate_random_vectors(spark, n10m, 128, 62) \
-                .persist(StorageLevel.DISK_ONLY)
-            bvec10m.count()
-            # regenerate the 1M arm fresh (the earlier one is
-            # unpersisted) and time it IN THIS WINDOW for the honest
-            # decade ratio. FRESH seed — seed 52 would plan-match the
-            # 1M section's still-cached truth1m and read the cache
-            # instead of searching (the 194× "ratio" a contaminated
-            # run reported was 33 s real / 0.17 s cache read).
-            bvec1m_i = generate_random_vectors(spark, 1_000_000, 128, 152) \
-                .persist(StorageLevel.DISK_ONLY)
-            bvec1m_i.count()
-            sec1m_i, _r = bsearch(lambda: search_flat(bvec1m_i, bq, k=K))
-            # throttle guard: the warm pass is ~35-40 s un-throttled;
-            # a 4-20× throttled box would turn the remaining section
-            # into an hour — record the skip instead of garbage rows
-            t0 = time.monotonic()
-            search_flat(bvec10m, bq, k=K).count()
-            warm10m = time.monotonic() - t0
-            if warm10m > 240:
-                raise RuntimeError(
-                    f"skipped: flat warm pass took {warm10m:.0f}s "
-                    f"(>240s — box throttled this window)"
-                )
-            # single timed run after the guard's warm pass (r8 budget
-            # trim): bsearch here was warm + 2 timed = three more full
-            # 10M scans (~40-90 s each) on a row whose range has been
-            # recorded stable r5-r7; the guard pass above already
-            # warmed plan + workers + page cache.
-            t0 = time.monotonic()
-            truth10m = search_flat(bvec10m, bq, k=K).cache()
-            truth10m.count()
-            sec = round(time.monotonic() - t0, 4)
-            baseline["flat_10m"] = {
-                "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
-                "warm_pass_sec": round(warm10m, 4), "n_runs": 1,
-                "recall": 1.0, "n_vectors": n10m,
-                "flat_1m_interleaved_sec": sec1m_i,
-                "memory_mb": round(n10m * 128 * 4 / 2**20, 2),
-            }
-            bvec1m_i.unpersist()
-            emit_summary()  # flat_10m row checkpoint
-
-            # shared by both sharded rows: the 2k serving batch and
-            # the exact flat truth on bq's 1000 queries
-            import shutil as _sh10
-            import tempfile as _tf10
-
-            from gofaiss_spark.operators.shard_serve import (
-                ShardedSearcher as _ShS10,
-            )
-            from gofaiss_spark.operators.shard_serve import (
-                save_sharded as _ssh10,
-            )
-
-            rngq10 = np.random.default_rng(44)
-            lq2k_10m = rngq10.random((2_000, 128), dtype=np.float32)
-            bqrows = bq.orderBy("query_id").collect()
-            bqmat = np.stack([
-                np.asarray(r["qvec"], dtype=np.float32) for r in bqrows
-            ])
-            tmap = {}
-            for r in truth10m.collect():
-                tmap.setdefault(int(r["query_id"]), set()).add(
-                    int(r["id"]))
-
-            def _rec_vs_flat(sids) -> float:
-                return float(np.mean([
-                    len(set(sids[i])
-                        & tmap[int(bqrows[i]["query_id"])]) / K
-                    for i in range(len(bqrows))
-                ]))
-
-            # QUANTIZED sharded serving at 10M (r6 verdict item 4):
-            # codes + codebooks + refine rows in host shm. The codes
-            # themselves are 64× smaller than the raw vectors
-            # (m=8 × 1 byte vs 128 × 4 bytes) — the measured proof of
-            # SCALE.md's corpus-per-host claim; the refine rows are
-            # the optional exactness tier a deployment can keep on
-            # flash instead. Runs FIRST among the index rows: it is
-            # the round's new evidence, so a slow window sheds the
-            # already-established ivf/lsh rows before this one.
-            if elapsed() + 540 > budget:
-                baseline["ivfpq_shard_exec_10m_batch1k"] = {
-                    "note": f"skipped: {elapsed():.0f}s elapsed + "
-                            f"~540s sub-section > {budget:.0f}s "
-                            "budget",
-                }
-            else:
-                from gofaiss_spark.operators.ivfpq import build_ivfpq
-
-                t0 = time.monotonic()
-                bivfpq10m = build_ivfpq(
-                    bvec10m, nlist=1000, m=8, nbits=8, seed=42,
-                    train_fraction=5000.0 / n10m)
-                bivfpq10m.codes.persist(StorageLevel.DISK_ONLY).count()
-                pq10_build = round(time.monotonic() - t0, 4)
-                qshard10 = _tf10.mkdtemp(
-                    prefix="gofaiss_bench_shards10m_pq_")
-                try:
-                    t0 = time.monotonic()
-                    _ssh10(bivfpq10m, qshard10, num_shards=16,
-                           vectors=bvec10m)
-                    pq10_write = round(time.monotonic() - t0, 4)
-                    qsrv10 = _ShS10(spark, qshard10)
-                    try:
-                        # nprobe=20 (2% corpus scan) + refine=50 + ONE
-                        # timed 1k-query run that doubles as the recall
-                        # pass: the deep-probe arm (nprobe=100, 2×2k
-                        # runs) measured 649 s/run on this box — the
-                        # per-query 1M-row ADC gather is the scan cost
-                        # the row exposes, but at that shape the
-                        # sub-section alone outruns any driver window.
-                        # The r7 canonical artifact carries the
-                        # deep-probe arm once (SCALE.md §7).
-                        qsrv10.search(bqmat[:128], k=K, nprobe=20,
-                                      refine=50)  # cold + warm
-                        t0 = time.monotonic()
-                        sids_q, _dq = qsrv10.search(
-                            bqmat, k=K, nprobe=20, refine=50)
-                        best = time.monotonic() - t0
-                    finally:
-                        qsrv10.close()
-                    baseline["ivfpq_shard_exec_10m_batch1k"] = {
-                        "build_sec": pq10_build,
-                        "search_sec": round(best, 4),
-                        "qps_batch": round(len(bqmat) / best, 1),
-                        "recall": round(_rec_vs_flat(sids_q), 4),
-                        "nlist": 1000, "m": 8, "nbits": 8,
-                        "nprobe": 20, "refine": 50,
-                        "n_queries": len(bqmat), "n_vectors": n10m,
-                        "num_shards": 16, "n_runs": 1,
-                        "artifact_write_sec": pq10_write,
-                        "shm_mb_codes": round(n10m * 8 / 2**20, 1),
-                        "shm_mb_refine_rows": round(
-                            n10m * 128 * 4 / 2**20, 1),
-                        "note": "codes 64x smaller than raw vectors "
-                                "(8 vs 512 B/vec): one host's shm "
-                                "holds ~64x more corpus codes-only; "
-                                "refine rows optional per deployment",
-                    }
-                finally:
-                    _sh10.rmtree(qshard10, ignore_errors=True)
-                bivfpq10m.codes.unpersist()
-                emit_summary()  # ivfpq m8 10M checkpoint
-
-            # tuned-RECALL quantized arm at 10M (r7 verdict item 3):
-            # the m=8 row above proves FOOTPRINT (64×) but its ADC
-            # ordering caps recall at ~0.76 even at refine=1000 —
-            # measured sweep (one window): m8 np50/rf500 0.69,
-            # np50/rf1000 0.75, np100/rf500 0.76; m16 np50/rf200
-            # 0.82, np100/rf200 0.93. A recall-tuned deployment picks
-            # finer codes: m=16 (16 B/vec, still 32× vs raw),
-            # nprobe=100 + refine=200 exact re-rank ≈ the exact-IVF
-            # row's 0.956 cell ceiling. Own build: gate the whole
-            # sub-section.
-            if elapsed() + 550 > budget:
-                baseline["ivfpq_shard_exec_10m_m16_tuned_batch1k"] = {
-                    "note": f"skipped: {elapsed():.0f}s elapsed + "
-                            f"~550s m16 tuned sub-section > "
-                            f"{budget:.0f}s budget "
-                            "(row lives in the committed canonical "
-                            "BENCH_full.json)",
-                }
-            else:
-                from gofaiss_spark.operators.ivfpq import build_ivfpq
-
-                t0 = time.monotonic()
-                bq16 = build_ivfpq(
-                    bvec10m, nlist=1000, m=16, nbits=8, seed=42,
-                    train_fraction=5000.0 / n10m)
-                bq16.codes.persist(StorageLevel.DISK_ONLY).count()
-                b16_build = round(time.monotonic() - t0, 4)
-                shard16 = _tf10.mkdtemp(
-                    prefix="gofaiss_bench_shards10m_pq16_")
-                try:
-                    t0 = time.monotonic()
-                    _ssh10(bq16, shard16, num_shards=16,
-                           vectors=bvec10m)
-                    w16 = round(time.monotonic() - t0, 4)
-                    srv16 = _ShS10(spark, shard16)
-                    try:
-                        srv16.search(bqmat[:64], k=K, nprobe=100,
-                                     refine=200)  # cold + warm
-                        t0 = time.monotonic()
-                        sids16, _d16 = srv16.search(
-                            bqmat, k=K, nprobe=100, refine=200)
-                        s16 = time.monotonic() - t0
-                    finally:
-                        srv16.close()
-                    baseline["ivfpq_shard_exec_10m_m16_tuned_batch1k"] = {
-                        "build_sec": b16_build,
-                        "search_sec": round(s16, 4),
-                        "qps_batch": round(len(bqmat) / s16, 1),
-                        "recall": round(_rec_vs_flat(sids16), 4),
-                        "nlist": 1000, "m": 16, "nbits": 8,
-                        "nprobe": 100, "refine": 200,
-                        "n_queries": len(bqmat), "n_vectors": n10m,
-                        "num_shards": 16, "n_runs": 1,
-                        "artifact_write_sec": w16,
-                        "shm_mb_codes": round(n10m * 16 / 2**20, 1),
-                        "note": "recall-tuned quantized serving at "
-                                "10M: m=16 codes (32x vs raw), "
-                                "np=100 + exact refine=200",
-                    }
-                finally:
-                    _sh10.rmtree(shard16, ignore_errors=True)
-                bq16.codes.unpersist()
-                emit_summary()  # ivfpq m16 tuned 10M checkpoint
-
-            # mid-Pareto quantized arm at 10M (r8 verdict item 3):
-            # IVFSQ — residual SQ8 under a TRAINED coarse quantizer.
-            # Two r9-measured mechanisms motivate this row: (a) the
-            # m16 ADC row's cost tracks probed MASS, not nprobe — the
-            # 0.05%-sample quantizer the other 10M rows share is
-            # degenerate on uniform 128-d data (cell sizes 1/5/35k
-            # min/med/max even at a 1% sample) and its mega-cells
-            # soak up the probe mass; (b) per scanned row, the SQ
-            # decode→f32 GEMM selector is ~4-6× faster than the PQ
-            # table gather. Together they buy the recall≥0.9
-            # operating point at >25 QPS with 4× compression
-            # (128 B/vec codes vs 512 B/vec raw).
-            if elapsed() + 900 > budget:
-                baseline["ivfsq_shard_exec_10m_batch1k"] = {
-                    "note": f"skipped: {elapsed():.0f}s elapsed + "
-                            f"~900s ivfsq sub-section > {budget:.0f}s "
-                            "budget (row lives in the committed "
-                            "canonical BENCH_full.json)",
-                }
-            else:
-                from gofaiss_spark.operators.ivfsq import build_ivfsq
-
-                t0 = time.monotonic()
-                bqsq = build_ivfsq(
-                    bvec10m, nlist=1000, seed=42,
-                    train_fraction=100_000.0 / n10m)
-                bqsq.codes.persist(StorageLevel.DISK_ONLY).count()
-                bsq_build = round(time.monotonic() - t0, 4)
-                # quantizer-balance evidence (the Pareto narrative):
-                # one vocabulary-sized groupBy
-                cs = (bqsq.codes.groupBy("list_id").count()
-                      .agg(F.min("count").alias("mn"),
-                           F.expr("percentile(count, 0.5)").alias("md"),
-                           F.max("count").alias("mx")).collect()[0])
-                shardsq = _tf10.mkdtemp(
-                    prefix="gofaiss_bench_shards10m_sq_")
-                try:
-                    t0 = time.monotonic()
-                    _ssh10(bqsq, shardsq, num_shards=16,
-                           vectors=bvec10m)
-                    wsq = round(time.monotonic() - t0, 4)
-                    srvq = _ShS10(spark, shardsq)
-                    try:
-                        srvq.search(bqmat[:64], k=K, nprobe=200,
-                                    refine=10)  # cold + warm
-                        arms = {}
-                        for npr in (200, 100):
-                            t0 = time.monotonic()
-                            sids_s, _ds = srvq.search(
-                                bqmat, k=K, nprobe=npr, refine=10)
-                            ssq = time.monotonic() - t0
-                            arms[npr] = (ssq, _rec_vs_flat(sids_s))
-                    finally:
-                        srvq.close()
-                    ssq, rec200 = arms[200]
-                    baseline["ivfsq_shard_exec_10m_batch1k"] = {
-                        "build_sec": bsq_build,
-                        "search_sec": round(ssq, 4),
-                        "qps_batch": round(len(bqmat) / ssq, 1),
-                        "recall": round(rec200, 4),
-                        "nlist": 1000, "nprobe": 200, "refine": 10,
-                        "train_sample": 100_000,
-                        "cell_rows_min_med_max": [
-                            int(cs["mn"]), float(cs["md"]), int(cs["mx"])],
-                        "n_queries": len(bqmat), "n_vectors": n10m,
-                        "num_shards": 16, "n_runs": 1,
-                        "artifact_write_sec": wsq,
-                        "shm_mb_codes": round(n10m * 128 / 2**20, 1),
-                        "note": "mid-Pareto quantized serving: SQ8 "
-                                "codes (4x vs raw) scanned by "
-                                "decode->f32 GEMM + exact refine=10",
-                    }
-                    s100, rec100 = arms[100]
-                    baseline["ivfsq_shard_exec_10m_np100_batch1k"] = {
-                        "search_sec": round(s100, 4),
-                        "qps_batch": round(len(bqmat) / s100, 1),
-                        "recall": round(rec100, 4),
-                        "nlist": 1000, "nprobe": 100, "refine": 10,
-                        "n_queries": len(bqmat), "n_runs": 1,
-                    }
-                finally:
-                    _sh10.rmtree(shardsq, ignore_errors=True)
-                bqsq.codes.unpersist()
-                emit_summary()  # ivfsq 10M checkpoint
-
-            # IVF (uncompressed) sharded serving at 10M/16 shards: the
-            # design case one decade past the single-node pool's
-            # comfort zone. 2k-query batches: at nprobe=100/nlist=1000
-            # each query scans ~10% of 10M rows, and on ONE box all 16
-            # shards share a single memory bus — the cluster design
-            # point gives each shard its own host (SCALE.md §7).
-            bivf10m = None
-            if elapsed() + 700 > budget:
-                # honest estimate bumped r8: the 10M assignment build
-                # alone measured 252-475 s across windows; the old
-                # ~360 s figure made slow windows overshoot the wall
-                baseline["ivf_10m"] = {
-                    "note": f"skipped: {elapsed():.0f}s elapsed + "
-                            f"~700s sub-section > {budget:.0f}s "
-                            "budget (row lives in the committed "
-                            "canonical BENCH_full.json)",
-                }
-                # the serving row shares this build — note it too so
-                # the parsed baseline never silently lacks it
-                baseline["ivf_shard_exec_10m_batch2k"] = {
-                    "note": "skipped with ivf_10m (shares its build); "
-                            "see the committed canonical "
-                            "BENCH_full.json",
-                }
-            else:
-                t0 = time.monotonic()
-                bivf10m = build_ivf(bvec10m, nlist=1000, seed=42,
-                                    train_fraction=5000.0 / n10m)
-                bivf10m.assignments.persist(
-                    StorageLevel.DISK_ONLY).count()
-                b10m_build = round(time.monotonic() - t0, 4)
-                # the 10M serving row is the SHARDED path (that is the
-                # architecture at this scale); one distributed
-                # search_ivf pass probed at ~107 s/1k queries —
-                # recorded as build-only here to keep the bench
-                # inside its budget
-                baseline["ivf_10m"] = {
-                    "build_sec": b10m_build, "nlist": 1000,
-                    "n_vectors": n10m,
-                    "note": "search served via ivf_shard_exec_10m",
-                }
-                shard_dir10m = _tf10.mkdtemp(
-                    prefix="gofaiss_bench_shards10m_")
-                try:
-                    t0 = time.monotonic()
-                    _ssh10(bivf10m, shard_dir10m, num_shards=16)
-                    sh10m_write = round(time.monotonic() - t0, 4)
-                    srv10m = _ShS10(spark, shard_dir10m)
-                    try:
-                        srv10m.search(lq2k_10m[:128], k=K,
-                                      nprobe=100)  # cold
-                        # single timed run (r8 budget trim): range
-                        # recorded stable r6-r7 (38-77 s); the second
-                        # run re-spent its own duration
-                        t0 = time.monotonic()
-                        srv10m.search(lq2k_10m, k=K, nprobe=100)
-                        best = time.monotonic() - t0
-                        sids_bq, _d = srv10m.search(
-                            bqmat, k=K, nprobe=100)
-                    finally:
-                        srv10m.close()
-                    baseline["ivf_shard_exec_10m_batch2k"] = {
-                        "search_sec": round(best, 4),
-                        "n_runs": 1,
-                        "qps_batch": round(len(lq2k_10m) / best, 1),
-                        "recall": round(_rec_vs_flat(sids_bq), 4),
-                        "nlist": 1000, "nprobe": 100,
-                        "n_queries": len(lq2k_10m), "n_vectors": n10m,
-                        "num_shards": 16,
-                        "slices_per_shard": srv10m.slices,
-                        "artifact_write_sec": sh10m_write,
-                        "shm_mb": round(n10m * 128 * 4 / 2**20, 1),
-                        "note": "16 shards share one memory bus on "
-                                "this box; cluster design point = "
-                                "shard/host",
-                    }
-                finally:
-                    _sh10.rmtree(shard_dir10m, ignore_errors=True)
-            emit_summary()  # ivf 10M shard-exec checkpoint
-
-            if elapsed() + 300 > budget:
-                baseline["lsh_10m"] = {
-                    "note": f"skipped: {elapsed():.0f}s elapsed + "
-                            f"~300s sub-section > {budget:.0f}s "
-                            "budget",
-                }
-            else:
-                t0 = time.monotonic()
-                blsh10m = build_lsh(bvec10m, num_hash_tables=4)
-                blsh10m.buckets.persist(StorageLevel.DISK_ONLY).count()
-                lsh10m_build = round(time.monotonic() - t0, 4)
-                # single timed run (probed ~156 s/1k queries — a
-                # warmed best-of-2 would double the section for a
-                # ±2 s refinement)
-                t0 = time.monotonic()
-                res = search_lsh(blsh10m, bq, k=K, multiprobe=1).cache()
-                res.count()
-                sec = round(time.monotonic() - t0, 4)
-                baseline["lsh_10m"] = {
-                    "build_sec": lsh10m_build, "search_sec": sec,
-                    "qps_batch": round(bn_q / sec, 1),
-                    "recall": brec(res, truth10m),
-                    "num_hash_tables": 4, "multiprobe": 1,
-                    "n_vectors": n10m, "n_runs": 1,
-                }
-                blsh10m.buckets.unpersist()
-            if bivf10m is not None:
-                bivf10m.assignments.unpersist()
-            bvec10m.unpersist()
-            r10 = baseline["flat_10m"]["search_sec"] / max(1e-9, sec1m_i)
-            baseline["scaling_10m"] = {
-                "note": "second decade (10M vs 1M), flat interleaved "
-                        "in one window; with scaling_1m this two-"
-                        "point-calibrates the 100 TB extrapolation. "
-                        "Linear work = ratio 10 (exponent 1).",
-                "flat_interleaved": {
-                    "time_ratio_10m_vs_1m": round(r10, 2),
-                    "exponent_per_decade": round(
-                        math.log10(max(1e-9, r10)), 3),
-                },
-            }
-        except Exception as e:  # record the skip, never lose the run
-            baseline["scaling_10m"] = {
-                "note": f"10M anchor aborted: "
-                        f"{type(e).__name__}: {e}"[:300],
-            }
-
+    # tail call: the patient fallback (and the only attempt when
+    # anchor-first mode is off or its early clean window never came)
+    if baseline_n:
+        run_10m_anchor(patient=True)
     # final checkpoint: the cumulative artifact + the last-word
     # headline line the driver parses
     emit_summary()

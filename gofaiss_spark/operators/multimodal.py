@@ -29,8 +29,13 @@ north-star surface (SURVEY.md §7 phase E). Design rules:
   fixed-layout structs whose frame payloads are the SAME DIB pixel
   arrays the BMP path decodes, so ``avi_features`` (RIFF chunk walk →
   per-frame decode → channel/luma means + consecutive-frame motion)
-  is a REAL codec path too. The ``NotImplementedError`` seam is now
-  COMPRESSED formats only (JPEG/PNG → Pillow, MP3/FLAC → soundfile,
+  is a REAL codec path too.
+- PNG joined in round 12 — the first COMPRESSED format: DEFLATE is
+  stdlib ``zlib``, leaving the CRC-checked chunk walk and the 5
+  scanline-filter reconstructions (pure numpy), so ``png_features``
+  is a REAL compressed-image codec path, cross-validated both
+  directions against Java ImageIO. The ``NotImplementedError`` seam
+  is now LOSSY formats only (JPEG → Pillow, MP3/FLAC → soundfile,
   H.264 → a real video lib).
 """
 
@@ -852,6 +857,284 @@ def avi_frames(
         schema=(
             "id long, frame_idx int, width int, height int, "
             "content binary"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# PNG — the FIRST compressed-format codec (round 12, r11 verdict item
+# 6). Unlike BMP/WAV/AVI (raw pixel/sample containers), PNG is a real
+# compressed format: DEFLATE (stdlib zlib) under per-scanline
+# prediction filters. The implementation is the spec (RFC 2083 /
+# PNG 1.2): CRC-checked chunk walk (IHDR/IDAT*/IEND), zlib inflate,
+# and the 5 filter reconstructions (None/Sub/Up/Average/Paeth) in
+# numpy. Profile: 8-bit truecolor (color type 2), non-interlaced —
+# anything else decodes to None (poison tolerance). Cross-validated
+# BOTH directions against Java ImageIO (an independent codec, shipped
+# with the JDK this repo already requires): our encoder's output
+# decodes in ImageIO, ImageIO's output decodes here, pixels exact —
+# tests/test_multimodal.py::test_png_java_imageio_cross_validation.
+# The NotImplementedError seam is now LOSSY formats only
+# (JPEG/MP3/H.264). Reference analogue: external-payload ingest,
+# examples/kaggle_foodpanda_reviews/main.go:26-48.
+# ---------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Element-wise Paeth predictor (PNG 1.2 §6.6) on int32 inputs:
+    pick whichever of left/up/up-left is closest to a+b-c, ties
+    breaking left, then up."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a,
+                    np.where(pb <= pc, b, c))
+
+
+def encode_png(img_rgb: np.ndarray, row_filters=None) -> bytes:
+    """(h, w, 3) uint8 RGB, row 0 = TOP → 8-bit truecolor PNG bytes.
+    ``row_filters``: per-row scanline filter types (0..4); default
+    row ``y`` uses ``y % 5`` so every filter is exercised by
+    construction. All five filter transforms are computed vectorized
+    from the raw image (encode-side predictors need no sequential
+    reconstruction)."""
+    import struct
+    import zlib
+
+    h, w, c = img_rgb.shape
+    if c != 3:
+        raise ValueError(
+            f"encode_png needs (h, w, 3) RGB, got {img_rgb.shape}")
+    img = np.ascontiguousarray(img_rgb, dtype=np.uint8)
+    if row_filters is None:
+        row_filters = [y % 5 for y in range(h)]
+    raw = img.reshape(h, w * 3).astype(np.int32)
+    zero = np.zeros((1, w * 3), dtype=np.int32)
+    prior = np.vstack([zero, raw[:-1]])          # b (up)
+    left = np.zeros_like(raw)                    # a (left, bpp=3)
+    left[:, 3:] = raw[:, :-3]
+    upleft = np.zeros_like(raw)                  # c (up-left)
+    upleft[:, 3:] = prior[:, :-3]
+    filtered = {
+        0: raw,
+        1: raw - left,
+        2: raw - prior,
+        3: raw - ((left + prior) >> 1),
+        4: raw - _paeth_predict(left, prior, upleft),
+    }
+    out = bytearray()
+    for y in range(h):
+        ft = int(row_filters[y])
+        if not 0 <= ft <= 4:
+            raise ValueError(f"filter type {ft} out of range 0..4")
+        out.append(ft)
+        out += (filtered[ft][y] & 0xFF).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray | None:
+    """8-bit truecolor, non-interlaced PNG bytes → (h, w, 3) uint8
+    RGB with row 0 = TOP. Returns ``None`` for anything unparseable,
+    CRC-corrupt, truncated, or outside that profile (palette/alpha/
+    16-bit/interlaced) — poison-blob tolerance: one corrupt image
+    must not kill an ingest job. Multiple IDAT chunks are
+    concatenated per spec. Filter reconstruction: None/Up fully
+    vectorized per row; Sub is an exact prefix-sum mod 256 per
+    channel (``np.cumsum & 0xFF``); Average/Paeth carry a true
+    left-pixel dependency, so they run one vectorized step per pixel
+    COLUMN (w steps/row over 3-channel vectors) — fine at metadata-
+    thumbnail sizes, and the per-blob cost is embarrassingly parallel
+    across the corpus in ``mapInPandas`` either way."""
+    import struct
+    import zlib
+
+    if len(payload) < len(_PNG_SIG) + 12 or payload[:8] != _PNG_SIG:
+        return None
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data_end = pos + 8 + length
+        if data_end + 4 > len(payload):
+            return None
+        data = payload[pos + 8:data_end]
+        (crc,) = struct.unpack_from(">I", payload, data_end)
+        if crc != zlib.crc32(ctype + data):
+            return None
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            w, h, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data)
+            if (depth != 8 or color != 2 or comp != 0 or filt != 0
+                    or inter != 0 or w <= 0 or h <= 0):
+                return None
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos = data_end + 4
+    if w is None or not idat or not seen_iend:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        return None
+    buf = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = buf[:, 0]
+    if (ftypes > 4).any():
+        return None
+    lines = buf[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(ftypes[y])
+        line = lines[y].astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prior) & 0xFF
+        elif ft == 1:
+            rec = np.cumsum(line.reshape(w, 3), axis=0,
+                            dtype=np.int64).reshape(stride) & 0xFF
+        else:
+            pr = prior.reshape(w, 3)
+            f = line.reshape(w, 3)
+            rec2 = np.zeros((w, 3), dtype=np.int32)
+            a = np.zeros(3, dtype=np.int32)   # left pixel
+            cc = np.zeros(3, dtype=np.int32)  # up-left pixel
+            if ft == 3:
+                for x in range(w):
+                    a = (f[x] + ((a + pr[x]) >> 1)) & 0xFF
+                    rec2[x] = a
+            else:  # ft == 4 (Paeth)
+                for x in range(w):
+                    a = (f[x] + _paeth_predict(a, pr[x], cc)) & 0xFF
+                    rec2[x] = a
+                    cc = pr[x]
+            rec = rec2.reshape(stride)
+        out[y] = rec.astype(np.uint8)
+        prior = rec.astype(np.int32)
+    return out.reshape(h, w, 3)
+
+
+def synth_png(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic synthetic PNG payloads keyed on ``id`` — the
+    compressed-format twin of ``synth_bmp``. Per id ``d``: width
+    ``5 + d%6``, height ``4 + d%5``, and at (x, y) (y=0 top) the
+    channels are ``r=(17d+5x+3y)%256``, ``g=(19d+7x+5y)%256``,
+    ``b=(23d+3x+7y)%256`` (DIFFERENT formulas than the BMP row, so
+    the two driver rows verify independent payloads); row ``y`` is
+    encoded with scanline filter ``(y + d) % 5``, so the corpus
+    exercises every PNG filter. A SQL oracle recomputes the features
+    ``png_features`` extracts from the COMPRESSED container bytes —
+    the decode path (chunk walk, CRC, inflate, filter recon) is what
+    the driver row verifies. Arrow-batched; one task per partition."""
+    base = df.select(F.col(id_col).alias("id"))
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for d in pdf["id"].to_numpy(dtype=np.int64):
+                d = int(d)
+                w, h = 5 + d % 6, 4 + d % 5
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                r = (17 * d + 5 * x + 3 * y) % 256
+                g = (19 * d + 7 * x + 5 * y) % 256
+                b = (23 * d + 3 * x + 7 * y) % 256
+                img = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                payloads.append(encode_png(
+                    img, [(yy + d) % 5 for yy in range(h)]))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    "modality": "image",
+                    "content": payloads,
+                }
+            )
+
+    return base.mapInPandas(
+        part, schema="id long, modality string, content binary"
+    )
+
+
+def png_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """REAL compressed-image decode: PNG container bytes → per-image
+    pixel features, no external codec libs (stdlib zlib inflate +
+    numpy filter reconstruction). Same feature contract as
+    ``bmp_features`` — (id, width, height, mean_r, mean_g, mean_b,
+    luma_mean, luma_h0..luma_h3), exact integer-sum means and the
+    integer rec-601 luma histogram — so the analytic-oracle
+    construction proven on BMP applies verbatim. Arrow-batched in
+    ``mapInPandas``; unparseable/corrupt payloads are dropped."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content")
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [], "luma_mean": [],
+                "luma_h0": [], "luma_h1": [], "luma_h2": [], "luma_h3": [],
+            }
+            for i, payload in zip(
+                pdf["id"].to_numpy(dtype=np.int64), pdf["content"]
+            ):
+                if payload is None:
+                    continue
+                img = decode_png(bytes(payload))
+                if img is None:
+                    continue
+                h, w = img.shape[:2]
+                n = h * w
+                rgb = img.reshape(n, 3).astype(np.int64)
+                r, g, b = rgb[:, 0], rgb[:, 1], rgb[:, 2]
+                luma = (299 * r + 587 * g + 114 * b) // 1000
+                hist = np.bincount(luma // 64, minlength=4)
+                rows["id"].append(int(i))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_r"].append(float(int(r.sum())) / n)
+                rows["mean_g"].append(float(int(g.sum())) / n)
+                rows["mean_b"].append(float(int(b.sum())) / n)
+                rows["luma_mean"].append(float(int(luma.sum())) / n)
+                for bin_ in range(4):
+                    rows[f"luma_h{bin_}"].append(int(hist[bin_]))
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        part,
+        schema=(
+            "id long, width int, height int, mean_r double, "
+            "mean_g double, mean_b double, luma_mean double, "
+            "luma_h0 long, luma_h1 long, luma_h2 long, luma_h3 long"
         ),
     )
 

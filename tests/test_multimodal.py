@@ -458,3 +458,198 @@ def test_avi_decode_filters_non_vids_stream_chunks():
     assert len(dec) == 2  # the alien chunk did NOT become frame 2
     assert np.array_equal(dec[0], frames[0])
     assert np.array_equal(dec[1], frames[1])
+
+
+# --- PNG: the first compressed-format codec (round 12) ---------------
+
+
+def test_png_codec_roundtrip_exact_pixels_all_filters():
+    from gofaiss_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for _ in range(40):
+        h, w = int(rng.integers(1, 12)), int(rng.integers(1, 12))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for filters in (None, [0] * h, [1] * h, [2] * h, [3] * h,
+                        [4] * h, list(rng.integers(0, 5, h))):
+            got = decode_png(encode_png(img, filters))
+            assert got is not None and got.dtype == np.uint8
+            assert np.array_equal(got, img), (h, w, filters)
+
+
+def test_png_decode_rejects_poison():
+    """CRC corruption, truncation, wrong profile, missing IEND — all
+    decode to None, never raise (poison-blob tolerance)."""
+    import struct
+    import zlib
+
+    from gofaiss_spark.operators.multimodal import (
+        _png_chunk, _PNG_SIG, decode_png, encode_png,
+    )
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    p = encode_png(img)
+    assert decode_png(b"junk") is None
+    assert decode_png(p[:20]) is None               # truncated IHDR
+    bad = bytearray(p)
+    bad[30] ^= 0xFF                                  # IHDR data bit flip
+    assert decode_png(bytes(bad)) is None            # CRC catches it
+    bad = bytearray(p)
+    bad[-30] ^= 0xFF                                 # IDAT bit flip
+    assert decode_png(bytes(bad)) is None
+    # grayscale (color type 0) is outside the supported profile
+    gp = (_PNG_SIG
+          + _png_chunk(b"IHDR",
+                       struct.pack(">IIBBBBB", 7, 5, 8, 0, 0, 0, 0))
+          + _png_chunk(b"IDAT", zlib.compress(bytes(5 * 8)))
+          + _png_chunk(b"IEND", b""))
+    assert decode_png(gp) is None
+    # missing IEND (stream cut between chunks, CRCs intact)
+    assert decode_png(p[:p.rindex(b"IEND") - 4]) is None
+    # bad filter byte inside a CRC-valid IDAT
+    raw = bytearray(b"\x07" + bytes(7 * 3)) * 5
+    bp = (_PNG_SIG
+          + _png_chunk(b"IHDR",
+                       struct.pack(">IIBBBBB", 7, 5, 8, 2, 0, 0, 0))
+          + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+          + _png_chunk(b"IEND", b""))
+    assert decode_png(bp) is None
+
+
+def test_png_multiple_idat_chunks_concatenate():
+    import struct
+    import zlib
+
+    from gofaiss_spark.operators.multimodal import (
+        _png_chunk, _PNG_SIG, decode_png, encode_png,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    p = encode_png(img, [0] * 6)
+    # re-chunk the IDAT payload into 3 chunks
+    pos = p.index(b"IDAT") - 4
+    (ln,) = struct.unpack_from(">I", p, pos)
+    data = p[pos + 8:pos + 8 + ln]
+    head, tail = p[:pos], p[pos + 8 + ln + 4:]
+    third = max(1, len(data) // 3)
+    rechunked = head + b"".join(
+        _png_chunk(b"IDAT", data[i:i + third])
+        for i in range(0, len(data), third)) + tail
+    got = decode_png(rechunked)
+    assert got is not None and np.array_equal(got, img)
+
+
+def test_png_java_imageio_cross_validation(tmp_path):
+    """Spec-compliance evidence from an INDEPENDENT codec: Java
+    ImageIO (ships with the JDK Spark already requires) must read
+    our PNGs pixel-exact, and we must read ImageIO's. Skipped when
+    no JDK with a compiler is available."""
+    import os
+    import shutil
+    import struct
+    import subprocess
+
+    from gofaiss_spark.operators.multimodal import decode_png, encode_png
+
+    java_home = os.environ.get("JAVA_HOME", "")
+    javac = os.path.join(java_home, "bin", "javac")
+    java = os.path.join(java_home, "bin", "java")
+    if not (os.path.exists(javac) and os.path.exists(java)):
+        javac, java = shutil.which("javac"), shutil.which("java")
+    if not javac or not java:
+        pytest.skip("no JDK available for the cross-validation")
+    src = tmp_path / "PngX.java"
+    src.write_text(
+        'import javax.imageio.ImageIO;\n'
+        'import java.awt.image.BufferedImage;\n'
+        'import java.io.*;\n'
+        'public class PngX {\n'
+        '  public static void main(String[] a) throws Exception {\n'
+        '    if (a[0].equals("encode")) {\n'
+        '      DataInputStream in = new DataInputStream(System.in);\n'
+        '      int w = in.readInt(), h = in.readInt();\n'
+        '      BufferedImage im = new BufferedImage(w, h, '
+        'BufferedImage.TYPE_INT_RGB);\n'
+        '      for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) {\n'
+        '        int r = in.readUnsignedByte(), g = in.readUnsignedByte(), '
+        'b = in.readUnsignedByte();\n'
+        '        im.setRGB(x, y, (r << 16) | (g << 8) | b); }\n'
+        '      ImageIO.write(im, "png", System.out);\n'
+        '    } else {\n'
+        '      BufferedImage im = ImageIO.read(System.in);\n'
+        '      DataOutputStream o = new DataOutputStream(System.out);\n'
+        '      o.writeInt(im.getWidth()); o.writeInt(im.getHeight());\n'
+        '      for (int y = 0; y < im.getHeight(); y++) '
+        'for (int x = 0; x < im.getWidth(); x++) {\n'
+        '        int p = im.getRGB(x, y);\n'
+        '        o.writeByte((p >> 16) & 255); o.writeByte((p >> 8) & 255); '
+        'o.writeByte(p & 255); }\n'
+        '      o.flush(); } } }\n')
+    subprocess.run([javac, str(src)], check=True, cwd=tmp_path,
+                   capture_output=True)
+    rng = np.random.default_rng(6)
+    for _ in range(3):
+        h, w = int(rng.integers(1, 16)), int(rng.integers(1, 16))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        # ours (all-filters encode) -> Java
+        jd = subprocess.run(
+            [java, "-cp", str(tmp_path), "PngX", "decode"],
+            input=encode_png(img), capture_output=True, check=True)
+        jw, jh = struct.unpack(">II", jd.stdout[:8])
+        assert (jw, jh) == (w, h)
+        assert np.array_equal(
+            np.frombuffer(jd.stdout[8:], np.uint8).reshape(h, w, 3), img)
+        # Java -> ours
+        je = subprocess.run(
+            [java, "-cp", str(tmp_path), "PngX", "encode"],
+            input=struct.pack(">II", w, h) + img.tobytes(),
+            capture_output=True, check=True)
+        got = decode_png(je.stdout)
+        assert got is not None and np.array_equal(got, img)
+
+
+def test_png_synth_features_roundtrip(spark):
+    """synth_png payloads decode through the REAL compressed codec
+    and the features match the analytic per-pixel formulas exactly
+    (the driver-row construction)."""
+    from gofaiss_spark.operators.multimodal import (
+        png_features, synth_png,
+    )
+
+    ids = spark.range(0, 40).select(F.col("id"))
+    out = png_features(synth_png(ids)).orderBy("id").collect()
+    assert len(out) == 40
+    for row in out:
+        d = int(row.id)
+        w, h = 5 + d % 6, 4 + d % 5
+        assert (row.width, row.height) == (w, h)
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        r = (17 * d + 5 * x + 3 * y) % 256
+        g = (19 * d + 7 * x + 5 * y) % 256
+        b = (23 * d + 3 * x + 7 * y) % 256
+        n = w * h
+        assert row.mean_r == float(int(r.sum())) / n
+        assert row.mean_g == float(int(g.sum())) / n
+        assert row.mean_b == float(int(b.sum())) / n
+        luma = (299 * r + 587 * g + 114 * b) // 1000
+        assert row.luma_mean == float(int(luma.sum())) / n
+        hist = np.bincount(luma.ravel() // 64, minlength=4)
+        assert [row.luma_h0, row.luma_h1, row.luma_h2,
+                row.luma_h3] == hist.tolist()
+
+
+def test_png_features_skips_corrupt_payloads(spark):
+    from gofaiss_spark.operators.multimodal import (
+        png_features, synth_png,
+    )
+
+    good = synth_png(spark.range(0, 6))
+    poison = spark.createDataFrame(
+        [(100, "image", bytearray(b"not a png")),
+         (101, "image", None)],
+        "id long, modality string, content binary")
+    out = png_features(good.unionByName(poison)).collect()
+    assert sorted(r.id for r in out) == list(range(6))
