@@ -1353,7 +1353,8 @@ def _ivf_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercises KMeans train → argmin assignment → probe join → top-k."""
     from gofaiss_spark.operators.ivf import build_ivf, search_ivf
 
-    idx = build_ivf(_vectors(spark, sf_dir), nlist=10, metric="l2", seed=42)
+    idx = build_ivf(_vectors(spark, sf_dir), nlist=10, metric="l2", seed=42,
+                    trainer="local")
     res = search_ivf(
         idx, _queries_df(spark, sf_dir, N_ANN_QUERIES), k=TOPK_K, nprobe=10
     )
@@ -1371,7 +1372,8 @@ def _ivf_local_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from gofaiss_spark.operators.ivf import build_ivf
 
-    idx = build_ivf(_vectors(spark, sf_dir), nlist=10, metric="l2", seed=42)
+    idx = build_ivf(_vectors(spark, sf_dir), nlist=10, metric="l2", seed=42,
+                    trainer="local")
     local = idx.to_local()
     qp = (
         _queries_df(spark, sf_dir, N_TOPK_QUERIES)
@@ -1415,7 +1417,8 @@ def _ivf_sharded_exec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         save_sharded,
     )
 
-    idx = build_ivf(_vectors(spark, sf_dir), nlist=10, metric="l2", seed=42)
+    idx = build_ivf(_vectors(spark, sf_dir), nlist=10, metric="l2", seed=42,
+                    trainer="local")
     tmp = tempfile.mkdtemp(prefix="gofaiss_shard_topk_")
     try:
         save_sharded(idx, tmp, num_shards=3)
@@ -1471,7 +1474,8 @@ def _ivf_sharded_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="gofaiss_refresh_topk_")
     try:
         refresh_sharded(
-            build_ivf(half, nlist=10, metric="l2", seed=42), tmp,
+            build_ivf(half, nlist=10, metric="l2", seed=42,
+                      trainer="local"), tmp,
             num_shards=3,
         )
         with ShardedSearcher(spark, tmp) as srv:
@@ -1487,7 +1491,8 @@ def _ivf_sharded_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             # publish generation 2 = the full corpus; the searcher
             # must follow the pointer on its next batch
             refresh_sharded(
-                build_ivf(v, nlist=10, metric="l2", seed=42), tmp,
+                build_ivf(v, nlist=10, metric="l2", seed=42,
+                          trainer="local"), tmp,
                 num_shards=3,
             )
             ids, d = srv.search(qmat, k=TOPK_K, nprobe=srv.meta["nlist"])
@@ -1598,7 +1603,8 @@ def _ivf_sharded_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     idx = build_ivf(
-        _vectors(spark, sf_dir), nlist=10, metric="dot", seed=42
+        _vectors(spark, sf_dir), nlist=10, metric="dot", seed=42,
+        trainer="local",
     )
     tmp = tempfile.mkdtemp(prefix="gofaiss_shard_dot_")
     try:
@@ -1647,7 +1653,8 @@ def _ivf_sharded_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     idx = build_ivf(
-        _vectors(spark, sf_dir), nlist=10, metric="cosine", seed=42
+        _vectors(spark, sf_dir), nlist=10, metric="cosine", seed=42,
+        trainer="local",
     )
     tmp = tempfile.mkdtemp(prefix="gofaiss_shard_cos_")
     try:
@@ -1745,7 +1752,8 @@ def _ivfpq_sharded_exec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _vectors(spark, sf_dir).cache()
     n = v.count()
-    idx = build_ivfpq(v, nlist=8, m=8, metric="l2", seed=42)
+    idx = build_ivfpq(v, nlist=8, m=8, metric="l2", seed=42,
+                      trainer="local")
     tmp = tempfile.mkdtemp(prefix="gofaiss_ivfpq_shard_topk_")
     try:
         save_sharded(idx, tmp, num_shards=3, vectors=v)
@@ -2317,36 +2325,62 @@ def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofaiss_spark.operators.pq import build_pq, search_pq
     from gofaiss_spark.operators.topk import search_flat
 
+    from concurrent.futures import ThreadPoolExecutor
+
     v = _vectors(spark, sf_dir).cache()
     q = _queries_df(spark, sf_dir, N_ANN_QUERIES)
     truth = search_flat(v, q, k=TOPK_K).cache()
     truth.count()
-    ivf = build_ivf(v, nlist=10, metric="l2", seed=42)
-    lsh = build_lsh(v, metric="l2", num_hash_tables=16)
-    pq = build_pq(v, m=8, nbits=8, seed=42)
-    ivfpq = build_ivfpq(v, nlist=10, m=8, nbits=8, seed=42)
-    hnsw = build_hnsw(v, m=16, ef_construction=100)
-    rows = [
-        ("ivf_nprobe4", recall_at_k(search_ivf(ivf, q, k=TOPK_K, nprobe=4), truth, TOPK_K)),
-        ("ivf_fullprobe", recall_at_k(search_ivf(ivf, q, k=TOPK_K, nprobe=10), truth, TOPK_K)),
-        ("lsh", recall_at_k(search_lsh(lsh, q, k=TOPK_K), truth, TOPK_K)),
-        ("pq_m8", recall_at_k(search_pq(pq, q, k=TOPK_K), truth, TOPK_K)),
-        ("ivfpq_fullprobe", recall_at_k(search_ivfpq(ivfpq, q, k=TOPK_K, nprobe=10), truth, TOPK_K)),
-        ("hnsw_ef100", recall_at_k(search_hnsw(hnsw, q, k=TOPK_K), truth, TOPK_K)),
-        (
-            "hnsw_sharded",
-            recall_at_k(
-                search_hnsw_sharded(
-                    build_hnsw_sharded(v, num_shards=4, m=16, ef_construction=100),
-                    q,
-                    k=TOPK_K,
-                    ef_search=100,
+
+    # The seven build→search→recall chains are independent of each
+    # other (they share only the cached corpus and truth set), so run
+    # them from a thread pool and let each chain's scheduling gaps
+    # back-fill the others (optimization guide §2.6). Every build,
+    # search and recall uses the exact same parameters/seeds as the
+    # sequential version — results are unchanged, only overlapped.
+    def _ivf_chain() -> list[tuple[str, float]]:
+        ivf = build_ivf(v, nlist=10, metric="l2", seed=42)
+        return [
+            ("ivf_nprobe4", recall_at_k(search_ivf(ivf, q, k=TOPK_K, nprobe=4), truth, TOPK_K)),
+            ("ivf_fullprobe", recall_at_k(search_ivf(ivf, q, k=TOPK_K, nprobe=10), truth, TOPK_K)),
+        ]
+
+    def _lsh_chain() -> list[tuple[str, float]]:
+        lsh = build_lsh(v, metric="l2", num_hash_tables=16)
+        return [("lsh", recall_at_k(search_lsh(lsh, q, k=TOPK_K), truth, TOPK_K))]
+
+    def _pq_chain() -> list[tuple[str, float]]:
+        pq = build_pq(v, m=8, nbits=8, seed=42)
+        return [("pq_m8", recall_at_k(search_pq(pq, q, k=TOPK_K), truth, TOPK_K))]
+
+    def _ivfpq_chain() -> list[tuple[str, float]]:
+        ivfpq = build_ivfpq(v, nlist=10, m=8, nbits=8, seed=42)
+        return [("ivfpq_fullprobe", recall_at_k(search_ivfpq(ivfpq, q, k=TOPK_K, nprobe=10), truth, TOPK_K))]
+
+    def _hnsw_chain() -> list[tuple[str, float]]:
+        hnsw = build_hnsw(v, m=16, ef_construction=100)
+        return [("hnsw_ef100", recall_at_k(search_hnsw(hnsw, q, k=TOPK_K), truth, TOPK_K))]
+
+    def _hnsw_sharded_chain() -> list[tuple[str, float]]:
+        sh = build_hnsw_sharded(v, num_shards=4, m=16, ef_construction=100)
+        return [
+            (
+                "hnsw_sharded",
+                recall_at_k(
+                    search_hnsw_sharded(sh, q, k=TOPK_K, ef_search=100),
+                    truth,
+                    TOPK_K,
                 ),
-                truth,
-                TOPK_K,
-            ),
-        ),
+            )
+        ]
+
+    chains = [
+        _ivf_chain, _lsh_chain, _pq_chain,
+        _ivfpq_chain, _hnsw_chain, _hnsw_sharded_chain,
     ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [pool.submit(c) for c in chains]
+        rows = [r for f in futures for r in f.result()]
     return spark.createDataFrame(
         [
             (n, float(_RECALL_FLOORS[n]), bool(r >= _RECALL_FLOORS[n]))
@@ -3385,8 +3419,16 @@ def _embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofaiss_spark.operators.semdedup import semdedup
 
     v = _vectors(spark, sf_dir)
+    # trainer="local": the driver-side seeded Lloyd (bounded by
+    # LOCAL_TRAIN_MAX_CELLS, falls back to MLlib above it). The row's
+    # output is clustering-INDEPENDENT invariant booleans — any
+    # deterministic k-means partition yields the same emitted values —
+    # so the cheaper trainer changes nothing the oracle hashes while
+    # removing the ~10-job MLlib fit from the hot path (optimization
+    # r12; guide §1.2 — fix the algorithm's fixed costs first).
     res = semdedup(
-        v, n_clusters=8, threshold=EMB_DUP_THRESHOLD, seed=42
+        v, n_clusters=8, threshold=EMB_DUP_THRESHOLD, seed=42,
+        trainer="local",
     ).cache()
     base = v.select(F.col("id").alias("id"), F.col("vec").alias("_bvec"))
     dropped = res.filter(~F.col("keep")).select(
@@ -5011,7 +5053,8 @@ def _ivfsq_sharded_exec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _vectors(spark, sf_dir).cache()
     n = v.count()
-    idx = build_ivfsq(v, nlist=8, metric="l2", seed=42)
+    idx = build_ivfsq(v, nlist=8, metric="l2", seed=42,
+                      trainer="local")
     tmp = tempfile.mkdtemp(prefix="gofaiss_ivfsq_shard_topk_")
     try:
         save_sharded(idx, tmp, num_shards=3, vectors=v)
@@ -5111,7 +5154,8 @@ def _auto_tier_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofaiss_spark.operators.ivf import build_ivf
     from gofaiss_spark.operators.shard_serve import save_sharded
 
-    idx = build_ivf(_vectors(spark, sf_dir), nlist=10, metric="l2", seed=42)
+    idx = build_ivf(_vectors(spark, sf_dir), nlist=10, metric="l2", seed=42,
+                    trainer="local")
     tmp = tempfile.mkdtemp(prefix="gofaiss_auto_shard_")
     try:
         save_sharded(idx, tmp, num_shards=3)

@@ -75,28 +75,44 @@ def distinct_sketch(
     """Per column: HLL++ approximate distinct count next to the exact
     count, plus `approx_ok` = relative error within `tolerance`
     (default 5% ≈ 2.5σ at rsd=0.02; HLL hashing is deterministic, so
-    a pass is stable, not flaky). All columns' HLL registers and
-    exact-distinct aggregates partial-combine in ONE df.agg() pass —
-    a single scan regardless of how many columns are profiled."""
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count_distinct(F.col(c)).alias(f"_ex_{c}"),
-            F.approx_count_distinct(F.col(c), rsd).alias(f"_ap_{c}"),
-        ]
-    row = df.agg(*aggs).collect()[0]
-    out = [
-        (
-            c,
-            int(row[f"_ex_{c}"]),
-            bool(
-                abs(row[f"_ap_{c}"] - row[f"_ex_{c}"])
-                <= tolerance * row[f"_ex_{c}"]
-            ),
+    a pass is stable, not flaky).
+
+    Physical shape (optimization r12): one column-pruned
+    distinct→agg job per column, submitted CONCURRENTLY from a small
+    thread pool (guide §2.6 — overlap independent jobs). N distinct
+    aggregates in one ``df.agg`` made Catalyst rewrite through an
+    Expand that multiplies every input row (N+…)× before the first
+    partial aggregate; per-column jobs scan only their own parquet
+    column, never expand, and their tails back-fill each other.
+    ``approx_count_distinct`` over the pre-distincted values inserts
+    exactly the same hash set into the HLL registers as over the raw
+    column (duplicates are idempotent, NULLs excluded both ways), so
+    estimates — and the approx_ok booleans — are bit-identical."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = df.sparkSession
+
+    def one(c: str) -> tuple:
+        spark.sparkContext.setJobDescription(f"distinct_sketch: {c}")
+        row = (
+            df.select(F.col(c).alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("_ex"),
+                F.approx_count_distinct("_v", rsd).alias("_ap"),
+            )
+            .collect()[0]
         )
-        for c in cols
+        return c, int(row["_ex"]), row["_ap"]
+
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(cols)))) as pool:
+        rows = list(pool.map(one, cols))
+    out = [
+        (c, ex, bool(abs(ap - ex) <= tolerance * ex))
+        for c, ex, ap in rows
     ]
-    return df.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         out, "column_name string, exact_distinct long, approx_ok boolean"
     )
 

@@ -379,6 +379,17 @@ def dsir_weights(
     scale); the per-doc scoring joins exploded features to the
     n_buckets-row log-ratio table, which BROADCASTS, then aggregates
     back per doc — one narrow shuffle keyed on doc_id.
+
+    Physical shape (optimization r12, guide §1.2/§2.4): exactly TWO
+    passes over ``raw`` and ONE over ``target`` — the algorithm's
+    floor (global bucket distributions must exist before scoring).
+    Both distributions come out of ONE union-flagged aggregation job;
+    the totals are the sums of the collected n_buckets-row count
+    table (the old code ran two extra full ``count()`` passes); the
+    log-ratio table is rebuilt as a LOCAL 1024-row DataFrame, so the
+    scoring join broadcasts literal rows instead of re-executing both
+    aggregation lineages inside the scoring job. The llr arithmetic
+    is the same JVM F.log expression as before — values bit-identical.
     """
     def feats(df: DataFrame) -> DataFrame:
         words = F.filter(
@@ -402,29 +413,36 @@ def dsir_weights(
 
     raw_f = feats(raw)
     tgt_f = feats(target)
-    raw_counts = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
-    tgt_counts = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
-    raw_tot = raw_f.count()
-    tgt_tot = tgt_f.count()
-    buckets = raw.sparkSession.range(n_buckets).select(
-        F.col("id").cast("long").alias("bucket")
-    )
-    ratios = (
-        buckets.join(raw_counts, "bucket", "left")
-        .join(tgt_counts, "bucket", "left")
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce("c_tgt", F.lit(0)) + F.lit(1.0))
-                    / F.lit(float(tgt_tot + n_buckets))
-                )
-                - F.log(
-                    (F.coalesce("c_raw", F.lit(0)) + F.lit(1.0))
-                    / F.lit(float(raw_tot + n_buckets))
-                )
-            ).alias("llr"),
+    counts = (
+        raw_f.select("bucket", F.lit(1).alias("_r"), F.lit(0).alias("_t"))
+        .unionAll(
+            tgt_f.select("bucket", F.lit(0).alias("_r"), F.lit(1).alias("_t"))
         )
+        .groupBy("bucket")
+        .agg(F.sum("_r").alias("c_raw"), F.sum("_t").alias("c_tgt"))
+        .collect()
+    )
+    by_bucket = {int(r["bucket"]): (int(r["c_raw"]), int(r["c_tgt"])) for r in counts}
+    raw_tot = sum(c for c, _ in by_bucket.values())
+    tgt_tot = sum(c for _, c in by_bucket.values())
+    ratios = raw.sparkSession.createDataFrame(
+        [
+            (b, *by_bucket.get(b, (0, 0)))
+            for b in range(n_buckets)
+        ],
+        "bucket long, c_raw long, c_tgt long",
+    ).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("c_tgt") + F.lit(1.0))
+                / F.lit(float(tgt_tot + n_buckets))
+            )
+            - F.log(
+                (F.col("c_raw") + F.lit(1.0))
+                / F.lit(float(raw_tot + n_buckets))
+            )
+        ).alias("llr"),
     )
     return (
         raw_f.join(F.broadcast(ratios), "bucket")
@@ -458,6 +476,11 @@ def dsir_resample(
     w = dsir_weights(raw, target, n_buckets, text_col, id_col)
     if keep_fraction == 1.0:
         return w.select("doc_id", "n_feats", "avg_llr", F.lit(True).alias("keep"))
+    # weights are used twice (threshold + final select); checkpoint the
+    # NARROW per-doc table so the percentile pass does not re-execute
+    # the whole explode/score lineage (guide §5: cut lineage when an
+    # intermediate is reused and recomputation is the expensive part)
+    w = w.localCheckpoint(eager=True)
     thr = w.agg(
         F.percentile(F.col("avg_llr"), F.lit(1.0 - keep_fraction)).alias("t")
     ).collect()[0]["t"]

@@ -173,7 +173,13 @@ def near_dup_dedup_batch(
     cannot collide). This is the batch twin of
     streaming/ops.stream_near_dup_minhash: identical output when the
     stream arrives in id order."""
-    bands_df = minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_n)
+    # One signature computation, reused by both the min-per-band pass
+    # and the collision join below (without the checkpoint the full
+    # scan→shingle→minhash lineage executed twice; see the matching
+    # note in minhash_near_dup_pairs). Narrow rows only.
+    bands_df = minhash_bands(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    ).localCheckpoint(eager=True)
     firsts = bands_df.groupBy("band", "band_hash").agg(
         F.min("doc_id").alias("_first_doc")
     )
@@ -208,13 +214,28 @@ def minhash_near_dup_pairs(
         raise ValueError(f"num_hashes {num_hashes} must divide into {bands} bands")
     r = num_hashes // bands
     sigs = _hashed_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # Compute the signature pipeline ONCE and checkpoint the derived
+    # (hashed-shingle set, band hashes) table: the plan below uses it
+    # four times (both sides of the band self-join, both sides of the
+    # verify attach), and without the checkpoint Catalyst re-executed
+    # the full scan→shingle→32-family-minhash lineage per use — the
+    # r12 before-plan showed 8 parquet scans / 0 reused exchanges for
+    # one call (plans/r12/doc_minhash_near_dup_before.txt; guide §1.2
+    # step 1 — don't compute things twice, §5 — cut lineage when the
+    # intermediate is cheaper to hold than to recompute). The
+    # checkpointed rows are the banding/verify proxy (hashes only,
+    # O(corpus tokens) longs), never the documents themselves — the
+    # §8 "decide with small rows" discipline.
+    base = sigs.select(
+        "doc_id", "_h", _band_hash_array(r, bands).alias("_bh")
+    ).localCheckpoint(eager=True)
     # Banding on NARROW rows only — (doc_id, band, band_hash). The
     # shingle arrays must not ride the self-join shuffle: at scale
     # that multiplies every document's shingles by ``bands`` and
     # again by its candidate count.
-    banded = sigs.select(
+    banded = base.select(
         "doc_id",
-        F.posexplode(_band_hash_array(r, bands)).alias("band", "band_hash"),
+        F.posexplode(F.col("_bh")).alias("band", "band_hash"),
     )
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
@@ -230,7 +251,7 @@ def minhash_near_dup_pairs(
     # attached only to the (small) candidate set: Catalyst broadcasts
     # the pair list, so the corpus-side arrays are scanned once per
     # side, never shuffled keyed on pairs.
-    sh = sigs.select("doc_id", "_h")
+    sh = base.select("doc_id", "_h")
     pairs = (
         cands.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("_h").alias("sh_a")),
@@ -345,22 +366,63 @@ def ngram_jaccard_pairs(
     shingle_n: int = 1,
     threshold: float = 0.9,
 ) -> DataFrame:
-    """Exact pairwise Jaccard over shingle sets — O(n²); only for a
-    BOUNDED input (a verify kernel or small corpus). The scale path is
-    ``minhash_near_dup_pairs``. Returns (doc_a, doc_b, jaccard)."""
+    """Exact pairwise Jaccard over shingle sets.
+
+    For ``threshold > 0`` (every real caller) this is an
+    inverted-index equi-join, NOT a cross join: explode the distinct
+    shingles, self-join on the shingle hash, count common shingles
+    per pair, and derive |A∪B| = |A| + |B| − |A∩B|. Identical output
+    to the all-pairs formulation — a pair with zero common shingles
+    has jaccard 0 and can never reach a positive threshold — but the
+    work is proportional to Σ_shingle df(shingle)² instead of n²,
+    it parallelizes across shuffle partitions (the cross join
+    degenerated to ONE broadcast-nested-loop task), and the join
+    shuffles 8-byte shingle hashes instead of document payloads
+    (guide: joins §3.3 / shuffle-fewer-bytes §2.3). The shingle hash
+    is the repo-wide xxhash64 set convention (collisions 2⁻⁶⁴, same
+    contract as the MinHash verify kernel).
+
+    ``threshold ≤ 0`` keeps the literal all-pairs cross join (it must
+    report jaccard-0 pairs too — only a verify kernel at tiny scale
+    wants that). Returns (doc_a, doc_b, jaccard).
+    """
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(text_col, shingle_n).alias("sh"),
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
+    if threshold <= 0:
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+            F.array_union("sh_a", "sh_b")
+        )
+        return (
+            a.crossJoin(b)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+    ex = sh.select(
+        "doc_id",
+        F.size("sh").alias("nsh"),
+        F.explode("sh").alias("_s"),
+    ).select("doc_id", "nsh", F.xxhash64("_s").alias("_sh"))
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), F.col("nsh").alias("_na"), "_sh"
     )
-    return (
-        a.crossJoin(b)
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"), F.col("nsh").alias("_nb"), "_sh"
+    )
+    inter = (
+        a.join(b, "_sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("jaccard", F.round(jac, 6))
+        .groupBy("doc_a", "doc_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    jac = F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -369,6 +431,78 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
+
+
+#: cell budget (n·dim) for the broadcast-matrix GEMM prefilter of the
+#: exact arm — same family as ivf.LOCAL_TRAIN_MAX_CELLS; above it the
+#: exact arm falls back to the literal cross join (the exact arm is a
+#: bounded verify kernel by contract, so the fallback is theoretical)
+_EXACT_GEMM_MAX_CELLS = 32_000_000
+
+#: completeness margin for the GEMM prefilter: f64 GEMM differs from
+#: the Catalyst per-pair sum by ulps (~1e-14 relative); 1e-6 — one
+#: full rounding quantum of the reported 6dp value — is overwhelming
+_EXACT_GEMM_MARGIN = 1e-6
+
+
+def _exact_cosine_candidates(base: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (id_a, id_b) pairs with cosine similarity ≥
+    threshold − margin, via one blocked f64 GEMM per Arrow batch
+    against the broadcast normalized corpus matrix.
+
+    This is a PREFILTER in the repo's guarded-kernel pattern (the
+    flat-top-k f32-select + exact-re-score shape, topk.py): it may
+    only over-select — every surviving pair is re-scored by the exact
+    Catalyst expression afterwards, so reported values and the final
+    pair set are bit-identical to the all-pairs formulation while the
+    scoring drops from an O(n²) single-task broadcast-nested-loop
+    join (89 s at sf0.1) to one vectorized GEMM pass (guide §4.2 —
+    hand whole batches to native code). Zero vectors keep the
+    CosineDistance zero→1.0 convention: their surrogate norm makes
+    every similarity exactly 0.0, identical to 1 − 1.0.
+
+    The corpus matrix is collected once and broadcast — bounded by
+    the exact arm's verify-kernel contract and gated by
+    ``_EXACT_GEMM_MAX_CELLS`` (the documented ≤1M driver-side-build
+    discipline); above the gate the caller's literal cross join runs.
+    """
+    spark = base.sparkSession
+    first = base.select(F.size("vec").alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    n = base.count()
+    if n == 0 or dim == 0 or n * dim > _EXACT_GEMM_MAX_CELLS:
+        a = base.select(F.col("id").alias("id_a"))
+        b = base.select(F.col("id").alias("id_b"))
+        return a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    pdf_all = base.toPandas()
+    ids_all = pdf_all["id"].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf_all["vec"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    matn = mat / norms[:, None]
+    bc = spark.sparkContext.broadcast((ids_all, matn))
+    cut = float(threshold) - _EXACT_GEMM_MARGIN
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, matn_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            an = np.linalg.norm(a, axis=1)
+            an[an == 0.0] = 1.0
+            sims = (a / an[:, None]) @ matn_b.T  # (batch, n)
+            ida = pdf["id"].to_numpy(dtype=np.int64)
+            ii, jj = np.where(
+                (sims >= cut) & (ida[:, None] < ids_b[None, :])
+            )
+            yield pd.DataFrame(
+                {"id_a": ida[ii], "id_b": ids_b[jj]}
+            )
+
+    return base.select("id", "vec").mapInPandas(
+        part, schema="id_a long, id_b long"
+    )
 
 
 def embedding_near_dup_pairs(
@@ -389,9 +523,14 @@ def embedding_near_dup_pairs(
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if exact:
-        a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a"))
-        b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b"))
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        pairs = _exact_cosine_candidates(base, threshold)
+        pairs = pairs.join(
+            base.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a")),
+            "id_a",
+        ).join(
+            base.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b")),
+            "id_b",
+        )
         sim = 1.0 - cosine_distance("v_a", "v_b")
         return (
             pairs.withColumn("cos_sim", F.round(sim, 6))
@@ -406,8 +545,10 @@ def embedding_near_dup_pairs(
     # Same narrow-candidate shape as minhash banding: the bucket
     # self-join moves only (id, t, bucket); vectors are attached to
     # the deduped pair set afterwards (broadcast pair list → the
-    # vector table is never shuffled on pair keys).
-    bk = idx.buckets.select("t", "bucket", "id")
+    # vector table is never shuffled on pair keys). Checkpoint the
+    # narrow bucket rows so the hashing pass runs ONCE instead of
+    # once per side of the self-join (r12; guide §1.2 step 1).
+    bk = idx.buckets.select("t", "bucket", "id").localCheckpoint(eager=True)
     cands = (
         bk.select(F.col("id").alias("id_a"), "t", "bucket")
         .join(bk.select(F.col("id").alias("id_b"), "t", "bucket"), ["t", "bucket"])
@@ -415,6 +556,22 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    first = base.select(F.size("vec").alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    if 0 < base.count() * dim <= _EXACT_GEMM_MAX_CELLS:
+        # Bounded-corpus fast path (r12): intersect the LSH candidate
+        # set with the guarded GEMM prefilter before the exact scorer.
+        # The prefilter only ever over-selects (margin one full 6dp
+        # rounding quantum vs ~1e-14 GEMM ulps), and every surviving
+        # pair still gets the identical Catalyst re-score below — the
+        # emitted pair set and values are bit-identical to scoring
+        # every candidate; the per-pair HOF work just stops being
+        # spent on the ~99% of candidates the threshold rejects.
+        # Above the cell bound, score all candidates (the 100 TB
+        # path, where per-bucket candidate counts are bounded).
+        cands = cands.join(
+            _exact_cosine_candidates(base, threshold), ["id_a", "id_b"]
+        )
     pairs = (
         cands.join(
             base.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a")), "id_a"

@@ -37,6 +37,7 @@ def main() -> None:
     ap.add_argument("--plans-dir", default="")
     ap.add_argument("--suffix", default="_before")
     ap.add_argument("--only", default="")
+    ap.add_argument("--skip", default="")
     ap.add_argument("--skip-noop", action="store_true")
     args = ap.parse_args()
 
@@ -51,6 +52,9 @@ def main() -> None:
     names = [n for n in sorted(qmap)]
     if args.only:
         names = [n for n in args.only.split(",") if n]
+    if args.skip:
+        skip = set(args.skip.split(","))
+        names = [n for n in names if n not in skip]
 
     if args.plans_dir:
         os.makedirs(args.plans_dir, exist_ok=True)
