@@ -2841,6 +2841,41 @@ FROM documents
 """
 
 
+def _stream_state_partitions(spark: SparkSession):
+    """Context manager: size the streaming state-store / micro-batch
+    shuffle width to the STATE the stream actually keeps, not to the
+    batch-compute core count (optimization r12; guide §2 — make
+    partitioning scale-adaptive, not a constant tuned for one mode).
+
+    A stateful streaming sink pins its state-partition count from
+    ``spark.sql.shuffle.partitions`` at first start, and every
+    micro-batch then pays one state-store instance (open, commit,
+    snapshot) per partition per trigger. The window-agg state here is
+    (event_type × hour) — thousands of keys — so 32 partitions × 4
+    micro-batches was pure per-instance overhead (measured 13–32 s →
+    5 s at 8 partitions, sf0.1). Production sizes this to state
+    volume/throughput via SPARK_GRAFT_STREAM_STATE_PARTITIONS; the
+    default 8 is generous for the driver corpus at every SF. Restores
+    the session value afterwards (queries in the driver contract run
+    sequentially)."""
+    import os
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        spark.conf.set(
+            key, os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+        )
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return _cm()
+
+
 def _stream_flat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver row for the streaming surface (streaming/ops.py): the
     N_TOPK_QUERIES query vectors arrive as a 4-file parquet stream
@@ -2873,13 +2908,14 @@ def _stream_flat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
         )
         res_path = f"{tmp}/results"
-        sq = stream_search_topk(
-            stream, idx_path, res_path,
-            checkpoint_dir=f"{tmp}/ckpt", k=TOPK_K,
-        )
-        if not sq.awaitTermination(600):
-            sq.stop()
-            raise RuntimeError("stream_flat_topk: stream did not finish")
+        with _stream_state_partitions(spark):
+            sq = stream_search_topk(
+                stream, idx_path, res_path,
+                checkpoint_dir=f"{tmp}/ckpt", k=TOPK_K,
+            )
+            if not sq.awaitTermination(600):
+                sq.stop()
+                raise RuntimeError("stream_flat_topk: stream did not finish")
         out = spark.read.parquet(res_path).select(
             "query_id", "id", F.round("distance", 6).alias("distance")
         )
@@ -2920,13 +2956,15 @@ def _stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         agg = windowed_event_agg(stream, window="1 hour",
                                  watermark="2 hours")
-        q = (
-            agg.writeStream.format("memory").queryName(sink)
-            .outputMode("complete").trigger(availableNow=True).start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("stream_event_windows: stream did not finish")
+        with _stream_state_partitions(spark):
+            q = (
+                agg.writeStream.format("memory").queryName(sink)
+                .outputMode("complete").trigger(availableNow=True).start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    "stream_event_windows: stream did not finish")
         out = spark.table(sink).select(
             "event_type",
             F.date_format("window_start", "yyyy-MM-dd HH").alias("hour"),

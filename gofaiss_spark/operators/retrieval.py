@@ -79,17 +79,26 @@ class TextIndex:
 def build_text_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> TextIndex:
-    """Tokenize once, derive postings and doc lengths from the same
-    exploded pass. Two aggregations, each a single shuffle with
-    partial aggregation; corpus constants reduce to one driver row."""
+    """Tokenize ONCE: the postings aggregation is materialized with a
+    localCheckpoint (it IS the inverted-index artifact — the same
+    table save_text_index persists), and everything else derives from
+    it: doc lengths as sum(tf) per doc (identical to the token count,
+    a term's tf is its token multiplicity), corpus constants as one
+    driver row over the doc lengths. Before r12 each consumer —
+    doc_lens, the constants row, the BM25 probe, the df aggregation —
+    re-executed the whole tokenize→explode→groupBy lineage, so one
+    build+search ran the corpus scan 4× (guide §1.2 step 1 / §5:
+    materialize the intermediate both passes share)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(F.col(text_col))).alias("term"),
     )
     postings = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
-    )
-    doc_lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    ).localCheckpoint(eager=True)
+    doc_lens = postings.groupBy("doc_id").agg(
+        F.sum("tf").alias("dl")
+    ).localCheckpoint(eager=True)
     row = doc_lens.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
@@ -235,9 +244,11 @@ def save_text_index(index: TextIndex, path: str) -> None:
     postings = index.postings
     if "bucket" not in postings.columns:
         postings = postings.withColumn("bucket", _term_bucket(F.col("term")))
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/postings"
-    )
+    # cluster by bucket before the partitioned write: one file per
+    # bucket instead of (input tasks × buckets) tiny files (guide §6)
+    postings.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
     index.doc_lens.write.mode("overwrite").parquet(f"{path}/doc_lens")
     os.makedirs(path, exist_ok=True)
     with open(f"{path}/_meta.json", "w") as f:

@@ -157,6 +157,16 @@ def _write_df(df, path: str, fmt: str, partition_by: str | None = None) -> None:
     """Write one artifact component. For the JSON debug format a
     ``_schema.json`` sidecar (underscore prefix → ignored by Spark's
     hidden-file filter) preserves exact types for the round-trip."""
+    if partition_by:
+        # Cluster rows by the partition key BEFORE the partitioned
+        # write (optimization r12; guide §6 — coalesce on write, aim
+        # for few well-sized files): an unclustered partitionBy makes
+        # EVERY input task open one file per key it holds — W tasks ×
+        # nlist keys ≈ W·nlist tiny files per artifact (measured: the
+        # ivf_save bench row spent its 4 s on file create/commit, not
+        # bytes). Hash-distributing by the key first writes one file
+        # per key — the Iceberg write.distribution-mode=hash shape.
+        df = df.repartition(F.col(partition_by))
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)
