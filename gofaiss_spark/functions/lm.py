@@ -64,12 +64,24 @@ def bigram_perplexity(
         ).alias("_b"),
     ).select("doc_id", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
 
-    bg_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
-    ctx_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    # ONE aggregation over the token stream, checkpointed (it is the
+    # trained model — vocab²-bounded, orders of magnitude smaller than
+    # the corpus), and the other two model tables DERIVE from it:
+    # c_ctx(w1) = Σ_w2 c_bg(w1,w2) is exactly the count of bigram
+    # tokens with context w1, and the distinct words of the pair
+    # table are the same set as the distinct words of the token
+    # stream. Before r12 each table re-ran tokenize→explode from the
+    # corpus — 5 full scans per call (12 parquet scans in the
+    # doc_ppl_buckets plan); now: one for the model, one for scoring
+    # (guide §1.2 step 1 — the algorithm's two-pass floor).
+    bg_counts = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_bg")
+    ).localCheckpoint(eager=True)
+    ctx_counts = bg_counts.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
     # vocab = distinct words anywhere (first or second position)
     vocab = (
-        bg.select(F.col("w1").alias("w"))
-        .unionByName(bg.select(F.col("w2").alias("w")))
+        bg_counts.select(F.col("w1").alias("w"))
+        .unionByName(bg_counts.select(F.col("w2").alias("w")))
         .agg(F.count_distinct("w").alias("v"))
     )
 

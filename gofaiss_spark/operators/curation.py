@@ -524,11 +524,14 @@ def vocab_drift(
 
     ca = counts(docs_a, "cnt_a")
     cb = counts(docs_b, "cnt_b")
+    # vocabulary-sized and used TWICE (totals aggregate + the final
+    # projection): checkpoint so both snapshots' tokenize→explode→
+    # groupBy lineages run once, not twice (r12; guide §1.2 step 1)
     joined = ca.join(cb, "word", "full_outer").select(
         "word",
         F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
         F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
-    )
+    ).localCheckpoint(eager=True)
     # union vocab size + per-snapshot token totals drive the smoothed
     # denominators; they are scalars — computed once, cross-joined as
     # a 1-row broadcast (no per-row recomputation)

@@ -52,6 +52,10 @@ def mine_hard_negatives(
     cands = cands.withColumn("_pr", F.row_number().over(w_pool)).filter(
         F.col("_pr") <= k_pool
     )
+    # used twice (positive arm + negative arm): checkpoint the NARROW
+    # labeled-candidate table (queries × k_pool rows) so the flat
+    # search kernel and label joins run once, not once per arm (r12;
+    # guide §1.2 step 1 / §5)
     labeled = cands.join(
         vectors.select("id", F.col(label_col).alias("_cand_label")), "id"
     ).join(
@@ -61,7 +65,7 @@ def mine_hard_negatives(
             )
         ),
         "query_id",
-    )
+    ).localCheckpoint(eager=True)
     same = F.col("_cand_label") == F.col("_q_label")
     w = Window.partitionBy("query_id").orderBy(
         F.col("distance").asc(), F.col("id").asc()

@@ -45,6 +45,21 @@ def get_spark(app_name: str = "gofaiss_spark", cpus: int | None = None) -> Spark
         # Vector payloads are wide; raise broadcast threshold so query
         # batches and centroid/codebook tables broadcast instead of shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Allow shuffled-hash joins when the planner's size conditions
+        # are met, and let AQE rewrite sort-merge → shuffled-hash when
+        # every post-shuffle partition is small (optimization guide
+        # §3.1/§9). Matters for the join shapes broadcast can't take —
+        # FULL OUTER vocab/fingerprint diffs (snapshot_diff,
+        # vocab_drift) sort both sides for no reason under pure SMJ.
+        # Join strategy never changes results, only the physical plan;
+        # both settings are cluster-safe (the threshold bounds the
+        # per-partition hash build to the same 64 MB the broadcast
+        # threshold already accepts per executor).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         # A crashed python worker reports only "exited unexpectedly"
         # without this; the traceback made the r6 bench stage-3004
         # crash adjudicable (r6 verdict item 1c). Negligible overhead.
