@@ -1703,7 +1703,8 @@ def _ivf_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofaiss_spark.operators.reconstruct import merge_index
 
     v = _vectors(spark, sf_dir)
-    trained = build_ivf(v, nlist=10, metric="l2", seed=42)
+    trained = build_ivf(v, nlist=10, metric="l2", seed=42,
+                        trainer="local")
     half_a = assign_to_centroids(
         v.filter(F.col("id") % 2 == 0), trained.centroids, "l2"
     )
@@ -1933,7 +1934,7 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofaiss_spark.operators.ivfpq import build_ivfpq, search_ivfpq
 
     v = _vectors(spark, sf_dir)
-    idx = build_ivfpq(v, nlist=10, m=8, nbits=5)
+    idx = build_ivfpq(v, nlist=10, m=8, nbits=5, trainer="local")
     res = search_ivfpq(
         idx, _queries_df(spark, sf_dir, N_ANN_QUERIES), k=TOPK_K, nprobe=4
     )
@@ -1968,7 +1969,7 @@ def _ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _vectors(spark, sf_dir)
     q = _queries_df(spark, sf_dir, N_ANN_QUERIES)
-    idx = build_ivfpq(v, nlist=10, m=8, nbits=5)
+    idx = build_ivfpq(v, nlist=10, m=8, nbits=5, trainer="local")
     res = search_ivfpq(idx, q, k=TOPK_K, nprobe=4, refine=10, base=v)
     return _ann_invariants(res, v, queries=q, truth=search_flat(v, q, k=TOPK_K))
 
@@ -2043,7 +2044,7 @@ def _ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _vectors(spark, sf_dir)
     q = _queries_df(spark, sf_dir, N_ANN_QUERIES)
-    idx = build_ivfsq(v, nlist=10, seed=42)
+    idx = build_ivfsq(v, nlist=10, seed=42, trainer="local")
     res = search_ivfsq(idx, q, k=TOPK_K, nprobe=4)
     bound = idx.distance_error_bound() + 1e-6
 
