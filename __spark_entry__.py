@@ -2500,7 +2500,9 @@ def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         docs, shingle_n=MINHASH_SHINGLE_N, threshold=MINHASH_THRESHOLD
     ).select("doc_a", "doc_b")
-    sh = simhash(docs)
+    # narrow (doc_id, simhash) rows joined on BOTH pair sides:
+    # checkpoint so the tokenize→hash→sign-aggregate kernel runs once
+    sh = simhash(docs).localCheckpoint(eager=True)
     return (
         pairs.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_ha")),
