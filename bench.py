@@ -602,6 +602,18 @@ def main() -> None:
         "doc_substring_dup",
         "doc_ppl_buckets",
         "doc_dsir_resample",
+        # r13 (verdict item 3): the four paths whose r12 optimizations
+        # were the round's biggest wins — doc_ngram_jaccard 406→14 s,
+        # doc_simhash 358→6 s, embedding_near_dup_exact 89→2 s,
+        # ann_recall_report 85→13 s — were never in this timed list,
+        # so the driver's bench could not see them (nor any future
+        # regression in them). ADDITIONS only: no existing row
+        # removed, renamed, or re-scoped.
+        "doc_ngram_jaccard",
+        "doc_simhash",
+        "embedding_near_dup_exact",
+        "embedding_near_dup_lsh",
+        "ann_recall_report",
     ):
         timed(name, lambda name=name: qmap[name](spark, SF_DIR).count())
 
@@ -628,6 +640,22 @@ def main() -> None:
     # past the comfortable single-collect regime), LSH. Sub-sections
     # are individually budget-gated, highest-value-first, so a slow
     # window degrades to fewer rows instead of a driver timeout.
+    def _cache10m_complete() -> bool:
+        """True when every 10M sharded artifact this bench builds is
+        already in the cross-round cache (deterministic seeds — see
+        _cached_artifact), so the 10M section costs ~search-only and
+        can run anchor-FIRST even inside the driver's 1,944 s
+        window (r13, verdict item 2)."""
+        root = os.environ.get(
+            "SPARK_GRAFT_10M_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "spark-warehouse", "bench10m_cache"))
+        tags = ("ivfpq_m8_nl1000_s42_sh16", "ivfpq_m16_nl1000_s42_sh16",
+                "ivfsq_nl1000_s42_sh16", "ivf_nl1000_s42_sh16")
+        return all(
+            os.path.exists(os.path.join(root, t, "_shard_meta.json"))
+            for t in tags)
+
     def run_10m_anchor(patient: bool = True) -> bool:
         """The whole 10M anchor section as a callable (r11 verdict
         item 3): schedulable EARLY — probe the sentinel FIRST and,
@@ -1126,6 +1154,238 @@ def main() -> None:
         _anchors_done.add("10m")
         return True
 
+    # --- 1M-vector anchor rows (verify the 100k→100 TB extrapolation
+    # with a real order-of-magnitude step; the scale where the
+    # reference's 16 GB box gives out). Same workload shape, n=1M.
+    # Budget-gated (r6 verdict item 1b): on a throttled box the
+    # anchors are skipped WITH a recorded note instead of outrunning
+    # the driver's window. r13 (verdict item 2): a CALLABLE like
+    # run_10m_anchor, so anchor-first scheduling can run it at the
+    # start of a clean window instead of after ~25 min of sustained
+    # load; the early attempt (patient=False) proceeds only in a
+    # clean window and leaves the tail-position fallback in place
+    # otherwise. Returns True once the section recorded rows or a
+    # terminal skip note.
+    def run_1m_anchor(patient: bool = True) -> bool:
+        want_1m = baseline_n >= 100_000 and os.environ.get(
+            "SPARK_GRAFT_BASELINE_1M", "1") != "0"
+        if not want_1m or "1m" in _anchors_done:
+            return False
+        probe = sentinel("anchor_1m", patient=patient)
+        if probe["throttled"] and not patient:
+            # early opportunistic attempt: leave the reserve in place
+            # and let the tail call wait the wave out
+            return False
+        if elapsed() + 240 + reserve_pending("1m") > budget:
+            if not patient:
+                return False  # leave the reserve; the tail retries
+            baseline["scaling_1m"] = {
+                "note": f"1M anchor skipped: {elapsed():.0f}s elapsed + "
+                        f"~240s section + {reserve_pending('1m'):.0f}s "
+                        f"10M reserve would exceed the {budget:.0f}s "
+                        "budget (SPARK_GRAFT_BENCH_BUDGET_SEC; box "
+                        "throttled this window)",
+            }
+            _anchors_done.add("1m")
+            return True
+        import math
+
+        import numpy as np
+
+        from gofaiss_spark.operators.local_serve import (
+            LocalServerPool,
+            to_local_ivf,
+        )
+
+        n1m = 1_000_000
+        bvec1m = generate_random_vectors(spark, n1m, 128, 52).cache()
+        bvec1m.count()
+        # interleaved 100k re-measure in the SAME window so the
+        # scaling ratio below isn't two different throttle states.
+        # FRESH seed: re-timing search_flat(bvec, bq) would match the
+        # still-cached `truth` plan in the CacheManager and read the
+        # InMemoryRelation (0.2 s) instead of searching (~1 s) — the
+        # same class of artifact bsearch guards against internally.
+        bvec100_i = generate_random_vectors(spark, baseline_n, 128, 142) \
+            .cache()
+        bvec100_i.count()
+        sec100, _r100 = bsearch(lambda: search_flat(bvec100_i, bq, k=K))
+        bvec100_i.unpersist()
+        sec, truth1m = bsearch(lambda: search_flat(bvec1m, bq, k=K))
+        baseline["flat_1m"] = {
+            "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+            "search_sec_range": bs_range(),
+            "recall": 1.0, "n_vectors": n1m,
+            "flat_100k_interleaved_sec": sec100,
+            "memory_mb": round(n1m * 128 * 4 / 2**20, 2),
+        }
+        t0 = time.monotonic()
+        bivf1m = build_ivf(bvec1m, nlist=1000, seed=42,
+                           train_fraction=5000.0 / n1m)
+        bivf1m.assignments.cache().count()
+        b1m_build = round(time.monotonic() - t0, 4)
+        sec, res = bsearch(lambda: search_ivf(bivf1m, bq, k=K, nprobe=10))
+        baseline["ivf_1m"] = {
+            "build_sec": b1m_build, "search_sec": sec,
+            "search_sec_range": bs_range(),
+            "qps_batch": round(bn_q / sec, 1),
+            "recall": brec(res, truth1m),
+            "nlist": 1000, "nprobe": 10, "n_vectors": n1m,
+        }
+        sec, res = bsearch(lambda: search_ivf(bivf1m, bq, k=K, nprobe=100))
+        baseline["ivf_1m_np100"] = {
+            "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
+            "search_sec_range": bs_range(),
+            "recall": brec(res, truth1m),
+            "nlist": 1000, "nprobe": 100, "n_vectors": n1m,
+        }
+        # single-node serving pool at 1M (512 MB of vectors in shm)
+        t0 = time.monotonic()
+        l1m = to_local_ivf(bivf1m)
+        collect_s = round(time.monotonic() - t0, 4)
+        p1m = LocalServerPool(l1m)
+        rngq = np.random.default_rng(43)
+        lq10k_1m = rngq.random((10_000, 128), dtype=np.float32)
+        p1m.search(lq10k_1m[:128], k=K, nprobe=100)  # warm
+        best, runs = float("inf"), []
+        for _ in range(3):
+            t0 = time.monotonic()
+            pids, _pd_ = p1m.search(lq10k_1m, k=K, nprobe=100)
+            runs.append(round(time.monotonic() - t0, 4))
+            best = min(best, runs[-1])
+        # exact recall on the first 1k queries (full probe = exact)
+        tr_ids, _tr = p1m.search(lq10k_1m[:1000], k=K, nprobe=l1m.nlist)
+        rec = float(np.mean([
+            len(set(pids[i]) & set(tr_ids[i])) / K for i in range(1000)
+        ]))
+        baseline["ivf_local_mp_1m_batch10k"] = {
+            "search_sec": round(best, 4),
+            "search_sec_range": [min(runs), max(runs)],
+                        "qps_batch": round(len(lq10k_1m) / best, 1),
+            "recall": round(rec, 4),
+            "nlist": 1000, "nprobe": 100, "n_queries": len(lq10k_1m),
+            "n_vectors": n1m, "collect_sec": collect_s,
+            "workers": p1m.workers,
+        }
+        p1m.close()
+        # executor-sharded serving at 1M — the tier's design case:
+        # no driver collect (the pool paid collect_sec above); the
+        # artifact is written once and every host serves its shards
+        # from host shared memory thereafter.
+        import shutil as _sh1
+        import tempfile as _tf1
+
+        from gofaiss_spark.operators.shard_serve import (
+            ShardedSearcher as _ShSearcher,
+        )
+        from gofaiss_spark.operators.shard_serve import (
+            save_sharded as _save_sharded,
+        )
+
+        shard_dir1m = _tf1.mkdtemp(prefix="gofaiss_bench_shards1m_")
+        try:
+            t0 = time.monotonic()
+            _save_sharded(bivf1m, shard_dir1m, num_shards=8)
+            sh1m_write = round(time.monotonic() - t0, 4)
+            srv1m = _ShSearcher(spark, shard_dir1m)
+            try:
+                srv1m.search(lq10k_1m[:128], k=K, nprobe=100)  # cold
+                srv1m.search(lq10k_1m[:128], k=K, nprobe=100)  # warm
+                # single timed run (r8 budget trim): range recorded
+                # stable r5-r7 (18-41 s, throttle envelope); the
+                # extra 2 runs re-spent ~36-80 s
+                t0 = time.monotonic()
+                shids1m, _d1 = srv1m.search(lq10k_1m, k=K, nprobe=100)
+                best = time.monotonic() - t0
+            finally:
+                srv1m.close()
+            rec = float(np.mean([
+                len(set(shids1m[i]) & set(tr_ids[i])) / K
+                for i in range(1000)
+            ]))
+            baseline["ivf_shard_exec_1m_batch10k"] = {
+                "search_sec": round(best, 4),
+                "n_runs": 1,
+                "qps_batch": round(len(lq10k_1m) / best, 1),
+                "recall": round(rec, 4),
+                "nlist": 1000, "nprobe": 100,
+                "n_queries": len(lq10k_1m), "n_vectors": n1m,
+                "num_shards": 8, "slices_per_shard": srv1m.slices,
+                "artifact_write_sec": sh1m_write,
+            }
+        finally:
+            _sh1.rmtree(shard_dir1m, ignore_errors=True)
+        t0 = time.monotonic()
+        blsh1m = build_lsh(bvec1m, num_hash_tables=4)
+        blsh1m.buckets.cache().count()
+        lsh1m_build = round(time.monotonic() - t0, 4)
+        # warm + single timed run (r8 budget trim): range recorded
+        # stable r5-r7 (14-28 s); best-of-2 re-spent ~15-27 s
+        search_lsh(blsh1m, bq, k=K, multiprobe=1).count()  # warm
+        t0 = time.monotonic()
+        res = search_lsh(blsh1m, bq, k=K, multiprobe=1).cache()
+        res.count()
+        sec = round(time.monotonic() - t0, 4)
+        baseline["lsh_1m"] = {
+            "build_sec": lsh1m_build, "search_sec": sec,
+            "n_runs": 1,
+            "qps_batch": round(bn_q / sec, 1),
+            "recall": brec(res, truth1m),
+            "num_hash_tables": 4, "multiprobe": 1, "n_vectors": n1m,
+        }
+        blsh1m.buckets.unpersist()
+        bivf1m.assignments.unpersist()
+        bvec1m.unpersist()
+        # measured scaling exponent for 10x n. The flat ratio is
+        # interleaved (100k re-measured seconds before the 1M arm,
+        # same throttle window — the only honest single-run ratio on
+        # this box); ivf/lsh ratios compare across the run and carry
+        # the window caveat. Ideal linear work = ratio 10
+        # (exponent 1.0 per decade).
+        baseline["scaling_1m"] = {
+            "note": "search-time ratio for 10x n (1M vs 100k); "
+                    "flat_interleaved is same-window (honest), "
+                    "*_cross_window spans throttle states; linear "
+                    "work = ratio 10 (exponent 1). Ratios near or "
+                    "below 1 mean the 100k side is scheduling-bound "
+                    "(~1s distributed-job floor at this size), not "
+                    "that work scales sublinearly — the floor hides "
+                    "the compute term until n is large enough to "
+                    "dominate it",
+            "flat_interleaved": {
+                "time_ratio_1m_vs_100k": round(
+                    baseline["flat_1m"]["search_sec"] / max(1e-9, sec100), 2),
+                "exponent_per_decade": round(math.log10(
+                    baseline["flat_1m"]["search_sec"] / max(1e-9, sec100)), 3),
+            },
+        }
+        _anchors_done.add("1m")
+        emit_summary()  # 1M anchor checkpoint
+        return True
+
+    def _finalize_1m_ratios() -> None:
+        """Cross-window 1M/100k ratios (ivf, lsh): they compare rows
+        possibly measured in different throttle windows, so they are
+        assembled at the tail — after both the anchor and the 100k
+        section have had their chance to run, whichever order the
+        anchor-first scheduler picked."""
+        import math
+
+        sc = baseline.get("scaling_1m")
+        if not isinstance(sc, dict) or "flat_interleaved" not in sc:
+            return  # anchor skipped/aborted — nothing to finalize
+        for a, b in (("ivf", "ivf_1m"), ("lsh", "lsh_1m")):
+            if (a in baseline and b in baseline
+                    and "search_sec" in baseline[a]
+                    and "search_sec" in baseline[b]):
+                r = baseline[b]["search_sec"] / max(
+                    1e-9, baseline[a]["search_sec"])
+                sc[a + "_cross_window"] = {
+                    "time_ratio_1m_vs_100k": round(r, 2),
+                    "exponent_per_decade": round(math.log10(r), 3),
+                }
+    # --- end of the movable 1M anchor block ---
+
     if baseline_n:
         sentinel("baseline_100k", core=True)
         from gofaiss_spark.bench_util import recall_at_k
@@ -1193,15 +1453,23 @@ def main() -> None:
             return round(idx.stats()["memory_mb"], 2)
 
         # r11 verdict item 3 — anchor-FIRST scheduling: probe the
-        # sentinel and, in a clean window, run the 10M anchor NOW,
+        # sentinel and, in a clean window, run the anchors NOW,
         # before ~90 min of sustained load makes clean windows
         # unobtainable (the tail-position patient backoff was
-        # outlasted by the waves two rounds running). Auto mode only
-        # fires when the budget affords the anchor up front and still
-        # leaves the whole 100k/1M program (canonical runs); the
-        # 1,944 s driver window keeps its tail-gated skip behavior.
+        # outlasted by the waves two rounds running). Auto mode fires
+        # when the budget affords the anchors up front (canonical
+        # runs), OR — r13 (verdict item 2: both r12 windows and r11's
+        # budget-skipped every anchor) — when the 10M artifact cache
+        # is complete, which makes the whole 10M section search-only
+        # (~7 min) and affordable inside the driver's 1,944 s window.
+        # The early attempts are sentinel-gated (patient=False returns
+        # without recording in a throttled window, leaving the
+        # tail-position patient fallback in place), so a throttled
+        # window keeps the old tail-gated behavior.
         _af = os.environ.get("SPARK_GRAFT_10M_FIRST", "auto")
-        if big and (_af == "1" or (_af == "auto" and budget >= 5400)):
+        if big and (_af == "1" or (_af == "auto" and (
+                budget >= 5400 or _cache10m_complete()))):
+            run_1m_anchor(patient=False)
             run_10m_anchor(patient=False)
 
         sec, truth = bsearch(lambda: search_flat(bvec, bq, k=K))
@@ -2194,217 +2462,13 @@ def main() -> None:
     # 100k baseline section complete — checkpoint before the anchors
     emit_summary()
 
-    # --- 1M-vector anchor rows (verify the 100k→100 TB extrapolation
-    # with a real order-of-magnitude step; the scale where the
-    # reference's 16 GB box gives out). Same workload shape, n=1M.
-    # Budget-gated (r6 verdict item 1b): on a throttled box the
-    # anchors are skipped WITH a recorded note instead of outrunning
-    # the driver's window.
-    want_1m = baseline_n >= 100_000 and os.environ.get(
-        "SPARK_GRAFT_BASELINE_1M", "1") != "0"
-    if want_1m:
-        sentinel("anchor_1m")
-    if want_1m and elapsed() + 240 + reserve_pending("1m") > budget:
-        baseline["scaling_1m"] = {
-            "note": f"1M anchor skipped: {elapsed():.0f}s elapsed + "
-                    f"~240s section + {reserve_pending('1m'):.0f}s "
-                    f"10M reserve would exceed the {budget:.0f}s "
-                    "budget (SPARK_GRAFT_BENCH_BUDGET_SEC; box "
-                    "throttled this window)",
-        }
-        want_1m = False
-    _anchors_done.add("1m")
-    if want_1m:
-        import math
 
-        import numpy as np
-
-        from gofaiss_spark.operators.local_serve import (
-            LocalServerPool,
-            to_local_ivf,
-        )
-
-        n1m = 1_000_000
-        bvec1m = generate_random_vectors(spark, n1m, 128, 52).cache()
-        bvec1m.count()
-        # interleaved 100k re-measure in the SAME window so the
-        # scaling ratio below isn't two different throttle states.
-        # FRESH seed: re-timing search_flat(bvec, bq) would match the
-        # still-cached `truth` plan in the CacheManager and read the
-        # InMemoryRelation (0.2 s) instead of searching (~1 s) — the
-        # same class of artifact bsearch guards against internally.
-        bvec100_i = generate_random_vectors(spark, baseline_n, 128, 142) \
-            .cache()
-        bvec100_i.count()
-        sec100, _r100 = bsearch(lambda: search_flat(bvec100_i, bq, k=K))
-        bvec100_i.unpersist()
-        sec, truth1m = bsearch(lambda: search_flat(bvec1m, bq, k=K))
-        baseline["flat_1m"] = {
-            "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
-            "search_sec_range": bs_range(),
-            "recall": 1.0, "n_vectors": n1m,
-            "flat_100k_interleaved_sec": sec100,
-            "memory_mb": round(n1m * 128 * 4 / 2**20, 2),
-        }
-        t0 = time.monotonic()
-        bivf1m = build_ivf(bvec1m, nlist=1000, seed=42,
-                           train_fraction=5000.0 / n1m)
-        bivf1m.assignments.cache().count()
-        b1m_build = round(time.monotonic() - t0, 4)
-        sec, res = bsearch(lambda: search_ivf(bivf1m, bq, k=K, nprobe=10))
-        baseline["ivf_1m"] = {
-            "build_sec": b1m_build, "search_sec": sec,
-            "search_sec_range": bs_range(),
-            "qps_batch": round(bn_q / sec, 1),
-            "recall": brec(res, truth1m),
-            "nlist": 1000, "nprobe": 10, "n_vectors": n1m,
-        }
-        sec, res = bsearch(lambda: search_ivf(bivf1m, bq, k=K, nprobe=100))
-        baseline["ivf_1m_np100"] = {
-            "search_sec": sec, "qps_batch": round(bn_q / sec, 1),
-            "search_sec_range": bs_range(),
-            "recall": brec(res, truth1m),
-            "nlist": 1000, "nprobe": 100, "n_vectors": n1m,
-        }
-        # single-node serving pool at 1M (512 MB of vectors in shm)
-        t0 = time.monotonic()
-        l1m = to_local_ivf(bivf1m)
-        collect_s = round(time.monotonic() - t0, 4)
-        p1m = LocalServerPool(l1m)
-        rngq = np.random.default_rng(43)
-        lq10k_1m = rngq.random((10_000, 128), dtype=np.float32)
-        p1m.search(lq10k_1m[:128], k=K, nprobe=100)  # warm
-        best, runs = float("inf"), []
-        for _ in range(3):
-            t0 = time.monotonic()
-            pids, _pd_ = p1m.search(lq10k_1m, k=K, nprobe=100)
-            runs.append(round(time.monotonic() - t0, 4))
-            best = min(best, runs[-1])
-        # exact recall on the first 1k queries (full probe = exact)
-        tr_ids, _tr = p1m.search(lq10k_1m[:1000], k=K, nprobe=l1m.nlist)
-        rec = float(np.mean([
-            len(set(pids[i]) & set(tr_ids[i])) / K for i in range(1000)
-        ]))
-        baseline["ivf_local_mp_1m_batch10k"] = {
-            "search_sec": round(best, 4),
-            "search_sec_range": [min(runs), max(runs)],
-                        "qps_batch": round(len(lq10k_1m) / best, 1),
-            "recall": round(rec, 4),
-            "nlist": 1000, "nprobe": 100, "n_queries": len(lq10k_1m),
-            "n_vectors": n1m, "collect_sec": collect_s,
-            "workers": p1m.workers,
-        }
-        p1m.close()
-        # executor-sharded serving at 1M — the tier's design case:
-        # no driver collect (the pool paid collect_sec above); the
-        # artifact is written once and every host serves its shards
-        # from host shared memory thereafter.
-        import shutil as _sh1
-        import tempfile as _tf1
-
-        from gofaiss_spark.operators.shard_serve import (
-            ShardedSearcher as _ShSearcher,
-        )
-        from gofaiss_spark.operators.shard_serve import (
-            save_sharded as _save_sharded,
-        )
-
-        shard_dir1m = _tf1.mkdtemp(prefix="gofaiss_bench_shards1m_")
-        try:
-            t0 = time.monotonic()
-            _save_sharded(bivf1m, shard_dir1m, num_shards=8)
-            sh1m_write = round(time.monotonic() - t0, 4)
-            srv1m = _ShSearcher(spark, shard_dir1m)
-            try:
-                srv1m.search(lq10k_1m[:128], k=K, nprobe=100)  # cold
-                srv1m.search(lq10k_1m[:128], k=K, nprobe=100)  # warm
-                # single timed run (r8 budget trim): range recorded
-                # stable r5-r7 (18-41 s, throttle envelope); the
-                # extra 2 runs re-spent ~36-80 s
-                t0 = time.monotonic()
-                shids1m, _d1 = srv1m.search(lq10k_1m, k=K, nprobe=100)
-                best = time.monotonic() - t0
-            finally:
-                srv1m.close()
-            rec = float(np.mean([
-                len(set(shids1m[i]) & set(tr_ids[i])) / K
-                for i in range(1000)
-            ]))
-            baseline["ivf_shard_exec_1m_batch10k"] = {
-                "search_sec": round(best, 4),
-                "n_runs": 1,
-                "qps_batch": round(len(lq10k_1m) / best, 1),
-                "recall": round(rec, 4),
-                "nlist": 1000, "nprobe": 100,
-                "n_queries": len(lq10k_1m), "n_vectors": n1m,
-                "num_shards": 8, "slices_per_shard": srv1m.slices,
-                "artifact_write_sec": sh1m_write,
-            }
-        finally:
-            _sh1.rmtree(shard_dir1m, ignore_errors=True)
-        t0 = time.monotonic()
-        blsh1m = build_lsh(bvec1m, num_hash_tables=4)
-        blsh1m.buckets.cache().count()
-        lsh1m_build = round(time.monotonic() - t0, 4)
-        # warm + single timed run (r8 budget trim): range recorded
-        # stable r5-r7 (14-28 s); best-of-2 re-spent ~15-27 s
-        search_lsh(blsh1m, bq, k=K, multiprobe=1).count()  # warm
-        t0 = time.monotonic()
-        res = search_lsh(blsh1m, bq, k=K, multiprobe=1).cache()
-        res.count()
-        sec = round(time.monotonic() - t0, 4)
-        baseline["lsh_1m"] = {
-            "build_sec": lsh1m_build, "search_sec": sec,
-            "n_runs": 1,
-            "qps_batch": round(bn_q / sec, 1),
-            "recall": brec(res, truth1m),
-            "num_hash_tables": 4, "multiprobe": 1, "n_vectors": n1m,
-        }
-        blsh1m.buckets.unpersist()
-        bivf1m.assignments.unpersist()
-        bvec1m.unpersist()
-        # measured scaling exponent for 10x n. The flat ratio is
-        # interleaved (100k re-measured seconds before the 1M arm,
-        # same throttle window — the only honest single-run ratio on
-        # this box); ivf/lsh ratios compare across the run and carry
-        # the window caveat. Ideal linear work = ratio 10
-        # (exponent 1.0 per decade).
-        ratios = {
-            "flat_interleaved": {
-                "time_ratio_1m_vs_100k": round(
-                    baseline["flat_1m"]["search_sec"] / max(1e-9, sec100), 2),
-                "exponent_per_decade": round(math.log10(
-                    baseline["flat_1m"]["search_sec"] / max(1e-9, sec100)), 3),
-            },
-        }
-        for a, b in (("ivf", "ivf_1m"), ("lsh", "lsh_1m")):
-            if a in baseline and b in baseline:
-                r = baseline[b]["search_sec"] / max(
-                    1e-9, baseline[a]["search_sec"])
-                ratios[a + "_cross_window"] = {
-                    "time_ratio_1m_vs_100k": round(r, 2),
-                    "exponent_per_decade": round(math.log10(r), 3),
-                }
-        baseline["scaling_1m"] = {
-            "note": "search-time ratio for 10x n (1M vs 100k); "
-                    "flat_interleaved is same-window (honest), "
-                    "*_cross_window spans throttle states; linear "
-                    "work = ratio 10 (exponent 1). Ratios near or "
-                    "below 1 mean the 100k side is scheduling-bound "
-                    "(~1s distributed-job floor at this size), not "
-                    "that work scales sublinearly — the floor hides "
-                    "the compute term until n is large enough to "
-                    "dominate it",
-            **ratios,
-        }
-
-    # 1M anchor complete — checkpoint before the 10M anchor
-    emit_summary()
-
-
-    # tail call: the patient fallback (and the only attempt when
+    # tail calls: the patient fallbacks (and the only attempts when
     # anchor-first mode is off or its early clean window never came)
     if baseline_n:
+        run_1m_anchor(patient=True)
+        _finalize_1m_ratios()
+        emit_summary()
         run_10m_anchor(patient=True)
     # final checkpoint: the cumulative artifact + the last-word
     # headline line the driver parses
