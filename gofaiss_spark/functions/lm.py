@@ -74,9 +74,16 @@ def bigram_perplexity(
     # corpus — 5 full scans per call (12 parquet scans in the
     # doc_ppl_buckets plan); now: one for the model, one for scoring
     # (guide §1.2 step 1 — the algorithm's two-pass floor).
+    # r13 (verdict item 6): the model table is vocab²-BOUNDED but can
+    # still be huge at 100 TB — persist MEMORY_AND_DISK (spillable,
+    # evictable, recomputable via intact lineage) instead of
+    # localCheckpoint (executor-pinned, lineage severed: a lost
+    # executor failed every downstream action)
+    from pyspark import StorageLevel
+
     bg_counts = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c_bg")
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ctx_counts = bg_counts.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
     # vocab = distinct words anywhere (first or second position)
     vocab = (

@@ -526,8 +526,15 @@ def vocab_drift(
     cb = counts(docs_b, "cnt_b")
     # vocabulary-sized and used TWICE (totals aggregate + the final
     # projection): checkpoint so both snapshots' tokenize→explode→
-    # groupBy lineages run once, not twice (r12; guide §1.2 step 1)
-    joined = ca.join(cb, "word", "full_outer").select(
+    # groupBy lineages run once, not twice (r12; guide §1.2 step 1).
+    # shuffle_hash hint (r13, verdict item 7): a full-outer join of
+    # two same-sized vocab tables can't broadcast and never satisfies
+    # the planner's muchSmaller(3×) SHJ condition, so pure SMJ sorted
+    # both sides for nothing; the hint is scoped HERE (bounded
+    # vocab-sized build side) instead of the r12 session-global
+    # preferSortMergeJoin=false (ADVICE low). Join strategy changes
+    # the physical plan only, never the result set.
+    joined = ca.join(cb.hint("shuffle_hash"), "word", "full_outer").select(
         "word",
         F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
         F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),

@@ -214,21 +214,27 @@ def minhash_near_dup_pairs(
         raise ValueError(f"num_hashes {num_hashes} must divide into {bands} bands")
     r = num_hashes // bands
     sigs = _hashed_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    # Compute the signature pipeline ONCE and checkpoint the derived
+    # Compute the signature pipeline ONCE and materialize the derived
     # (hashed-shingle set, band hashes) table: the plan below uses it
     # four times (both sides of the band self-join, both sides of the
-    # verify attach), and without the checkpoint Catalyst re-executed
-    # the full scan→shingle→32-family-minhash lineage per use — the
-    # r12 before-plan showed 8 parquet scans / 0 reused exchanges for
-    # one call (plans/r12/doc_minhash_near_dup_before.txt; guide §1.2
-    # step 1 — don't compute things twice, §5 — cut lineage when the
-    # intermediate is cheaper to hold than to recompute). The
-    # checkpointed rows are the banding/verify proxy (hashes only,
-    # O(corpus tokens) longs), never the documents themselves — the
-    # §8 "decide with small rows" discipline.
+    # verify attach), and without the materialization Catalyst
+    # re-executed the full scan→shingle→32-family-minhash lineage per
+    # use — the r12 before-plan showed 8 parquet scans / 0 reused
+    # exchanges for one call (guide §1.2 step 1, §5). The rows are
+    # the banding/verify proxy (hashes only, O(corpus tokens) longs),
+    # never the documents — the §8 "decide with small rows"
+    # discipline. r13 (verdict item 6 / ADVICE): persist, NOT
+    # localCheckpoint — this table is corpus-token-sized, and
+    # localCheckpoint pins blocks on executors with lineage severed
+    # (a lost executor fails every downstream action; the pinned
+    # storage is not evictable). MEMORY_AND_DISK blocks spill, evict
+    # and RECOMPUTE (lineage intact) — the spill-safe shape at 100 TB
+    # — while Catalyst still reuses the one InMemoryRelation.
+    from pyspark import StorageLevel
+
     base = sigs.select(
         "doc_id", "_h", _band_hash_array(r, bands).alias("_bh")
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # Banding on NARROW rows only — (doc_id, band, band_hash). The
     # shingle arrays must not ride the self-join shuffle: at scale
     # that multiplies every document's shingles by ``bands`` and
@@ -368,19 +374,34 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise Jaccard over shingle sets.
 
-    For ``threshold > 0`` (every real caller) this is an
-    inverted-index equi-join, NOT a cross join: explode the distinct
-    shingles, self-join on the shingle hash, count common shingles
-    per pair, and derive |A∪B| = |A| + |B| − |A∩B|. Identical output
-    to the all-pairs formulation — a pair with zero common shingles
-    has jaccard 0 and can never reach a positive threshold — but the
-    work is proportional to Σ_shingle df(shingle)² instead of n²,
-    it parallelizes across shuffle partitions (the cross join
-    degenerated to ONE broadcast-nested-loop task), and the join
-    shuffles 8-byte shingle hashes instead of document payloads
-    (guide: joins §3.3 / shuffle-fewer-bytes §2.3). The shingle hash
-    is the repo-wide xxhash64 set convention (collisions 2⁻⁶⁴, same
-    contract as the MinHash verify kernel).
+    For ``threshold > 0`` (every real caller) this is a PREFIX-FILTERED
+    inverted-index join (r13; the published all-pairs similarity
+    result — Chaudhuri et al. SSJoin 2006 / Bayardo et al. WWW 2007):
+
+    1. hash the distinct shingles (xxhash64 — the repo-wide 2⁻⁶⁴ set
+       convention, same contract as the MinHash verify kernel) and
+       compute each hash's document frequency df;
+    2. order every document's shingle hashes by the GLOBAL total
+       order (df asc, hash asc) and keep only the PREFIX — the first
+       ``|A| − ⌈t·|A|⌉ + 1`` — as join keys. Completeness: a pair
+       with jaccard ≥ t shares c ≥ ⌈t·max(|A|,|B|)⌉ hashes; the
+       smallest shared hash in the global order has at most
+       |A| − c non-shared hashes of A before it, so it sits inside
+       A's prefix (and B's — the standard prefix-filter lemma), so
+       every qualifying pair collides on ≥1 prefix key;
+    3. exact-Jaccard verify of the candidate pairs on the full hashed
+       shingle sets (array_intersect over longs), identical to the
+       MinHash verify kernel — so the emitted pair set and values are
+       identical to the all-pairs formulation.
+
+    The prefix is the skew guard the r12 inverted-index join lacked
+    (guide §2.5; r12 verdict "what's wrong" #2): join work is
+    Σ_hash df_prefix(hash)², and a stop-word shingle occurring in
+    every document is the LAST hash in the global order — it enters a
+    document's prefix only when nearly all of that document's
+    shingles are even more frequent, so one hot key can no longer
+    produce df² join rows. Everything shuffled is an 8-byte hash or
+    a count — never document payloads (guide §2.3/§3.3).
 
     ``threshold ≤ 0`` keeps the literal all-pairs cross join (it must
     report jaccard-0 pairs too — only a verify kernel at tiny scale
@@ -403,26 +424,75 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard")
         )
-    ex = sh.select(
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    ex = (
+        sh.select(
+            "doc_id",
+            F.size("sh").alias("nsh"),
+            F.explode("sh").alias("_s"),
+        )
+        .select("doc_id", "nsh", F.xxhash64("_s").alias("_sh"))
+        # narrow (doc_id, nsh, hash) rows used by BOTH the df
+        # aggregation and the ranked join below — spill-safe persist,
+        # not localCheckpoint: blocks are evictable and recomputable
+        # (lineage intact), so a lost executor recomputes instead of
+        # failing the job (r12 ADVICE / guide §5)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    # α = ⌈t·|A|⌉ (the 1e-9 slack only LOWERS α on float-exact
+    # products — over-selection, never a miss); prefix keeps the
+    # |A| − α + 1 rarest hashes in the (df, hash) global order
+    alpha = F.greatest(
+        F.lit(1),
+        F.ceil(F.lit(float(threshold)) * F.col("nsh") - F.lit(1e-9)).cast("int"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("_df", "_sh")
+    prefix = (
+        ex.join(dfreq, "_sh")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("nsh") - alpha + F.lit(1))
+        .select("doc_id", "_sh")
+    )
+    cands = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "_sh")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "_sh"), "_sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact verify on the full hashed shingle sets, attached only to
+    # the (small) candidate set — same kernel as the MinHash verify:
+    # |A∩B| from array_intersect over longs, |A∪B| = |A|+|B|−|A∩B|
+    hs = sh.select(
         "doc_id",
         F.size("sh").alias("nsh"),
-        F.explode("sh").alias("_s"),
-    ).select("doc_id", "nsh", F.xxhash64("_s").alias("_sh"))
-    a = ex.select(
-        F.col("doc_id").alias("doc_a"), F.col("nsh").alias("_na"), "_sh"
+        F.transform("sh", lambda s: F.xxhash64(s)).alias("_hs"),
     )
-    b = ex.select(
-        F.col("doc_id").alias("doc_b"), F.col("nsh").alias("_nb"), "_sh"
-    )
-    inter = (
-        a.join(b, "_sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "_na", "_nb")
-        .agg(F.count(F.lit(1)).alias("_c"))
+    pairs = (
+        cands.join(
+            hs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("nsh").alias("_na"),
+                F.col("_hs").alias("h_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            hs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("nsh").alias("_nb"),
+                F.col("_hs").alias("h_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("_c", F.size(F.array_intersect("h_a", "h_b")))
     )
     jac = F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c"))
     return (
-        inter.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -435,8 +505,8 @@ def ngram_jaccard_pairs(
 
 #: cell budget (n·dim) for the broadcast-matrix GEMM prefilter of the
 #: exact arm — same family as ivf.LOCAL_TRAIN_MAX_CELLS; above it the
-#: exact arm falls back to the literal cross join (the exact arm is a
-#: bounded verify kernel by contract, so the fallback is theoretical)
+#: exact arm runs the grid-blocked prefilter (no cross join at any
+#: size — r13, verdict item 4)
 _EXACT_GEMM_MAX_CELLS = 32_000_000
 
 #: completeness margin for the GEMM prefilter: f64 GEMM differs from
@@ -444,11 +514,26 @@ _EXACT_GEMM_MAX_CELLS = 32_000_000
 #: full rounding quantum of the reported 6dp value — is overwhelming
 _EXACT_GEMM_MARGIN = 1e-6
 
+#: per-block cell budget (rows·dim) for the grid fallback — small
+#: enough that two f32 blocks plus a chunked sims tile stay well
+#: under an executor task's memory
+_GRID_BLOCK_MAX_CELLS = 4_000_000
 
-def _exact_cosine_candidates(base: DataFrame, threshold: float) -> DataFrame:
+#: completeness margin for the grid prefilter's f32 GEMM: a dot of
+#: two unit-normalized f32 vectors errs ≤ ~dim·2⁻²³ (≈5e-4 at
+#: dim=4096); 1e-3 dominates. Margins only OVER-select — every
+#: candidate is re-scored by the exact Catalyst expression
+_GRID_GEMM_MARGIN = 1e-3
+
+
+def _exact_cosine_candidates(
+    base: DataFrame,
+    threshold: float,
+    n: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
     """Candidate (id_a, id_b) pairs with cosine similarity ≥
-    threshold − margin, via one blocked f64 GEMM per Arrow batch
-    against the broadcast normalized corpus matrix.
+    threshold − margin.
 
     This is a PREFILTER in the repo's guarded-kernel pattern (the
     flat-top-k f32-select + exact-re-score shape, topk.py): it may
@@ -456,53 +541,156 @@ def _exact_cosine_candidates(base: DataFrame, threshold: float) -> DataFrame:
     Catalyst expression afterwards, so reported values and the final
     pair set are bit-identical to the all-pairs formulation while the
     scoring drops from an O(n²) single-task broadcast-nested-loop
-    join (89 s at sf0.1) to one vectorized GEMM pass (guide §4.2 —
+    join (89 s at sf0.1) to vectorized GEMM passes (guide §4.2 —
     hand whole batches to native code). Zero vectors keep the
     CosineDistance zero→1.0 convention: their surrogate norm makes
     every similarity exactly 0.0, identical to 1 − 1.0.
 
-    The corpus matrix is collected once and broadcast — bounded by
-    the exact arm's verify-kernel contract and gated by
-    ``_EXACT_GEMM_MAX_CELLS`` (the documented ≤1M driver-side-build
-    discipline); above the gate the caller's literal cross join runs.
+    Two physical shapes (r13, verdict item 4 — no BroadcastNestedLoop
+    cross join at ANY size):
+
+    - ``n·dim ≤ _EXACT_GEMM_MAX_CELLS``: collect + broadcast the
+      normalized corpus matrix, one blocked f64 GEMM per Arrow batch.
+      The broadcast is released as soon as the (small, checkpointed)
+      candidate pair set is materialized (r12 ADVICE).
+    - above the gate: a GRID of row blocks — deterministic block id
+      ``pmod(xxhash64(id), B)`` (guide §2.5: deterministic synthetic
+      keys), every unordered row pair lands in exactly one
+      ``ga ≤ gb`` grid cell, and each cell scans its block pair with
+      one chunked f32 GEMM inside ``applyInPandas``. Work is the
+      inherent O(n²/B) block pairs, but it parallelizes across the
+      shuffle and no task ever holds more than two
+      ``_GRID_BLOCK_MAX_CELLS`` blocks.
+
+    Ids keep their ORIGINAL Spark type end-to-end (r12 ADVICE medium:
+    the old kernel coerced to int64 — string ids crashed and
+    float/decimal ids were silently truncated). Ordering uses each
+    id's rank in the sorted corpus (any orderable type), and a final
+    Catalyst ``id_a < id_b`` filter pins Spark's own comparison
+    semantics.
     """
     spark = base.sparkSession
-    first = base.select(F.size("vec").alias("d")).first()
-    dim = int(first["d"]) if first is not None else 0
-    n = base.count()
-    if n == 0 or dim == 0 or n * dim > _EXACT_GEMM_MAX_CELLS:
-        a = base.select(F.col("id").alias("id_a"))
-        b = base.select(F.col("id").alias("id_b"))
-        return a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    pdf_all = base.toPandas()
-    ids_all = pdf_all["id"].to_numpy(dtype=np.int64)
-    mat = np.stack(pdf_all["vec"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0.0] = 1.0
-    matn = mat / norms[:, None]
-    bc = spark.sparkContext.broadcast((ids_all, matn))
-    cut = float(threshold) - _EXACT_GEMM_MARGIN
+    id_ddl = base.schema["id"].dataType.simpleString()
+    pair_schema = f"id_a {id_ddl}, id_b {id_ddl}"
+    if dim is None:
+        first = base.select(F.size("vec").alias("d")).first()
+        dim = int(first["d"]) if first is not None else 0
+    if n is None:
+        n = base.count() if dim else 0
+    if n == 0 or dim == 0:
+        return spark.createDataFrame([], schema=pair_schema)
 
-    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_b, matn_b = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-            an = np.linalg.norm(a, axis=1)
-            an[an == 0.0] = 1.0
-            sims = (a / an[:, None]) @ matn_b.T  # (batch, n)
-            ida = pdf["id"].to_numpy(dtype=np.int64)
-            ii, jj = np.where(
-                (sims >= cut) & (ida[:, None] < ids_b[None, :])
-            )
-            yield pd.DataFrame(
-                {"id_a": ida[ii], "id_b": ids_b[jj]}
-            )
+    if n * dim <= _EXACT_GEMM_MAX_CELLS:
+        cut = float(threshold) - _EXACT_GEMM_MARGIN
+        pdf_all = base.select("id", "vec").toPandas()
+        ids_all = pdf_all["id"].to_numpy()
+        mat = np.stack(pdf_all["vec"].to_numpy()).astype(np.float64)
+        order = np.argsort(ids_all, kind="stable")
+        ids_all = ids_all[order]
+        mat = mat[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        matn = mat / norms[:, None]
+        bc = spark.sparkContext.broadcast((ids_all, matn))
 
-    return base.select("id", "vec").mapInPandas(
-        part, schema="id_a long, id_b long"
+        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_b, matn_b = bc.value
+            # corpus rows are sorted by id, so rank order == id order
+            # for ANY orderable id type (unique ids by contract)
+            pos_index = pd.Index(ids_b)
+            jpos = np.arange(len(ids_b))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                a = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+                an = np.linalg.norm(a, axis=1)
+                an[an == 0.0] = 1.0
+                sims = (a / an[:, None]) @ matn_b.T  # (batch, n)
+                ida = pdf["id"].to_numpy()
+                pos_a = pos_index.get_indexer(ida)
+                ii, jj = np.where(
+                    (sims >= cut) & (pos_a[:, None] < jpos[None, :])
+                )
+                yield pd.DataFrame({"id_a": ida[ii], "id_b": ids_b[jj]})
+
+        out = (
+            base.select("id", "vec")
+            .mapInPandas(part, schema=pair_schema)
+            .filter(F.col("id_a") < F.col("id_b"))
+            # the candidate set is pair-sized and consumed by several
+            # joins downstream; materializing it here lets the corpus
+            # broadcast be released immediately (r12 ADVICE low)
+            .localCheckpoint(eager=True)
+        )
+        bc.unpersist()
+        return out
+
+    # ---- grid-blocked fallback (past the broadcast gate) ----
+    import math
+
+    nblocks = int(math.ceil((n * dim) / float(_GRID_BLOCK_MAX_CELLS)))
+    cut32 = float(threshold) - _GRID_GEMM_MARGIN
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(nblocks) for j in range(i, nblocks)],
+        schema="ga int, gb int",
     )
+    bl = base.select(
+        "id",
+        "vec",
+        F.pmod(F.xxhash64("id"), F.lit(nblocks)).cast("int").alias("_g"),
+    )
+    sa = bl.join(F.broadcast(grid), F.col("_g") == F.col("ga")).select(
+        "ga", "gb", F.lit(0).alias("_side"), "id", "vec"
+    )
+    grid_off = grid.filter(F.col("ga") != F.col("gb"))
+    sb = bl.join(F.broadcast(grid_off), F.col("_g") == F.col("gb")).select(
+        "ga", "gb", F.lit(1).alias("_side"), "id", "vec"
+    )
+    cells = sa.unionByName(sb)
+
+    def cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ga, gb = int(key[0]), int(key[1])
+        a_pdf = pdf[pdf["_side"] == 0]
+        b_pdf = a_pdf if ga == gb else pdf[pdf["_side"] == 1]
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            e = a_pdf["id"].to_numpy()[:0]
+            return pd.DataFrame({"id_a": e, "id_b": e})
+
+        def norm32(p: pd.DataFrame) -> np.ndarray:
+            m = np.stack(p["vec"].to_numpy()).astype(np.float64)
+            nr = np.linalg.norm(m, axis=1)
+            nr[nr == 0.0] = 1.0
+            return (m / nr[:, None]).astype(np.float32)
+
+        an, bn = norm32(a_pdf), norm32(b_pdf)
+        ida = a_pdf["id"].to_numpy()
+        idb = b_pdf["id"].to_numpy()
+        outs_a, outs_b = [], []
+        # sims tile ≤ ~32 MB f32
+        chunk = max(1, (8 << 20) // max(1, bn.shape[0]))
+        for s in range(0, an.shape[0], chunk):
+            sims = an[s:s + chunk] @ bn.T
+            ii, jj = np.where(sims >= cut32)
+            if ga == gb:
+                # self cell: each unordered pair once (position i<j)
+                keep = (s + ii) < jj
+                ii, jj = ii[keep], jj[keep]
+            outs_a.append(ida[s + ii])
+            outs_b.append(idb[jj])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(outs_a) if outs_a else ida[:0],
+                "id_b": np.concatenate(outs_b) if outs_b else idb[:0],
+            }
+        )
+
+    raw = cells.groupBy("ga", "gb").applyInPandas(cell, schema=pair_schema)
+    # each unordered pair arrives exactly once (one grid cell, one
+    # position pair) but in arbitrary id order — normalize in Catalyst
+    return raw.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    ).filter(F.col("id_a") < F.col("id_b"))
 
 
 def embedding_near_dup_pairs(
@@ -522,8 +710,20 @@ def embedding_near_dup_pairs(
     from gofaiss_spark.functions.distance import cosine_distance
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # gate probes computed ONCE for both arms (r12 ADVICE low: the
+    # gate used to run first()+count() here AND again inside
+    # _exact_cosine_candidates). The count is BOUNDED: limit(max+1)
+    # stops scanning once the corpus is provably past the GEMM gate,
+    # so the 100 TB path pays a bounded probe, not a full count
+    first = base.select(F.size(F.col("vec")).alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    max_rows = (_EXACT_GEMM_MAX_CELLS // dim) if dim else 0
+    cnt = base.limit(max_rows + 1).count() if dim else 0
+    small = dim > 0 and 0 < cnt <= max_rows
     if exact:
-        pairs = _exact_cosine_candidates(base, threshold)
+        pairs = _exact_cosine_candidates(
+            base, threshold, n=(cnt if small else None), dim=dim
+        )
         pairs = pairs.join(
             base.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a")),
             "id_a",
@@ -556,9 +756,7 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    first = base.select(F.size("vec").alias("d")).first()
-    dim = int(first["d"]) if first is not None else 0
-    if 0 < base.count() * dim <= _EXACT_GEMM_MAX_CELLS:
+    if small:
         # Bounded-corpus fast path (r12): intersect the LSH candidate
         # set with the guarded GEMM prefilter before the exact scorer.
         # The prefilter only ever over-selects (margin one full 6dp
@@ -570,7 +768,8 @@ def embedding_near_dup_pairs(
         # Above the cell bound, score all candidates (the 100 TB
         # path, where per-bucket candidate counts are bounded).
         cands = cands.join(
-            _exact_cosine_candidates(base, threshold), ["id_a", "id_b"]
+            _exact_cosine_candidates(base, threshold, n=cnt, dim=dim),
+            ["id_a", "id_b"],
         )
     pairs = (
         cands.join(

@@ -422,7 +422,18 @@ def _load_centroids_np(path: str, nlist: int, dim: int) -> np.ndarray:
 
 def _read_shard_arrays(path: str, shard_id: int, meta: dict) -> dict:
     """Read one shard's parquet slice into the CSR array set (the
-    cold path — runs once per host per shard)."""
+    cold path — runs once per host per shard).
+
+    r13 (verdict item 9 — sharded-family fixed costs): the read is
+    Arrow-NATIVE. Parquet list columns arrive as one contiguous
+    values buffer plus offsets, so the (n, width) matrices come from
+    a flatten+reshape over that buffer instead of the old
+    ``to_pandas()`` + ``np.stack`` path, which materialized one
+    Python list object per row and re-gathered them row-by-row —
+    pure per-task overhead on every cold shard attach (guide §4.2:
+    keep whole batches in native code). Row order (list_id, id) and
+    every emitted array are identical (ids are unique, so the sort
+    key is total)."""
     import pyarrow.parquet as pq
 
     kind = meta["kind"]
@@ -436,7 +447,7 @@ def _read_shard_arrays(path: str, shard_id: int, meta: dict) -> dict:
     if quantized and meta.get("has_vectors"):
         cols.append("vec")
     if os.path.isdir(shard_dir):
-        pdf = pq.read_table(shard_dir, columns=cols).to_pandas()
+        tbl = pq.read_table(shard_dir, columns=cols)
     else:
         # partitionBy writes no directory for an empty shard; the
         # shard_rows manifest distinguishes "validly empty" from a
@@ -448,27 +459,44 @@ def _read_shard_arrays(path: str, shard_id: int, meta: dict) -> dict:
                 f"manifest records {rows[int(shard_id)]} rows — torn "
                 "artifact"
             )
-        import pandas as pd
+        tbl = None
 
-        pdf = pd.DataFrame({c: [] for c in cols})
-    pdf = pdf.sort_values(["list_id", "id"] if celled else "id")
-    ids = pdf["id"].to_numpy(dtype=np.int64)
+    def _flat_col(name: str) -> np.ndarray:
+        if tbl is None:
+            return np.empty(0, dtype=np.int64)
+        return tbl.column(name).to_numpy(zero_copy_only=False)
+
+    def _fixed_list(name: str, width: int, dtype) -> np.ndarray:
+        """(n, width) matrix from a parquet list column: per chunk,
+        one offsets-aware flatten over the contiguous values buffer."""
+        if tbl is None or tbl.num_rows == 0:
+            return np.empty((0, width), dtype=dtype)
+        parts = []
+        for ch in tbl.column(name).chunks:
+            flat = ch.flatten().to_numpy(zero_copy_only=False)
+            parts.append(flat.reshape(-1, width))
+        out = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        return out.astype(dtype, copy=False)
+
+    ids = _flat_col("id").astype(np.int64, copy=False)
+    dim = meta["dim"]
+    if celled:
+        lids = _flat_col("list_id").astype(np.int64, copy=False)
+        order = np.lexsort((ids, lids))  # (list_id, id) — unique ids
+        lids = lids[order]
+    else:
+        order = np.argsort(ids, kind="stable")
+    ids = np.ascontiguousarray(ids[order])
     arrays = {"ids": ids}
 
     if quantized:
-        width = meta["dim"] if kind in ("sq", "ivfsq") else meta["m"]
+        width = dim if kind in ("sq", "ivfsq") else meta["m"]
         cdtype = np.uint8 if kind in ("sq", "ivfsq") else np.uint16
-        if len(ids):
-            codes = np.stack(pdf["code"].to_numpy()).astype(cdtype)
-        else:
-            codes = np.empty((0, width), dtype=cdtype)
-        arrays["codes"] = np.ascontiguousarray(codes)
+        codes = _fixed_list("code", width, cdtype)
+        arrays["codes"] = np.ascontiguousarray(codes[order])
         if meta.get("has_vectors"):
-            if len(ids):
-                rvec = np.stack(pdf["vec"].to_numpy()).astype(np.float32)
-            else:
-                rvec = np.empty((0, meta["dim"]), dtype=np.float32)
-            arrays["vecs"] = np.ascontiguousarray(rvec)
+            rvec = _fixed_list("vec", dim, np.float32)
+            arrays["vecs"] = np.ascontiguousarray(rvec[order])
         if kind in ("pq", "ivfpq"):
             arrays["codebooks"] = np.ascontiguousarray(
                 np.load(f"{path}/codebooks.npy"))
@@ -479,18 +507,13 @@ def _read_shard_arrays(path: str, shard_id: int, meta: dict) -> dict:
         # bit-identical to the distributed kernel on the same rows —
         # a pre-normalized copy would perturb them ~1e-7 and sharded
         # merges would disagree with a flat oracle at 6dp
-        if len(ids):
-            vecs = np.stack(pdf["vec"].to_numpy()).astype(np.float32)
-        else:
-            vecs = np.empty((0, meta["dim"]), dtype=np.float32)
-        vecs = np.ascontiguousarray(vecs)
+        vecs = np.ascontiguousarray(_fixed_list("vec", dim, np.float32)[order])
         arrays["vecs"] = vecs
         arrays["norms_sq"] = np.einsum("ij,ij->i", vecs, vecs)
 
     if celled:
         nlist = meta["nlist"]
-        cents = _load_centroids_np(path, nlist, meta["dim"])
-        lids = pdf["list_id"].to_numpy(dtype=np.int64)
+        cents = _load_centroids_np(path, nlist, dim)
         arrays["centroids"] = np.ascontiguousarray(cents)
         arrays["offsets"] = np.searchsorted(
             lids, np.arange(nlist + 1)).astype(np.int64)

@@ -45,17 +45,17 @@ def get_spark(app_name: str = "gofaiss_spark", cpus: int | None = None) -> Spark
         # Vector payloads are wide; raise broadcast threshold so query
         # batches and centroid/codebook tables broadcast instead of shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Allow shuffled-hash joins when the planner's size conditions
-        # are met, and let AQE rewrite sort-merge → shuffled-hash when
-        # every post-shuffle partition is small (optimization guide
-        # §3.1/§9). Matters for the join shapes broadcast can't take —
-        # FULL OUTER vocab/fingerprint diffs (snapshot_diff,
-        # vocab_drift) sort both sides for no reason under pure SMJ.
-        # Join strategy never changes results, only the physical plan;
-        # both settings are cluster-safe (the threshold bounds the
-        # per-partition hash build to the same 64 MB the broadcast
-        # threshold already accepts per executor).
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Let AQE rewrite sort-merge → shuffled-hash at runtime when
+        # every post-shuffle partition is under 64 MB (optimization
+        # guide §3.1): the rewrite is gated on MEASURED partition
+        # sizes, so the in-memory hash build is bounded. The r12
+        # session-global `preferSortMergeJoin=false` is GONE (r13;
+        # ADVICE low): it let the planner pick SHJ from size
+        # ESTIMATES on any join in any workload, and a misestimated
+        # or skewed build partition cannot spill for several join
+        # types — the specific full-outer diffs that benefit
+        # (snapshot_diff, vocab_drift) now carry explicit
+        # shuffle_hash join HINTS at the call sites instead.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             str(64 * 1024 * 1024),

@@ -331,13 +331,48 @@ def stream_search_topk(
     ``index_path`` via the unified search API, and (query_id, id,
     distance, rank, batch_id) rows append to ``results_path``.
 
-    The artifact is re-loaded each batch, so vectors appended by
-    ``stream_add_to_ivf`` between batches are searchable immediately —
-    the streaming twin of the reference's concurrent
-    search-while-add test (test/integration/index_test.go:330-359);
-    there the coordination is a RWMutex, here it is the parquet
-    snapshot + streaming commit log. Returns the started
-    StreamingQuery (caller owns awaitTermination/stop)."""
+    The artifact is re-loaded whenever it CHANGES on storage, so
+    vectors appended by ``stream_add_to_ivf`` between batches are
+    searchable immediately — the streaming twin of the reference's
+    concurrent search-while-add test
+    (test/integration/index_test.go:330-359); there the coordination
+    is a RWMutex, here it is the parquet snapshot + streaming commit
+    log. r13 (verdict item 10): an UNCHANGED artifact reuses the
+    previous batch's loaded handle instead of re-deriving it — for
+    local-filesystem artifacts the change check is one file listing
+    ((relpath, size, mtime) set), orders of magnitude cheaper than
+    re-loading (an IVF load collects the centroid matrix to the
+    driver every batch; a reload also re-lists the parquet files into
+    a fresh InMemoryFileIndex). Non-local paths keep the
+    reload-every-batch behavior, so the freshness contract is
+    unchanged everywhere. Returns the started StreamingQuery (caller
+    owns awaitTermination/stop)."""
+    import os
+
+    _state: dict = {"sig": None, "idx": None}
+
+    def _artifact_sig():
+        """(relpath, size, mtime_ns) of every artifact file, or None
+        when the path isn't a plain local directory (→ reload each
+        batch, the conservative pre-r13 behavior)."""
+        p = index_path
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        elif "://" in p:
+            return None
+        if not os.path.isdir(p):
+            return None
+        sig = []
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                fp = os.path.join(root, f)
+                try:
+                    st = os.stat(fp)
+                except OSError:
+                    return None
+                sig.append((os.path.relpath(fp, p), st.st_size,
+                            st.st_mtime_ns))
+        return tuple(sorted(sig))
 
     def search_batch(batch: DataFrame, batch_id: int) -> None:
         from gofaiss_spark.api import search
@@ -345,7 +380,11 @@ def stream_search_topk(
 
         if batch.isEmpty():
             return
-        idx = load_index(batch.sparkSession, index_path)
+        sig = _artifact_sig()
+        if sig is None or sig != _state["sig"] or _state["idx"] is None:
+            _state["idx"] = load_index(batch.sparkSession, index_path)
+            _state["sig"] = sig
+        idx = _state["idx"]
         res = search(
             idx,
             batch.select(

@@ -243,3 +243,23 @@ def test_ivf_artifact_partition_pruning(spark, vectors, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "list_id" in pf and "IN (1,3)" in pf.replace(" ", "").replace("IN(", "IN (")
+
+
+def test_partitioned_artifact_one_file_per_key(spark, vectors, tmp_path):
+    """Clustered partitioned writes (guide §6, r12 audit #12 / r13
+    verdict item 8): repartition(key) before partitionBy must yield
+    ONE data file per partition key instead of tasks x keys tiny
+    files."""
+    import glob
+
+    from gofaiss_spark.operators.ivf import build_ivf
+    from gofaiss_spark.plans.artifacts import save_index
+
+    idx = build_ivf(vectors, nlist=8, seed=42)
+    path = str(tmp_path / "ivf_onefile")
+    save_index(idx, path)
+    part_dirs = glob.glob(f"{path}/assignments/list_id=*")
+    assert part_dirs, "partitioned assignments dirs missing"
+    for d in part_dirs:
+        files = glob.glob(d + "/part-*")
+        assert len(files) == 1, (d, files)
